@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry/loader for the graft engine (SURVEY §E1).
+  *
+  * Loads the synthetic star-schema + document/embedding tables from a
+  * scale-factor directory. At cluster scale the same API fronts a
+  * partitioned data lake: `load` is a plain parquet scan, so Catalyst
+  * column pruning and predicate pushdown apply to everything built on
+  * top of it.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view (for spark.sql users). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text functions for the graft engine.
+  *
+  * Re-expresses the reference's row-at-a-time Python regex helpers
+  * (pasta-pipeline `dags/utils/utils.py:4-33`,
+  * `dags/processors/telegraph_processor.py:128-146`) as codegen-friendly
+  * Catalyst column expressions — pure map-side, no UDFs, no shuffle, so
+  * they run inside whole-stage codegen at any scale.
+  */
+object TextFunctions {
+
+  /** Hashtag pattern from the reference (utils.py:24): latin+cyrillic. */
+  val HashtagPattern = "#([a-zA-Zа-яА-Я0-9_]+)"
+
+  /** Telegraph link pattern from the reference (utils.py:8). */
+  val TelegraphLinkPattern = """https://telegra\.ph/[^\s\n\])>_*}]+"""
+
+  /** Generic http(s) URL pattern (same shape, any host). */
+  val UrlPattern = """https?://[^\s\n\])>_*}]+"""
+
+  /** Extract regex group 1 matches, lowercased, de-duplicated keeping
+    * first occurrence (reference utils.py:20-33 `extract_hashtags`). */
+  def extractTags(text: Column, pattern: String = HashtagPattern): Column =
+    array_distinct(transform(regexp_extract_all(text, lit(pattern), lit(1)), lower(_)))
+
+  /** Extract whole-match links, strip trailing punctuation, dedup
+    * keeping first occurrence (reference utils.py:4-17). */
+  def extractLinks(text: Column, pattern: String = TelegraphLinkPattern): Column =
+    array_distinct(transform(
+      regexp_extract_all(text, lit(pattern), lit(0)),
+      l => regexp_replace(l, """[.,"'\*_]+$""", "")))
+
+  /** MD5 content hash (reference telegraph_processor.py:128). Empty/null → "". */
+  def contentHash(text: Column): Column =
+    when(text.isNull || text === "", lit("")).otherwise(md5(text))
+
+  /** Whitespace word count (reference telegraph_processor.py:142
+    * `len(text.split())` — python split() drops empty strings). */
+  def wordCount(text: Column): Column =
+    when(text.isNull || trim(text) === "", lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Whitespace tokens (python str.split() semantics: no empties). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword token count: words, numbers, and single
+    * non-space punctuation each count as one token (a common
+    * pre-tokenizer regex, GPT-2 style simplified). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"""), lit(0)))
+
+  /** Word n-gram shingles joined with a space. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column = {
+    val len = length(text)
+    when(len < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), len - (n - 1)), i => substring(text, i, lit(n))))
+  }
+
+  /** Ratio of punctuation characters to total characters, rounded. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      round(size(regexp_extract_all(text, lit("""[^a-zA-Z0-9\s]"""), lit(0)))
+        .cast("double") / length(text).cast("double"), 6))
+
+  /** Ratio of stopword tokens to total tokens, rounded. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val sw = size(filter(toks, t => t.isInCollection(stopwords)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(round(sw.cast("double") / size(toks).cast("double"), 6))
+  }
+
+  /** Mean token length, rounded. */
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"), 6))
+  }
+
+  /** Stopword tables for the language-ID heuristic (C8). Tiny on
+    * purpose: the heuristic is the operator; the lists are data. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "人", "有", "他", "这"))
+
+  /** Language-ID: count stopword hits per language over whitespace
+    * tokens; argmax with language-code tie-break; "und" (undetermined)
+    * when no list matches. Pure map-side. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    // struct(-hits, lang) lexicographic min == argmax(hits) w/ lang tie-break
+    val scored = LangStopwords.map { case (lang, sw) =>
+      struct((-size(filter(toks, t => t.isInCollection(sw)))).as("neg"), lit(lang).as("lang"))
+    }
+    val best = array_min(array(scored: _*))
+    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+}
