@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{HtmlFunctions, TextFunctions}
+import graft.operators.{Cleanup, Dedup, ModeFilter, Sessionize, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -20,16 +21,178 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** Timestamps in outputs are rendered as strings (SURVEY §4.4). */
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+  private def fmtSec(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("b1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  // ---------------------------------------------------------------- B1
-  /** TPC-H Q1 shape: single-shuffle grouped aggregation with partial
-    * (map-side) aggregation; decimal-exact sums per SURVEY §4.2. */
-  private def b1(s: SparkSession, dir: String): DataFrame = {
-    val l = t(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-01"))
-    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+  // ================================================================ A
+  // Reference-derived operators (pasta-pipeline semantics).
+
+  /** A1 hashtag extraction (utils.py:20): every word of the document
+    * is turned into a '#tag' deterministically, then the real
+    * extractor runs: group-1 regex, lowercase, dedup. Map-side only. */
+  private def a1(s: SparkSession, dir: String): DataFrame = {
+    val msg = concat(lit("#"), regexp_replace(col("text"), lit(" "), lit(" #")))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      concat_ws(",", array_sort(TextFunctions.extractTags(msg))).as("tags"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A2 link extraction + trailing-punctuation cleanup (utils.py:4). */
+  private def a2(s: SparkSession, dir: String): DataFrame = {
+    val msg = concat(
+      lit("see https://telegra.ph/"), col("lang"), lit("-"), col("doc_id"),
+      lit(" and (https://telegra.ph/p-"), col("source"), lit(".) end"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      concat_ws(",", array_sort(TextFunctions.extractLinks(msg))).as("links"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A3 message normalization (message_scraper.py:24 format_message):
+    * typed projection with null defaults. Pure map-side. */
+  private def a3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id").as("message_id"),
+      fmtTs(col("ts")).as("date"),
+      coalesce(col("props"), lit("")).as("text"),
+      coalesce(col("value"), lit(0.0)).as("views"),
+      coalesce(col("event_type"), lit("unknown")).as("kind"))
+      .orderBy(col("message_id"))
+
+  /** A4 keyed upsert keep-latest (db_loader.py:166 ON CONFLICT):
+    * merge an "existing" and an "incoming" batch; newest (ts,
+    * event_id) wins per (user_id, event_type). One shuffle. */
+  private def a4(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val existing = e.filter(col("ts") < lit("2024-01-15 00:00:00"))
+    val incoming = e.filter(col("ts") >= lit("2024-01-15 00:00:00"))
+    Upsert.merge(existing, incoming, Seq("user_id", "event_type"),
+      Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        fmtTs(col("ts")).as("ts"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** A5 unprocessed-link selection (telegraph_processor.py:81):
+    * DISTINCT refs minus already-processed targets — an anti-join,
+    * broadcast when the processed side is small. */
+  private def a5(s: SparkSession, dir: String): DataFrame = {
+    val pending = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey")).distinct()
+    val processed = t(s, dir, "customer").filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"))
+    pending.join(processed, col("o_custkey") === col("c_custkey"), "left_anti")
+      .orderBy(col("o_custkey"))
+  }
+
+  /** A6 MD5 content hash + word count (telegraph_processor.py:128,142). */
+  private def a6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.contentHash(col("text")).as("content_hash"),
+      TextFunctions.wordCount(col("text")).cast("long").as("word_count"))
+      .orderBy(col("doc_id"))
+
+  /** A7 HTML field extraction (telegraph_processor.py:191-229): a
+    * deterministic Telegraph-shaped page is synthesized per document
+    * (h1 present only for even ids → exercises the <title> fallback),
+    * then title/description/published-time are extracted. */
+  private def a7(s: SparkSession, dir: String): DataFrame = {
+    val day = lpad(((col("doc_id") % 27) + 1).cast("string"), 2, "0")
+    val h1 = when(col("doc_id") % 2 === 0,
+      concat(lit("<h1> "), upper(col("lang")), lit(" story </h1>"))).otherwise(lit(""))
+    val html = concat(
+      lit("<html><head><title>"), col("source"), lit(" – Telegraph</title>"),
+      lit("<meta property=\"article:published_time\" content=\"2024-01-"), day,
+      lit("T08:30:00+00:00\">"),
+      lit("<meta property=\"twitter:description\" content=\""),
+      substring(col("text"), 1, 40), lit("\">"),
+      lit("</head><body>"), h1, lit("</body></html>"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      HtmlFunctions.extractTitle(html).as("title"),
+      HtmlFunctions.extractMeta(html, "twitter:description").as("description"),
+      fmtSec(HtmlFunctions.extractPublishedTime(html)).as("date_published"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A8 dedup keep-latest per key (duplicate_remover.py:28): one
+    * window shuffle on the key, newest row survives. */
+  private def a8(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepLatest(t(s, dir, "events"), Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts"))
+      .orderBy(col("user_id"))
+
+  /** A9 dedup keep-first per content hash (duplicate_remover.py:74):
+    * hash = md5 of the first 30 chars (collision-rich on purpose). */
+  private def a9(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirstByHash(t(s, dir, "documents"),
+      md5(substring(col("text"), 1, 30)), Seq(col("doc_id")))
+      .select(col("doc_id"), md5(substring(col("text"), 1, 30)).as("content_hash"))
+      .orderBy(col("doc_id"))
+
+  /** A10 orphan-reference nulling (duplicate_remover.py:122): refs
+    * not present in the target table are nulled via a left join
+    * against the distinct (broadcastable) key set. */
+  private def a10(s: SparkSession, dir: String): DataFrame =
+    Cleanup.nullifyOrphans(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      "o_custkey",
+      t(s, dir, "customer").filter(col("c_acctbal") > 0), "c_custkey")
+      .orderBy(col("o_orderkey"))
+
+  /** A11 failed-row purge (duplicate_remover.py:160): survivors of
+    * status∈set ∧ retries≥3 ∧ stale. Filter pushed to the scan. */
+  private def a11(s: SparkSession, dir: String): DataFrame =
+    Cleanup.purgeFailed(t(s, dir, "events"),
+      col("event_type"), Seq("error", "timeout"),
+      col("value"), 3, col("ts"), "2024-01-20 00:00:00")
+      .select(col("event_id"))
+      .orderBy(col("event_id"))
+
+  /** A12 retention purge (duplicate_remover.py:199). */
+  private def a12(s: SparkSession, dir: String): DataFrame =
+    Cleanup.retention(t(s, dir, "events"), col("ts"), "2024-01-05 00:00:00")
+      .select(col("event_id"), fmtTs(col("ts")).as("ts"))
+      .orderBy(col("event_id"))
+
+  /** A13 statistics dashboard (duplicate_remover.py:246-283). */
+  private def a13(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Cleanup.stats(
+      t(s, dir, "events"), col("user_id"), col("props"),
+      docs.withColumn("status", when(col("lang") === "en", "success").otherwise(col("lang"))),
+      md5(col("text")), col("status"))
+  }
+
+  /** A14 incremental processing mode (dag.py:56-60): 7-day lookback
+    * window from a reference instant. */
+  private def a14(s: SparkSession, dir: String): DataFrame =
+    ModeFilter(t(s, dir, "events"), col("ts"), "incremental", "2024-01-15 00:00:00", 7)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  /** A15 JSON prop handling (db_loader.py:98 reactions JSONB). */
+  private def a15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .orderBy(col("event_id"))
+
+  // ================================================================ B
+  // Analytics core.
+
+  /** B1 TPC-H Q1 shape: single-shuffle grouped aggregation with
+    * map-side partials; decimal-exact sums per SURVEY §4.2. */
+  private def b1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
@@ -38,64 +201,115 @@ object SparkEntry {
         round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** B2 TPC-H Q3 shape: dimension filter → broadcast join → agg →
+    * deterministic top-10 (revenue desc, key asc tie-break). */
+  private def b2(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .select(col("o_orderkey"), fmtSec(col("o_orderdate")).as("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
   }
 
-  // ---------------------------------------------------------------- A1
-  /** Hashtag extraction (reference utils.py:20): every word of the
-    * document is turned into a '#tag' deterministically, then the real
-    * extractor runs: group-1 regex, lowercase, dedup. Map-side only. */
-  private def a1(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val msg = concat(lit("#"), regexp_replace(col("text"), lit(" "), lit(" #")))
-    d.select(
-      col("doc_id"),
-      concat_ws(",", array_sort(TextFunctions.extractTags(msg))).as("tags"))
-      .orderBy(col("doc_id"))
+  /** B3 TPC-H Q5 shape: star join — all dimensions broadcast, facts
+    * shuffle once on the join keys; local-supplier condition kept. */
+  private def b3(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val cst = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  // ---------------------------------------------------------------- A2
-  /** Link extraction + trailing-punctuation cleanup (utils.py:4). */
-  private def a2(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val msg = concat(
-      lit("see https://telegra.ph/"), col("lang"), lit("-"), col("doc_id"),
-      lit(" and (https://telegra.ph/p-"), col("source"), lit(".) end"))
-    d.select(
-      col("doc_id"),
-      concat_ws(",", array_sort(TextFunctions.extractLinks(msg))).as("links"))
-      .orderBy(col("doc_id"))
+  /** B4 top-N per group via window ranking: one shuffle on the
+    * grouping key; totals are decimal-exact so ranks are portable. */
+  private def b4(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total_spend"))
+    val c = t(s, dir, "customer").join(broadcast(t(s, dir, "nation")),
+      col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+    c.join(spend, col("c_custkey") === col("o_custkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("n_name"), col("rank"), col("c_custkey"), col("total_spend"))
+      .orderBy(col("n_name"), col("rank"))
   }
 
-  // ---------------------------------------------------------------- A6
-  /** MD5 content hash + word count (telegraph_processor.py:128,142). */
-  private def a6(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextFunctions.contentHash(col("text")).as("content_hash"),
-      TextFunctions.wordCount(col("text")).cast("long").as("word_count"))
-      .orderBy(col("doc_id"))
+  /** B5 gap-based sessionization (30-min gap): one shuffle on
+    * user_id, per-key sort rides the exchange. */
+  private def b5(s: SparkSession, dir: String): DataFrame =
+    Sessionize.summarize(t(s, dir, "events"),
+      col("user_id"), col("ts"), col("event_id"), 1800)
+      .select(col("key").as("user_id"), col("session_id"),
+        col("n_events"), fmtTs(col("session_start")).as("session_start"),
+        fmtTs(col("session_end")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** B6 tumbling-window aggregation (streaming twin: D1). */
+  private def b6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .select(fmtSec(col("hour")).as("hour"), col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** B7 term frequency: explode tokens → hash agg (map-side partials
+    * collapse the long tail before the shuffle). */
+  private def b7(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "b1_pricing_summary" -> (b1 _),
     "a1_extract_hashtags" -> (a1 _),
     "a2_extract_links" -> (a2 _),
-    "a6_content_hash" -> (a6 _))
+    "a3_normalize_messages" -> (a3 _),
+    "a4_upsert_latest" -> (a4 _),
+    "a5_link_selection" -> (a5 _),
+    "a6_content_hash" -> (a6 _),
+    "a7_html_extract" -> (a7 _),
+    "a8_dedup_latest" -> (a8 _),
+    "a9_dedup_first_by_hash" -> (a9 _),
+    "a10_orphan_cleanup" -> (a10 _),
+    "a11_failed_cleanup" -> (a11 _),
+    "a12_retention" -> (a12 _),
+    "a13_cleanup_stats" -> (a13 _),
+    "a14_mode_incremental" -> (a14 _),
+    "a15_json_props" -> (a15 _),
+    "b1_pricing_summary" -> (b1 _),
+    "b2_top_orders" -> (b2 _),
+    "b3_region_revenue" -> (b3 _),
+    "b4_top_customers_per_nation" -> (b4 _),
+    "b5_sessionize" -> (b5 _),
+    "b6_hourly_events" -> (b6 _),
+    "b7_term_counts" -> (b7 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
-    "b1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-        |  CAST(COUNT(*) AS BIGINT) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "a1_extract_hashtags" ->
       """SELECT doc_id,
         |  list_aggregate(list_sort(list_distinct(
@@ -112,10 +326,161 @@ object SparkEntry {
         |                         'https://telegra\.ph/[^\s\n\])>_*}]+', 0),
         |      l -> regexp_replace(l, '[.,"''\*_]+$', '')))), 'string_agg', ',') AS links
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "a3_normalize_messages" ->
+      """SELECT event_id AS message_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS date,
+        |  coalesce(props, '') AS text,
+        |  coalesce(value, 0.0) AS views,
+        |  coalesce(event_type, 'unknown') AS kind
+        |FROM events ORDER BY message_id""".stripMargin,
+    "a4_upsert_latest" ->
+      """SELECT user_id, event_type, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "a5_link_selection" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |WHERE o_orderstatus = 'O'
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |ORDER BY o_custkey""".stripMargin,
     "a6_content_hash" ->
       """SELECT doc_id,
         |  CASE WHEN text IS NULL OR text = '' THEN '' ELSE md5(text) END AS content_hash,
         |  CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS word_count
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "a7_html_extract" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || source || ' – Telegraph</title>' ||
+        |    '<meta property="article:published_time" content="2024-01-' ||
+        |      lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0') || 'T08:30:00+00:00">' ||
+        |    '<meta property="twitter:description" content="' || substr(text, 1, 40) || '">' ||
+        |    '</head><body>' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '<h1> ' || upper(lang) || ' story </h1>' ELSE '' END ||
+        |    '</body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN trim(regexp_extract(html, '<h1[^>]*>([^<]*)</h1>', 1)) <> ''
+        |       THEN trim(regexp_extract(html, '<h1[^>]*>([^<]*)</h1>', 1))
+        |       ELSE trim(regexp_replace(regexp_extract(html, '<title>([^<]*)</title>', 1),
+        |                                ' – Telegraph', '')) END AS title,
+        |  nullif(trim(regexp_extract(html,
+        |    '<meta[^>]*property="twitter:description"[^>]*content="([^"]*)"', 1)), '') AS description,
+        |  strftime(strptime(regexp_extract(html,
+        |    '<meta[^>]*property="article:published_time"[^>]*content="([^"]*)"', 1),
+        |    '%Y-%m-%dT%H:%M:%S%z'), '%Y-%m-%d %H:%M:%S') AS date_published
+        |FROM pages ORDER BY doc_id""".stripMargin,
+    "a8_dedup_latest" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "a9_dedup_first_by_hash" ->
+      """SELECT doc_id, md5(substr(text, 1, 30)) AS content_hash
+        |FROM (SELECT *, row_number() OVER (PARTITION BY md5(substr(text, 1, 30))
+        |                                   ORDER BY doc_id) AS rn
+        |      FROM documents) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "a10_orphan_cleanup" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |       THEN o_custkey ELSE NULL END AS o_custkey
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "a11_failed_cleanup" ->
+      """SELECT event_id FROM events
+        |WHERE NOT (event_type IN ('error', 'timeout') AND value >= 3
+        |           AND ts < TIMESTAMP '2024-01-20 00:00:00')
+        |ORDER BY event_id""".stripMargin,
+    "a12_retention" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "a13_cleanup_stats" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM events) AS BIGINT) AS total_messages,
+        |  CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS unique_messages,
+        |  CAST((SELECT count(props) FROM events) AS BIGINT) AS messages_with_links,
+        |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS total_content,
+        |  CAST((SELECT count(DISTINCT md5(text)) FROM documents) AS BIGINT) AS unique_content,
+        |  CAST((SELECT count(*) FROM documents WHERE lang = 'en') AS BIGINT) AS successful_content,
+        |  CAST((SELECT count(*) FROM documents WHERE lang <> 'en') AS BIGINT) AS failed_content""".stripMargin,
+    "a14_mode_incremental" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 7 DAY
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a15_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "b1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b2_top_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "b3_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "b4_top_customers_per_nation" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT n_name, rank, c_custkey, total_spend FROM (
+        |  SELECT n_name, c_custkey, total_spend,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY total_spend DESC, c_custkey) AS rank
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN spend ON c_custkey = o_custkey)
+        |WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin,
+    "b5_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "b6_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "b7_term_counts" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents)
+        |WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term""".stripMargin)
 }
