@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{HtmlFunctions, TextFunctions}
-import graft.operators.{Cleanup, Dedup, ModeFilter, Sessionize, Upsert}
+import graft.operators.{Cleanup, Dedup, Jaccard, MinHash, ModeFilter, Sessionize, SimHash, Similarity, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -283,6 +283,120 @@ object SparkEntry {
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
 
+  // ================================================================ C
+  // LLM-training-data operators.
+
+  /** C1 exact dedup: hash-groupBy on md5 of a normalized content key
+    * (30-char prefix — collision-rich in this corpus), keep min id.
+    * Map-side partial agg → single shuffle, no sort. */
+  private def c1(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), Seq(substring(col("text"), 1, 30)), col("doc_id"))
+      .select(col("content_hash"), col("keep_id"), col("dup_count"))
+      .orderBy(col("content_hash"))
+
+  /** C2 MinHash+LSH near-dup: 8 md5-minhashes over word 3-shingles,
+    * 4 bands of 2 → band-bucket join → exact-Jaccard verify ≥ 0.5. */
+  private def c2(s: SparkSession, dir: String): DataFrame =
+    MinHash.nearDupPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, k = 8, bandRows = 2, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** C3 SimHash near-dup: 64-bit fingerprints over word 3-shingles,
+    * 8-chunk pigeonhole banding, hamming ≤ 7. */
+  private def c3(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDupPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, maxHamming = 7, chunks = 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** C4 exact n-gram Jaccard join: prefix-filtered inverted index,
+    * every pair with J ≥ 0.5 — no probabilistic misses. */
+  private def c4(s: SparkSession, dir: String): DataFrame =
+    Jaccard.nearDupPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** C5 embedding-cosine near-dup: all pairs ≥ 0.4 (rounded); norms
+    * precomputed per vector. LSH bucketing (C7) is the 100 TB path. */
+  private def c5(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** C6 ANN brute-force: top-10 cosine neighbors for the broadcast
+    * query set (vec_id < 8). */
+  private def c6(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), k = 10)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** C7 ANN LSH-bucketed: 4 tables × 6 md5-seeded hyperplanes; exact
+    * rounded cosine ranks bucket candidates; top-5. Not expressible
+    * as one portable SQL → rows-only check. */
+  private def c7(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-language stopword suffix used to make the language-ID query
+    * exercise every branch: each doc gets its declared language's
+    * stopwords appended ×10, so the detector must recover `lang`. */
+  private def langSuffix: Column = {
+    val bags = TextFunctions.LangStopwords.map { case (l, sw) => l -> sw.mkString(" ", " ", "") }
+    bags.tail.foldLeft(when(col("lang") === bags.head._1, lit(bags.head._2))) {
+      case (acc, (l, sfx)) => acc.when(col("lang") === l, lit(sfx))
+    }.otherwise(lit(""))
+  }
+
+  /** C8 language ID: stopword-hit argmax with lang-code tie-break
+    * over text augmented with the declared language's stopwords. */
+  private def c8(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.langId(concat(lower(col("text")), repeat(langSuffix, 10))).as("lang_id"))
+      .orderBy(col("doc_id"))
+
+  /** C9 quality scoring: length/punct/stopword/word-length components
+    * (each rounded per SURVEY §4.3) + a fixed linear score. Pure
+    * map-side; identical double arithmetic on the oracle side. */
+  private def c9(s: SparkSession, dir: String): DataFrame = {
+    val en = TextFunctions.LangStopwords.toMap.apply("en")
+    val wc = TextFunctions.wordCount(col("text"))
+    val punct = TextFunctions.punctRatio(col("text"))
+    val stop = TextFunctions.stopwordRatio(col("text"), en)
+    val mwl = TextFunctions.meanWordLength(col("text"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      wc.cast("long").as("word_count"),
+      punct.as("punct_ratio"),
+      stop.as("stopword_ratio"),
+      mwl.as("mean_word_len"),
+      round(least(wc / 200.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.3 +
+        least(stop * 4.0, lit(1.0)) * 0.3, 6).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C10 token counting: whitespace tokens + BPE-ish pre-tokenizer
+    * (letter runs / digit runs / single punctuation). */
+  private def c10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.wordCount(col("text")).cast("long").as("ws_tokens"),
+      TextFunctions.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** C11 document fingerprint: bottom-5 sketch of md5'd 3-shingles. */
+  private def c11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text"), 3, 5).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_extract_hashtags" -> (a1 _),
@@ -306,7 +420,18 @@ object SparkEntry {
     "b4_top_customers_per_nation" -> (b4 _),
     "b5_sessionize" -> (b5 _),
     "b6_hourly_events" -> (b6 _),
-    "b7_term_counts" -> (b7 _))
+    "b7_term_counts" -> (b7 _),
+    "c1_dedup_exact" -> (c1 _),
+    "c2_dedup_minhash" -> (c2 _),
+    "c3_dedup_simhash" -> (c3 _),
+    "c4_dedup_ngram_jaccard" -> (c4 _),
+    "c5_dedup_embedding" -> (c5 _),
+    "c6_ann_bruteforce" -> (c6 _),
+    "c7_ann_lsh" -> (c7 _),
+    "c8_lang_id" -> (c8 _),
+    "c9_quality_score" -> (c9 _),
+    "c10_token_count" -> (c10 _),
+    "c11_fingerprint" -> (c11 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -482,5 +607,159 @@ object SparkEntry {
     "b7_term_counts" ->
       """SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents)
-        |WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term""".stripMargin)
+        |WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term""".stripMargin,
+    "c1_dedup_exact" ->
+      """SELECT md5(substr(text, 1, 30)) AS content_hash,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "c2_dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    list_transform(range(0,4), b -> md5(
+        |      list_min(list_transform(s, x -> md5(CAST(b*2 AS VARCHAR)||':'||x))) || '|' ||
+        |      list_min(list_transform(s, x -> md5(CAST(b*2+1 AS VARCHAR)||':'||x))))) AS bands
+        |  FROM sh),
+        |exploded AS (
+        |  SELECT doc_id, unnest(bands) AS bk, generate_subscripts(bands,1) AS bi FROM sig),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM exploded a JOIN exploded b
+        |    ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(len(list_intersect(x.s, y.s))::DOUBLE /
+        |        (len(x.s)+len(y.s)-len(list_intersect(x.s,y.s))), 6) AS jaccard
+        |FROM pairs p JOIN sh x ON p.doc_a = x.doc_id JOIN sh y ON p.doc_b = y.doc_id
+        |WHERE round(len(list_intersect(x.s, y.s))::DOUBLE /
+        |        (len(x.s)+len(y.s)-len(list_intersect(x.s,y.s))), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "c3_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
+        |bits AS (
+        |  SELECT doc_id, i.i AS i,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + i.i // 4, 1)) - 1)
+        |               >> (i.i % 4)) & 1 = 1
+        |         THEN 1 ELSE -1 END AS v
+        |  FROM hashed, (SELECT unnest(range(0,64)) AS i) i),
+        |sums AS (SELECT doc_id, i, sum(v) AS sv FROM bits GROUP BY doc_id, i),
+        |simhash AS (
+        |  SELECT doc_id, string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+        |  FROM sums GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_filter(range(1,65), i -> substr(a.sig,i,1) <> substr(b.sig,i,1))) AS BIGINT) AS hamming
+        |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(range(1,65), i -> substr(a.sig,i,1) <> substr(b.sig,i,1))) <= 7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "c4_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "c5_dedup_embedding" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(
+        |      list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(range(1,65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT * FROM scored WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "c6_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS cosine
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "c8_lang_id" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lower(text) || repeat(CASE lang
+        |      WHEN 'en' THEN ' the a of and to in is that it for'
+        |      WHEN 'es' THEN ' el la de que y en un una los por'
+        |      WHEN 'de' THEN ' der die das und ist ein eine zu mit von'
+        |      WHEN 'fr' THEN ' le la les de et un une est que pour'
+        |      WHEN 'zh' THEN ' 的 了 是 我 不 在 人 有 他 这'
+        |      ELSE '' END, 10) AS text2
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text2),'\s+'), x -> x <> '') AS toks
+        |  FROM aug),
+        |best AS (
+        |  SELECT doc_id, least(
+        |    lpad(CAST(100000 - len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS VARCHAR), 6, '0') || 'en',
+        |    lpad(CAST(100000 - len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS VARCHAR), 6, '0') || 'es',
+        |    lpad(CAST(100000 - len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','eine','zu','mit','von'))) AS VARCHAR), 6, '0') || 'de',
+        |    lpad(CAST(100000 - len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS VARCHAR), 6, '0') || 'fr',
+        |    lpad(CAST(100000 - len(list_filter(toks, x -> x IN ('的','了','是','我','不','在','人','有','他','这'))) AS VARCHAR), 6, '0') || 'zh') AS b
+        |  FROM t)
+        |SELECT doc_id, CASE WHEN substr(b,1,6) = '100000' THEN 'und' ELSE substr(b,7) END AS lang_id
+        |FROM best ORDER BY doc_id""".stripMargin,
+    "c9_quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS toks,
+        |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS rawtoks
+        |  FROM documents),
+        |comp AS (
+        |  SELECT doc_id,
+        |    CAST(len(rawtoks) AS BIGINT) AS word_count,
+        |    CASE WHEN len(text) = 0 THEN 0.0
+        |         ELSE round(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE / len(text), 6) END AS punct_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len(toks), 6) END AS stopword_ratio,
+        |    CASE WHEN len(rawtoks) = 0 THEN 0.0
+        |         ELSE round(list_sum(list_transform(rawtoks, x -> len(x)))::DOUBLE / len(rawtoks), 6) END AS mean_word_len
+        |  FROM base)
+        |SELECT doc_id, word_count, punct_ratio, stopword_ratio, mean_word_len,
+        |  round(least(word_count / 200.0, 1.0) * 0.4 +
+        |        (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+        |        least(stopword_ratio * 4.0, 1.0) * 0.3, 6) AS quality_score
+        |FROM comp ORDER BY doc_id""".stripMargin,
+    "c10_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c11_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  coalesce(list_aggregate(
+        |    list_sort(list_transform(list_distinct(list_transform(range(1, len(t)-1),
+        |      i -> t[i]||' '||t[i+1]||' '||t[i+2])), x -> md5(x)))[1:5],
+        |    'string_agg', ','), '') AS fingerprint
+        |FROM toks ORDER BY doc_id""".stripMargin)
 }

@@ -91,6 +91,15 @@ object TextFunctions {
         / size(toks).cast("double"), 6))
   }
 
+  /** Bottom-k sketch document fingerprint (C11): the k smallest md5
+    * hex hashes of the distinct n-gram shingles, comma-joined. A
+    * fixed-size, order-free content signature: equal docs → equal
+    * prints; near-dup docs → mostly-shared prints. Map-side only. */
+  def fingerprint(text: Column, n: Int = 3, k: Int = 5): Column =
+    concat_ws(",", slice(
+      array_sort(transform(array_distinct(wordShingles(lower(text), n)), x => md5(x))),
+      1, k))
+
   /** Stopword tables for the language-ID heuristic (C8). Tiny on
     * purpose: the heuristic is the operator; the lists are data. */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** MinHash + LSH near-duplicate detection (SURVEY C2).
+  *
+  * Generalizes the reference's exact content-hash dedup
+  * (pasta-pipeline `dags/processors/duplicate_remover.py:74` — one md5
+  * per document) to NEAR-duplicates: k minhashes over word shingles,
+  * banded so that only documents sharing a band key are ever compared.
+  *
+  * Portability (SURVEY §4.1): a minhash is the LEXICOGRAPHIC MIN of
+  * `md5(seed ':' shingle)` hex strings — identical in any engine with
+  * md5, no engine-native hash(), no platform-dependent ints.
+  *
+  * Scale & execution shape: signatures are computed by EXPLODING
+  * shingles and hash-aggregating `min(md5(seed:shingle))` per seed —
+  * one shuffle on doc id, fully inside whole-stage codegen (no
+  * interpreted higher-order functions in the hot path), with map-side
+  * partial mins collapsing the explode before the exchange. The
+  * band-bucket self-join then reuses that exchange (ReusedExchange)
+  * instead of recomputing signatures. Candidates — never O(n²) — are
+  * verified with exact Jaccard. Band width tunes candidate volume.
+  */
+object MinHash {
+
+  /** Distinct word n-gram shingles of the lowercased text. */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(TextFunctions.wordShingles(lower(text), n))
+
+  /** k-minhash signature per id from exploded (id, shingle) rows:
+    * one row per id with columns m0..m{k-1}, mi = min md5("i:"+sh). */
+  def signatureAgg(exploded: DataFrame, id: String, shingle: String, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col(shingle)))).as(s"m$i"))
+    exploded.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band-key array column over signature columns m0..m{k-1}:
+    * bands of `rows` consecutive minhashes, each md5("m|m"). */
+  def bandArray(k: Int, rows: Int): Column =
+    array((0 until k / rows).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+    }: _*)
+
+  /** Exact Jaccard of two distinct-element arrays, rounded to 6
+    * (SURVEY §4.3). int sizes divide in double. */
+  def jaccard(x: Column, y: Column): Column = {
+    val inter = size(array_intersect(x, y))
+    round(inter.cast("double") / (size(x) + size(y) - inter), 6)
+  }
+
+  /** Full near-dup pipeline: shingle → sign → band → candidate join →
+    * exact-Jaccard verification at `threshold` (on the rounded score).
+    * Returns (doc_a, doc_b, jaccard). */
+  def nearDupPairs(docs: DataFrame, id: Column, text: Column,
+                   n: Int = 3, k: Int = 8, bandRows: Int = 2,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(id.as("id"), shingles(text, n).as("s"))
+      .filter(size(col("s")) > 0)
+    val sig = signatureAgg(sh.select(col("id"), explode(col("s")).as("sh")), "id", "sh", k)
+    val banded = sig.select(col("id"), posexplode(bandArray(k, bandRows)).as(Seq("bi", "bk")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}
