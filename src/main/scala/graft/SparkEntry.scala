@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{HtmlFunctions, TextFunctions}
-import graft.operators.{Cleanup, Dedup, Jaccard, MinHash, ModeFilter, Sessionize, SimHash, Similarity, Upsert}
+import graft.operators.{Cleanup, Dedup, Jaccard, MinHash, ModeFilter, Sessionize, Shingles, SimHash, Similarity, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -211,7 +211,7 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+    l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
@@ -390,11 +390,11 @@ object SparkEntry {
       TextFunctions.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
-  /** C11 document fingerprint: bottom-5 sketch of md5'd 3-shingles. */
+  /** C11 document fingerprint: bottom-5 sketch of md5'd 3-shingles,
+    * aggregated from the shared exploded-shingle shuffle. */
   private def c11(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextFunctions.fingerprint(col("text"), 3, 5).as("fingerprint"))
+    Shingles.bottomKFingerprint(t(s, dir, "documents"), col("doc_id"), col("text"), 3, 5)
+      .select(col("id").as("doc_id"), col("fingerprint"))
       .orderBy(col("doc_id"))
 
   /** One entry per implemented operator from SURVEY.md §2. */

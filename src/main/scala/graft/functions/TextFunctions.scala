@@ -25,7 +25,7 @@ object TextFunctions {
   /** Extract regex group 1 matches, lowercased, de-duplicated keeping
     * first occurrence (reference utils.py:20-33 `extract_hashtags`). */
   def extractTags(text: Column, pattern: String = HashtagPattern): Column =
-    array_distinct(transform(regexp_extract_all(text, lit(pattern), lit(1)), lower(_)))
+    array_distinct(regexp_extract_all(lower(text), lit(pattern), lit(1)))
 
   /** Extract whole-match links, strip trailing punctuation, dedup
     * keeping first occurrence (reference utils.py:4-17). */
@@ -75,20 +75,27 @@ object TextFunctions {
       round(size(regexp_extract_all(text, lit("""[^a-zA-Z0-9\s]"""), lit(0)))
         .cast("double") / length(text).cast("double"), 6))
 
+  /** Count of whitespace-delimited tokens equal to one of `words` —
+    * a codegen'd regexp (the lookahead keeps adjacent matches intact)
+    * instead of an interpreted token-filter lambda. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit(words.mkString("(?:^|\\s)(?:", "|", ")(?=\\s|$)")))
+
   /** Ratio of stopword tokens to total tokens, rounded. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(lower(text))
-    val sw = size(filter(toks, t => t.isInCollection(stopwords)))
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(round(sw.cast("double") / size(toks).cast("double"), 6))
+    val total = wordCount(text)
+    when(total === 0, lit(0.0))
+      .otherwise(round(stopwordHits(lower(text), stopwords).cast("double")
+        / total.cast("double"), 6))
   }
 
-  /** Mean token length, rounded. */
+  /** Mean token length, rounded: total non-whitespace chars over the
+    * token count — pure codegen string ops, no per-token lambda. */
   def meanWordLength(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
-        / size(toks).cast("double"), 6))
+    val total = wordCount(text)
+    when(total === 0, lit(0.0)).otherwise(
+      round(length(regexp_replace(text, "\\s+", "")).cast("double")
+        / total.cast("double"), 6))
   }
 
   /** Bottom-k sketch document fingerprint (C11): the k smallest md5
@@ -110,13 +117,14 @@ object TextFunctions {
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "人", "有", "他", "这"))
 
   /** Language-ID: count stopword hits per language over whitespace
-    * tokens; argmax with language-code tie-break; "und" (undetermined)
-    * when no list matches. Pure map-side. */
+    * tokens (codegen'd regexp counts); argmax with language-code
+    * tie-break; "und" (undetermined) when no list matches. Pure
+    * map-side. */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+    val low = lower(text)
     // struct(-hits, lang) lexicographic min == argmax(hits) w/ lang tie-break
     val scored = LangStopwords.map { case (lang, sw) =>
-      struct((-size(filter(toks, t => t.isInCollection(sw)))).as("neg"), lit(lang).as("lang"))
+      struct((-stopwordHits(low, sw)).as("neg"), lit(lang).as("lang"))
     }
     val best = array_min(array(scored: _*))
     when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))

@@ -2,21 +2,24 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.operators.MinHash.{jaccard, shingles}
 
 /** Exact n-gram Jaccard near-duplicate join (SURVEY C4).
   *
   * Unlike MinHash (C2, probabilistic candidates), this is EXACT: every
-  * pair with Jaccard ≥ t is found, via prefix filtering (PPJoin-style,
-  * Xiao et al., WWW'08): order each document's shingles by a global
-  * total order (their md5 hex), index only the first
-  * |s| - ceil(t·|s|) + 1 of them — any pair with J ≥ t must share a
-  * prefix element — then verify candidates with the true Jaccard.
+  * pair with Jaccard ≥ t is found. The inverted-index formulation
+  * computes |A ∩ B| directly: index (shingle-hash → doc), self-join on
+  * the hash, count shared shingles per pair — no shingle-set arrays
+  * are ever shuffled, every operator is a codegen'd join/aggregate.
+  * |A ∪ B| then follows from per-doc set sizes, which travel as one
+  * int per row.
   *
-  * Scale: the inverted-index self-join shuffles on the prefix-shingle
-  * hash only; prefix filtering keeps the candidate set near-linear for
-  * realistic corpora instead of the O(n²) all-pairs join. Verification
-  * joins fetch the two shingle sets by doc id (broadcast when small).
+  * Scale: the only heavy shuffle is the index self-join on the
+  * shingle hash; size-compatibility (J ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t)
+  * prunes pairs in the join itself, and map-side partial counts
+  * collapse the pair stream before the (doc_a, doc_b) exchange. For
+  * heavy-tailed corpora, drop ubiquitous shingles first (their
+  * candidate fan-out is quadratic and they never decide J at
+  * realistic thresholds) — the classic stop-shingle cut.
   */
 object Jaccard {
 
@@ -25,20 +28,23 @@ object Jaccard {
     * jaccard). */
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(id.as("id"), shingles(text, n).as("s"))
-      .filter(size(col("s")) > 0)
-      // global order = md5 of the shingle (portable, skew-free)
-      .withColumn("hs", array_sort(transform(col("s"), x => md5(x))))
-    val prefixLen = (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))) + 1).cast("int")
-    val prefix = sh.select(col("id"), posexplode(slice(col("hs"), lit(1), prefixLen)).as(Seq("p", "h")))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("id").as("doc_a"), col("hs").as("ha")), "doc_a")
-      .join(sh.select(col("id").as("doc_b"), col("hs").as("hb")), "doc_b")
-      .withColumn("jaccard", jaccard(col("ha"), col("hb")))
+    // distinct (id, shingle-hash) index; the dedup and the size count
+    // both ride the exploded shuffle's id-partitioning
+    val index = Shingles.exploded(docs, id, text, n)
+      .select(col("id"), md5(col("sh")).as("h"))
+      .dropDuplicates("id", "h")
+    val sizes = index.groupBy(col("id")).agg(count(lit(1)).cast("int").as("sz"))
+    val indexed = index.join(sizes, "id")
+    val inter = indexed.as("a").join(indexed.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("a.sz") >= lit(threshold) * col("b.sz") &&
+          col("b.sz") >= lit(threshold) * col("a.sz"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).cast("int").as("cnt"))
+    inter
+      .withColumn("jaccard",
+        round(col("cnt").cast("double") / (col("sza") + col("szb") - col("cnt")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

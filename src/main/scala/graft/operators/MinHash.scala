@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
+import graft.plans.ArrayExpressions
 
 /** MinHash + LSH near-duplicate detection (SURVEY C2).
   *
@@ -58,19 +59,21 @@ object MinHash {
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
                    n: Int = 3, k: Int = 8, bandRows: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(id.as("id"), shingles(text, n).as("s"))
-      .filter(size(col("s")) > 0)
-    val sig = signatureAgg(sh.select(col("id"), explode(col("s")).as("sh")), "id", "sh", k)
+    val ex = Shingles.exploded(docs, id, text, n)
+    val sh = Shingles.sets(ex)
+    val sig = signatureAgg(ex, "id", "sh", k)
     val banded = sig.select(col("id"), posexplode(bandArray(k, bandRows)).as(Seq("bi", "bk")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+    val inter = ArrayExpressions.sortedIntersectSize(col("sa"), col("sb"))
     cand
       .join(sh.select(col("id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sh.select(col("id").as("doc_b"), col("s").as("sb")), "doc_b")
-      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .withColumn("jaccard",
+        round(inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.operators.MinHash.shingles
 
 /** SimHash near-duplicate detection (SURVEY C3).
   *
@@ -14,18 +13,21 @@ import graft.operators.MinHash.shingles
   * Portability (SURVEY §4.1): bits come from md5 hex chars — bit i of
   * a signature is bit (i mod 4) of hex char (i div 4), extracted with
   * plain integer arithmetic (ascii offset + floor-div + mod, no
-  * engine-native hash or platform ints). The fingerprint is emitted as
-  * a 64-char '0'/'1' string so any engine compares it identically.
+  * engine-native hash or platform ints). Fingerprints are packed into
+  * a long whose bit pattern equals the 64-char '0'/'1' string an
+  * engine-portable SQL would build (`bitString` renders it).
   *
   * Scale & execution shape: shingles are EXPLODED, hashed once per row
   * (a plain projection, so codegen computes md5 exactly once), then 64
   * per-bit ±1 sums hash-aggregate per doc — one shuffle on doc id,
   * whole-stage codegen throughout, map-side partials collapsing the
   * explode. Pair-finding is banded by the pigeonhole principle: split
-  * 64 bits into `chunks` substrings — any pair with hamming < chunks
-  * must agree exactly on ≥1 chunk — so the only further shuffle is the
+  * 64 bits into `chunks` bytes — any pair with hamming < chunks must
+  * agree exactly on ≥1 chunk — so the only further shuffle is the
   * self-join on (chunk_idx, chunk_value), which reuses the aggregate's
-  * exchange; verification runs only on those candidates, never O(n²).
+  * exchange. Candidates are verified with `bit_count(a XOR b)` — one
+  * codegen'd popcount per pair, never O(n²) pairs and never
+  * interpreted per-bit loops.
   */
 object SimHash {
 
@@ -42,20 +44,26 @@ object SimHash {
     when(pmod(floor(v / lit(1 << (i % 4))), lit(2)) === 1, 1).otherwise(-1)
   }
 
-  /** 64-char '0'/'1' fingerprint per id from exploded (id, shingle)
-    * rows: 64 ±1 sums in one hash aggregate, then sign bits. */
+  /** Bit-packed 64-bit fingerprint per id from exploded (id, shingle)
+    * rows: 64 ±1 sums in one hash aggregate, then sign bits packed
+    * into a long (bit i set ⇔ positional sum i > 0). */
   def fingerprints(exploded: DataFrame, id: String, shingle: String): DataFrame = {
     val hashed = exploded.select(col(id), md5(col(shingle)).as("__h"))
     val aggs = (0 until 64).map(i => sum(bitSign(col("__h"), i)).as(s"b$i"))
+    val packed = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
     hashed.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
-      .select(col(id),
-        concat((0 until 64).map(i => when(col(s"b$i") > 0, lit("1")).otherwise(lit("0"))): _*).as("sig"))
+      .select(col(id), packed.as("sig"))
   }
 
-  /** Hamming distance between two equal-length bit strings. */
-  def hamming(a: Column, b: Column, bits: Int = 64): Column =
-    size(filter(sequence(lit(1), lit(bits)),
-      i => a.substr(i, lit(1)) =!= b.substr(i, lit(1))))
+  /** The 64-char '0'/'1' rendering of a packed fingerprint, bit 0
+    * first — matches the portable-SQL string form. */
+  def bitString(sig: Column): Column =
+    reverse(lpad(bin(sig), 64, "0"))
+
+  /** Codegen'd Hamming distance between two packed fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Near-dup pairs within `maxHamming` (requires maxHamming <
     * chunks for losslessness). Returns (doc_a, doc_b, hamming). */
@@ -64,12 +72,14 @@ object SimHash {
     require(maxHamming < chunks, "pigeonhole: need maxHamming < chunks")
     require(64 % chunks == 0, "chunks must divide 64")
     val width = 64 / chunks
-    val sh = docs.select(id.as("id"), shingles(text, n).as("s"))
-      .filter(size(col("s")) > 0)
-    val sigs = fingerprints(sh.select(col("id"), explode(col("s")).as("sh")), "id", "sh")
+    // distinct shingles per doc: the (id, sh) agg rides the exploded
+    // shuffle's id-partitioning — no extra exchange
+    val ex = Shingles.exploded(docs, id, text, n).dropDuplicates("id", "sh")
+    val sigs = fingerprints(ex, "id", "sh")
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map(c =>
-        substring(col("sig"), c * width + 1, width)): _*)).as(Seq("ci", "cv")))
+        shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))): _*))
+        .as(Seq("ci", "cv")))
     val cand = chunked.as("a").join(chunked.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.id") < col("b.id"))

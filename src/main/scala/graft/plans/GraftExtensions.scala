@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Multiply, Sqrt}
+
+/** SQL-surface registration for graft's native expressions (SURVEY
+  * E3): `graft_dot(a, b)` and `graft_cosine(a, b)` become callable
+  * from `spark.sql(...)`.
+  *
+  * Two entry points:
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  *    build time (the standard extensions mechanism), or
+  *  - `GraftExtensions.register(spark)` imperatively on an existing
+  *    session (what `Tables.load`-based entry points use, since the
+  *    driver owns session construction).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def dotOf(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "expected (array, array)")
+    ArrayDotProduct(args.head, args.last)
+  }
+
+  private def cosineOf(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "expected (array, array)")
+    val Seq(a, b) = args
+    org.apache.spark.sql.catalyst.expressions.Divide(
+      ArrayDotProduct(a, b),
+      Multiply(Sqrt(ArrayDotProduct(a, a)), Sqrt(ArrayDotProduct(b, b))))
+  }
+
+  private[plans] val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      dotOf _),
+    ("graft_cosine",
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_cosine"),
+      cosineOf _))
+
+  /** Idempotently register the graft functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.graft.Bridge.registerFunction(spark, name, info, builder)
+    }
+}
