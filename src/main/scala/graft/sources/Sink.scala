@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Parquet sink helpers (SURVEY E4): the write-side of the scale
+  * design in SURVEY §5.
+  *
+  * - `writePartitioned`: hive-style directory partitioning, so readers
+  *   get PARTITION PRUNING on the partition columns for free (a date
+  *   or date-derived column in almost every pipeline — the reference's
+  *   retention/incremental modes (dag.py:137-148) become directory
+  *   drops/scans instead of full-table filters).
+  * - `writeBucketed`: persistent bucketing on a join/dedup key; two
+  *   tables bucketed the same way join WITHOUT a shuffle, which is the
+  *   difference between hours and minutes for the repeated
+  *   upsert/dedup cycles the reference runs weekly.
+  * - `maxRecordsPerFile` guards against the giant-file long tail.
+  */
+object Sink {
+
+  /** Partitioned parquet write. `maxRecordsPerFile` 0 = unlimited. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite,
+                       maxRecordsPerFile: Long = 0L): Unit =
+    df.write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Derive a date partition column from a timestamp and write
+    * partitioned by it (the standard event-lake layout). */
+  def writeByDate(df: DataFrame, path: String, tsCol: String,
+                  mode: SaveMode = SaveMode.Overwrite): Unit =
+    writePartitioned(df.withColumn("dt", to_date(col(tsCol)).cast("string")),
+      path, Seq("dt"), mode)
+
+  /** Bucketed + sorted managed table (bucketing requires the table
+    * catalog): co-locates rows by `bucketCol` so equi-joins and
+    * per-key dedup on it are exchange-free. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}

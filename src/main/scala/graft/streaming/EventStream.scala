@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch operators (SURVEY D1-D2).
+  *
+  * The reference runs its aggregation/cleanup on a schedule (Airflow
+  * DAGs, pasta-pipeline `dags/pipelines/dag.py`); the streaming-native
+  * re-expression is continuous: `readStream` → the same declarative
+  * transforms → `writeStream`, with event-time watermarks bounding
+  * state.
+  *
+  * Scale: both operators keep state partitioned by their keys (window
+  * × type, user) — the same single-shuffle shape as their batch twins
+  * B6/B5; watermarks let Spark drop state for closed windows/idle
+  * sessions, so state size tracks the ACTIVE keyset, not history.
+  */
+object EventStream {
+
+  /** One event row (matches the `events` table columns used here). */
+  case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+
+  /** A closed (or finally-flushed) session. */
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+                     session_start: Timestamp, session_end: Timestamp)
+
+  /** Per-user state (public: encoder codegen instantiates it). */
+  case class OpenSession(sessionId: Long, startMicros: Long,
+                         lastMicros: Long, n: Long)
+
+  /** D1: watermarked tumbling-window counts/sums per event_type —
+    * streaming twin of B6. Input must have (ts: timestamp,
+    * event_type: string, value: double). Late data beyond
+    * `watermark` is dropped; closed windows emit once (Append). */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** D2: stateful gap sessionization via flatMapGroupsWithState —
+    * streaming twin of B5. Emits a Session whenever a gap >
+    * `gapSeconds` closes one; the open session per user stays in
+    * state (bounded by the active-user count). Batches are sorted
+    * in-group by (ts, event_id) so intra-batch order is total. */
+  def sessions(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    implicit val se = Encoders.product[Session]
+    implicit val so = Encoders.product[OpenSession]
+    implicit val kl = Encoders.scalaLong
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[OpenSession]): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var open = state.getOption
+      val closed = Seq.newBuilder[Session]
+      for (e <- sorted) {
+        val t = e.ts.getTime * 1000L
+        open = open match {
+          case Some(s) if t - s.lastMicros <= gapSeconds * 1000000L =>
+            Some(s.copy(lastMicros = math.max(s.lastMicros, t), n = s.n + 1))
+          case Some(s) =>
+            closed += Session(userId, s.sessionId, s.n,
+              new Timestamp(s.startMicros / 1000L), new Timestamp(s.lastMicros / 1000L))
+            Some(OpenSession(s.sessionId + 1, t, t, 1))
+          case None =>
+            Some(OpenSession(1, t, t, 1))
+        }
+      }
+      open.foreach(state.update)
+      closed.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HtmlFunctions, TextFunctions, VectorFunctions}
+import graft.plans.VectorExpressions
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordCount matches python split semantics") {
+    val df = Seq("a b  c", "  ", "", "one", "x\ty\nz").toDF("t")
+    val got = df.select(TextFunctions.wordCount(col("t"))).as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 0, 1, 3))
+  }
+
+  test("extractTags lowercases and dedups keeping content") {
+    val df = Seq("see #Foo and #BAR then #foo again").toDF("t")
+    val got = df.select(TextFunctions.extractTags(col("t"))).as[Seq[String]].head()
+    assert(got == Seq("foo", "bar"))
+  }
+
+  test("extractLinks strips trailing punctuation") {
+    val df = Seq("go (https://telegra.ph/p-1.) or https://telegra.ph/x-2").toDF("t")
+    val got = df.select(TextFunctions.extractLinks(col("t"))).as[Seq[String]].head()
+    assert(got == Seq("https://telegra.ph/p-1", "https://telegra.ph/x-2"))
+  }
+
+  test("wordShingles builds consecutive n-grams") {
+    val df = Seq("a b c d").toDF("t")
+    val got = df.select(TextFunctions.wordShingles(col("t"), 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("stopwordHits counts adjacent stopword tokens correctly") {
+    val df = Seq("the the a cat", "a", "athe the!", "").toDF("t")
+    val got = df.select(TextFunctions.stopwordHits(col("t"), Seq("the", "a")))
+      .as[Int].collect().toSeq
+    // "athe" is not a token match; "the!" is not either (token != "the")
+    assert(got == Seq(3, 1, 0, 0))
+  }
+
+  test("meanWordLength = non-space chars / tokens") {
+    val df = Seq("ab cdef", "").toDF("t")
+    val got = df.select(TextFunctions.meanWordLength(col("t"))).as[Double].collect().toSeq
+    assert(got == Seq(3.0, 0.0))
+  }
+
+  test("langId picks argmax language with und fallback") {
+    val df = Seq(
+      "the cat of the house is that it",
+      "el que de la casa y un una",
+      "xyzzy plugh").toDF("t")
+    val got = df.select(TextFunctions.langId(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "und"))
+  }
+
+  test("html extraction: h1 precedence, title fallback, meta, time") {
+    val page = """<html><head><title>My Post – Telegraph</title>
+      |<meta property="article:published_time" content="2024-03-01T08:30:00+00:00">
+      |<meta property="twitter:description" content="desc here">
+      |</head><body><h1> Real Title </h1></body></html>""".stripMargin
+    val noH1 = page.replace("<h1> Real Title </h1>", "")
+    val df = Seq(page, noH1).toDF("h")
+    val titles = df.select(HtmlFunctions.extractTitle(col("h"))).as[String].collect().toSeq
+    assert(titles == Seq("Real Title", "My Post"))
+    val desc = df.select(HtmlFunctions.extractMeta(col("h"), "twitter:description"))
+      .as[String].head()
+    assert(desc == "desc here")
+    val ts = df.select(date_format(HtmlFunctions.extractPublishedTime(col("h")),
+      "yyyy-MM-dd HH:mm:ss")).as[String].head()
+    assert(ts == "2024-03-01 08:30:00")
+  }
+
+  test("native dot/cosine matches the HOF reference bit-for-bit") {
+    val vecs = Seq.tabulate(20)(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j * 3).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val both = df.as("a").crossJoin(df.as("b")).select(
+      VectorFunctions.cosine(col("a.v"), col("b.v")).as("hof"),
+      VectorExpressions.cosine(col("a.v"), col("b.v")).as("native"))
+    val rows = both.collect()
+    assert(rows.length == 400)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("graft_cosine / graft_dot usable from SQL after register") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT round(graft_cosine(array(1.0d,0.0d), array(1.0d,0.0d)), 6) c," +
+        " graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) d").head()
+    assert(got.getDouble(0) == 1.0)
+    assert(got.getDouble(1) == 11.0)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Jaccard, MinHash, Shingles, SimHash}
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 clearly-distinct docs + one near-dup of doc 1 (one word
+    * changed) + one exact dup of doc 2. */
+  private def corpus: DataFrame = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (2L, "one two three four five six seven eight nine ten eleven twelve"),
+    (3L, "red green blue yellow purple orange pink brown black white gray cyan"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+    (5L, "one two three four five six seven eight nine ten eleven twelve"))
+    .toDF("doc_id", "text")
+
+  test("MinHash finds the planted near-dup and exact-dup pairs") {
+    val got = MinHash.nearDupPairs(corpus, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L), (2L, 5L)))
+  }
+
+  test("MinHash jaccard values are exact") {
+    val j = MinHash.nearDupPairs(corpus, col("doc_id"), col("text"))
+      .filter(col("doc_a") === 2).select("jaccard").as[Double].head()
+    assert(j == 1.0)
+    val j14 = MinHash.nearDupPairs(corpus, col("doc_id"), col("text"))
+      .filter(col("doc_a") === 1).select("jaccard").as[Double].head()
+    // 10 shingles each, 9 shared → 9/11
+    assert(j14 == math.rint(9.0 / 11.0 * 1e6) / 1e6)
+  }
+
+  test("SimHash: exact dups at hamming 0, near-dup under threshold, rest out") {
+    val got = SimHash.nearDupPairs(corpus, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((2L, 5L)) == 0L)
+    assert(got.contains((1L, 4L)))
+    assert(got.size == 2)
+  }
+
+  test("SimHash bitString renders 64 bits matching the packed long") {
+    val sigs = SimHash.fingerprints(
+      Shingles.exploded(corpus, col("doc_id"), col("text"), 3).dropDuplicates("id", "sh"),
+      "id", "sh")
+    val rendered = sigs.select(col("id"), SimHash.bitString(col("sig")).as("bs"), col("sig"))
+      .as[(Long, String, Long)].collect()
+    rendered.foreach { case (_, bs, sig) =>
+      assert(bs.length == 64)
+      assert(bs == (0 until 64).map(i => if ((sig >>> i & 1L) == 1L) '1' else '0').mkString)
+    }
+  }
+
+  test("Jaccard inverted-index join computes exact scores") {
+    val got = Jaccard.nearDupPairs(corpus, col("doc_id"), col("text"), 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == Set((1L, 4L), (2L, 5L)))
+    assert(got((2L, 5L)) == 1.0)
+    assert(got((1L, 4L)) == math.rint(9.0 / 11.0 * 1e6) / 1e6)
+  }
+
+  test("Jaccard size-compat pruning doesn't lose qualifying pairs") {
+    // identical 12-token docs (J=1) plus a one-shingle doc sharing nothing
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"),
+      (3L, "a b c")).toDF("doc_id", "text")
+    val got = Jaccard.nearDupPairs(df, col("doc_id"), col("text"), 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    // user, event, ts, kind, value
+    (1L, 10L, "2024-01-01 10:00:00", "click", 1.0),
+    (1L, 11L, "2024-01-01 10:10:00", "click", 2.0),
+    (1L, 12L, "2024-01-01 11:30:00", "view", 3.0),
+    (2L, 20L, "2024-01-02 09:00:00", "click", 4.0),
+    (2L, 21L, "2024-01-02 09:00:00", "click", 5.0))
+    .toDF("user_id", "event_id", "ts", "event_type", "value")
+    .withColumn("ts", to_timestamp(col("ts")))
+
+  test("Dedup.keepLatest keeps newest row per key with tie-break") {
+    val got = Dedup.keepLatest(events, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(12L, 21L)) // user2: equal ts → higher event_id wins
+  }
+
+  test("Dedup.keepFirstByHash keeps first and passes null/empty hashes") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, ""), (4L, "")).toDF("id", "h")
+    val got = Dedup.keepFirstByHash(df, when(col("h") =!= "", md5(col("h"))), Seq(col("id")))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L)) // both empty-hash rows kept
+  }
+
+  test("Dedup.exact groups by content hash with min-id winner") {
+    val df = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("id", "t")
+    val got = Dedup.exact(df, Seq(col("t")), col("id"))
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("Upsert.merge: incoming beats existing on version order; mergeWrite idempotent") {
+    val existing = Seq((1L, "a", 1L, 100L), (2L, "b", 1L, 100L)).toDF("k", "v", "ver", "eid")
+    val incoming = Seq((1L, "a2", 2L, 101L)).toDF("k", "v", "ver", "eid")
+    val merged = Upsert.merge(existing, incoming, Seq("k"), Seq(col("ver"), col("eid")))
+    assert(merged.select("k", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b")))
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/t"
+    Upsert.mergeWrite(existing, incoming, Seq("k"), Seq(col("ver"), col("eid")), dir)
+    val after1 = spark.read.parquet(dir).collect().toSet
+    Upsert.mergeWrite(spark.read.parquet(dir), incoming, Seq("k"),
+      Seq(col("ver"), col("eid")), dir + "2")
+    assert(spark.read.parquet(dir + "2").collect().toSet == after1) // re-apply = no-op
+  }
+
+  test("Cleanup.nullifyOrphans nulls refs missing from target") {
+    val refs = Seq((1L, 10L), (2L, 99L)).toDF("id", "ref")
+    val target = Seq(Tuple1(10L)).toDF("key")
+    val got = Cleanup.nullifyOrphans(refs, "ref", target, "key")
+      .orderBy("id").select("ref").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(got.toSeq == Seq(10L, -1L))
+  }
+
+  test("Cleanup.purgeFailed keeps survivors only") {
+    val got = Cleanup.purgeFailed(
+      events.withColumn("event_type",
+        when(col("event_id") === 10, "error").otherwise(col("event_type"))),
+      col("event_type"), Seq("error"), col("value"), 1, col("ts"), "2024-06-01 00:00:00")
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(11L, 12L, 20L, 21L))
+  }
+
+  test("ModeFilter modes select the right windows") {
+    val now = "2024-01-02 00:00:00"
+    assert(ModeFilter(events, col("ts"), "incremental", now, 1).count() == 5)
+    assert(ModeFilter(events, col("ts"), "refresh_old", now, 1).count() == 0)
+    assert(ModeFilter(events, col("ts"), "daily", now, 0).count() == 2)
+    assert(ModeFilter(events, col("ts"), "full", now, 0).count() == 5)
+    intercept[IllegalArgumentException] {
+      ModeFilter(events, col("ts"), "bogus", now, 0)
+    }
+  }
+
+  test("Sessionize splits on gap and summarizes bounds") {
+    val got = Sessionize.summarize(events, col("user_id"), col("ts"), col("event_id"), 1800)
+      .orderBy("key", "session_id")
+      .select(col("key"), col("session_id"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // user1: 10:00+10:10 in one session, 11:30 a new one; user2: both at 09:00
+    assert(got == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L)))
+  }
+
+  test("Shingles.exploded equals the column-level shingle builder") {
+    val docs = Seq((1L, "A b c d"), (2L, "x y"), (3L, "p q r")).toDF("doc_id", "text")
+    val viaRows = Shingles.exploded(docs, col("doc_id"), col("text"), 3)
+      .groupBy("id").agg(sort_array(collect_list("sh")).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaCols = docs.select(col("doc_id"),
+        sort_array(TextFunctions_wordShinglesLower(col("text"), 3)).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+      .filter(_._2.nonEmpty)
+    assert(viaRows == viaCols)
+  }
+
+  private def TextFunctions_wordShinglesLower(t: org.apache.spark.sql.Column, n: Int) =
+    graft.functions.TextFunctions.wordShingles(lower(t), n)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.plans.ArrayExpressions
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic vectors: 0/1 near-identical, 2 orthogonal-ish,
+    * plus noise vectors. */
+  private def vecs: DataFrame = {
+    val base = Array.tabulate(8)(j => math.sin(j * 2.0 + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val rows = Seq((0L, base), (1L, near)) ++
+      (2L until 12L).map(i => (i, Array.tabulate(8)(j => math.cos(i * 31 + j * 7).toFloat)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosinePairs finds the near-identical pair above threshold") {
+    val got = Similarity.cosinePairs(vecs, col("vec_id"), col("embedding"), 0.99)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((0L, 1L)))
+    assert(got.head._3 > 0.999)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break, excludes self") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        col("vec_id"), col("embedding"), 3)
+      .orderBy("rank").select("vec_id", "rank", "cosine")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(got.length == 3)
+    assert(got.head._1 == 1L) // the near-dup is rank 1
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+    assert(!got.map(_._1).contains(0L))
+  }
+
+  test("lshTopK returns bucket-mates with exact scores and no self") {
+    val got = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
+        col("vec_id"), col("embedding"), k = 5, tables = 4, planes = 2, dims = 8)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(!got.map(_._2).contains(0L))
+    // near-identical vectors share every hyperplane side → 1 must be found
+    assert(got.map(_._2).contains(1L))
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        col("vec_id"), col("embedding"), 11)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    got.foreach { case (_, v, c) => assert(brute(v) == c) }
+  }
+
+  test("SortedIntersectSize merges correctly incl. empty and disjoint") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d"), 2),
+      (Seq[String](), Seq("x"), 0),
+      (Seq("a"), Seq("b"), 0),
+      (Seq("a", "b"), Seq("a", "b"), 2)).toDF("x", "y", "want")
+    val got = df.select(ArrayExpressions.sortedIntersectSize(col("x"), col("y")), col("want"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (g, w) => assert(g == w) }
+  }
+}

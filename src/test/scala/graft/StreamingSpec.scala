@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Raw(ts: Timestamp, event_type: String, value: Double)
+
+  test("D1 hourlyCounts: watermark closes windows, append emits once") {
+    val input = MemoryStream[Raw](spark)(Encoders.product[Raw])
+    val q = EventStream.hourlyCounts(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("d1_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Raw(ts("2024-01-01 10:05:00"), "click", 1.0),
+        Raw(ts("2024-01-01 10:50:00"), "click", 2.0),
+        Raw(ts("2024-01-01 10:20:00"), "view", 5.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the 10:00 window
+      input.addData(Raw(ts("2024-01-01 13:00:00"), "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT date_format(hour,'HH:mm') h, event_type, cnt, sum_value " +
+          "FROM d1_out ORDER BY h, event_type").collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ==
+        Seq(("10:00", "click", 2L, 3.0), ("10:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("D2 sessions: gap closes a session, open session stays in state") {
+    implicit val ee = Encoders.product[Event]
+    val input = MemoryStream[Event](spark)(Encoders.product[Event])
+    val q = EventStream.sessions(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("d2_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+        Event(1L, 11L, ts("2024-01-01 10:10:00"), 1.0),
+        Event(2L, 20L, ts("2024-01-01 09:00:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("d2_out").count() == 0) // nothing closed yet
+      input.addData(Event(1L, 12L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, session_id, n_events, " +
+          "date_format(session_start,'HH:mm') s, date_format(session_end,'HH:mm') e " +
+          "FROM d2_out").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSeq ==
+        Seq((1L, 1L, 2L, "10:00", "10:10")))
+    } finally q.stop()
+  }
+}
