@@ -283,6 +283,23 @@ object SparkEntry {
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
 
+  /** A17 reactions-map aggregation (db_loader.py:98 reactions JSONB,
+    * message_scraper.py:38-44 emoji→count maps): a deterministic
+    * two-emoji reaction map is synthesized per event from the props
+    * payload, parsed as map<string,int>, exploded, and aggregated per
+    * emoji. Map-side parse + one shuffle. */
+  private def a17(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val reactions = concat(lit("{\"heart\":"), (k % 3).cast("string"),
+      lit(",\"like\":"), (k % 5).cast("string"), lit("}"))
+    t(s, dir, "events")
+      .select(explode(from_json(reactions,
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))).as(Seq("emoji", "cnt")))
+      .groupBy(col("emoji"))
+      .agg(sum(col("cnt")).cast("long").as("total"), count(lit(1)).as("n_events"))
+      .orderBy(col("emoji"))
+  }
+
   // ================================================================ C
   // LLM-training-data operators.
 
@@ -397,6 +414,43 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** C13 PII/URL scrubbing: deterministic contact info is planted per
+    * doc, then redacted with typed tokens; per-kind counts emitted.
+    * Pure map-side codegen regexps. */
+  private def c13(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" see https://example.com/d/"), col("doc_id"))
+    val (emails, urls, phones) = TextFunctions.piiCounts(planted)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.scrub(planted).as("scrubbed"),
+      emails.cast("long").as("n_emails"),
+      urls.cast("long").as("n_urls"),
+      phones.cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C14 repetition stats (Gopher-style quality rules): fraction of
+    * tokens/2-grams taken by the most frequent one. */
+  private def c14(s: SparkSession, dir: String): DataFrame =
+    Shingles.repetitionStats(t(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("top_token_frac"), col("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+
+  /** C15 text normalization: control-char strip, whitespace collapse,
+    * trim, lowercase — with before/after lengths. */
+  private def c15(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(lit("  "), col("text"), lit("\t\tendhere  "))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.normalize(messy).as("normalized"),
+      length(messy).cast("long").as("n_before"),
+      length(TextFunctions.normalize(messy)).cast("long").as("n_after"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_extract_hashtags" -> (a1 _),
@@ -431,7 +485,11 @@ object SparkEntry {
     "c8_lang_id" -> (c8 _),
     "c9_quality_score" -> (c9 _),
     "c10_token_count" -> (c10 _),
-    "c11_fingerprint" -> (c11 _))
+    "c11_fingerprint" -> (c11 _),
+    "a17_reactions_agg" -> (a17 _),
+    "c13_scrub" -> (c13 _),
+    "c14_repetition" -> (c14 _),
+    "c15_normalize" -> (c15 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -761,5 +819,45 @@ object SparkEntry {
         |    list_sort(list_transform(list_distinct(list_transform(range(1, len(t)-1),
         |      i -> t[i]||' '||t[i+1]||' '||t[i+2])), x -> md5(x)))[1:5],
         |    'string_agg', ','), '') AS fingerprint
-        |FROM toks ORDER BY doc_id""".stripMargin)
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    "a17_reactions_agg" ->
+      """WITH k AS (SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k FROM events),
+        |r AS (SELECT 'heart' AS emoji, k%3 AS cnt FROM k UNION ALL SELECT 'like', k%5 FROM k)
+        |SELECT emoji, CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_events
+        |FROM r GROUP BY emoji ORDER BY emoji""".stripMargin,
+    "c13_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' see https://example.com/d/' || doc_id AS planted
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, planted,
+        |    regexp_replace(planted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+        |  FROM p),
+        |s2 AS (SELECT doc_id, planted, s1, regexp_replace(s1, 'https?://[^\s]+', '<URL>', 'g') AS u FROM s)
+        |SELECT doc_id,
+        |  regexp_replace(u, '\+?\d[\d-]{6,}\d', '<PHONE>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(planted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(s1, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(u, '\+?\d[\d-]{6,}\d')) AS BIGINT) AS n_phones
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "c14_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t FROM documents),
+        |tok1 AS (
+        |  SELECT doc_id, tokval, count(*) c FROM (SELECT doc_id, unnest(t) AS tokval FROM toks) GROUP BY doc_id, tokval),
+        |f1 AS (SELECT doc_id, round(max(c)::DOUBLE/sum(c), 6) AS top_token_frac FROM tok1 GROUP BY doc_id),
+        |big AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1])) AS bg FROM toks),
+        |tok2 AS (SELECT doc_id, bg, count(*) c FROM big GROUP BY doc_id, bg),
+        |f2 AS (SELECT doc_id, round(max(c)::DOUBLE/sum(c), 6) AS top_bigram_frac FROM tok2 GROUP BY doc_id)
+        |SELECT f1.doc_id AS doc_id, top_token_frac, coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM f1 LEFT JOIN f2 ON f1.doc_id = f2.doc_id ORDER BY doc_id""".stripMargin,
+    "c15_normalize" ->
+      """WITH m AS (SELECT doc_id, '  ' || text || chr(9) || chr(9) || 'endhere  ' AS messy FROM documents)
+        |SELECT doc_id,
+        |  lower(trim(regexp_replace(regexp_replace(messy, '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS normalized,
+        |  CAST(len(messy) AS BIGINT) AS n_before,
+        |  CAST(len(lower(trim(regexp_replace(regexp_replace(messy, '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')))) AS BIGINT) AS n_after
+        |FROM m ORDER BY doc_id""".stripMargin)
 }

@@ -26,6 +26,15 @@ object Tables {
     else df
   }
 
+  /** Load any supported lake format with an optional explicit schema
+    * (csv/json need one for stable types; parquet carries its own). */
+  def loadFormat(spark: SparkSession, path: String, format: String,
+                 schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format(format)
+    val withSchema = schema.fold(if (format == "csv") r.option("inferSchema", "true") else r)(r.schema)
+    (if (format == "csv") withSchema.option("header", "true") else withSchema).load(path)
+  }
+
   /** Register every table as a temp view (for spark.sql users). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -107,6 +107,37 @@ object TextFunctions {
       array_sort(transform(array_distinct(wordShingles(lower(text), n)), x => md5(x))),
       1, k))
 
+  /** PII/URL scrubbing patterns (C13) — engine-portable (no
+    * lookaround, plain classes), applied email → url → phone. */
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val AnyUrlPattern = """https?://[^\s]+"""
+  val PhonePattern = """\+?\d[\d-]{6,}\d"""
+
+  /** Redact emails, URLs, and phone-like numbers with typed tokens
+    * (C13). Pure map-side codegen regexps. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        AnyUrlPattern, "<URL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Counts of redactable spans, for filtering decisions. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailPattern)),
+      regexp_count(regexp_replace(text, EmailPattern, "<EMAIL>"), lit(AnyUrlPattern)),
+      regexp_count(
+        regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"), AnyUrlPattern, "<URL>"),
+        lit(PhonePattern)))
+
+  /** Canonical text normalization (C15): strip control chars,
+    * collapse whitespace runs to single spaces, trim, lowercase.
+    * (No unicode NFC — not portably available across engines.) */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, """[\x00-\x1F\x7F]""", " "),
+      """\s+""", " ")))
+
   /** Stopword tables for the language-ID heuristic (C8). Tiny on
     * purpose: the heuristic is the operator; the lists are data. */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(

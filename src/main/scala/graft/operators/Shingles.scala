@@ -24,6 +24,7 @@ object Shingles {
     val toks = df
       .select(id.as("id"), posexplode(split(lower(text), "\\s+")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
+    if (n == 1) return toks.select(col("id"), col("tok").as("sh"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val withLeads = toks.select(
       col("id") +: col("tok") +:
@@ -38,6 +39,23 @@ object Shingles {
     * (the near-dup verifiers merge-scan them natively). */
   def sets(exploded: DataFrame): DataFrame =
     exploded.groupBy(col("id")).agg(sort_array(collect_set(col("sh"))).as("s"))
+
+  /** Repetition statistics per document (SURVEY C14, Gopher-style
+    * quality rules): fraction of tokens taken by the most frequent
+    * token, and of word 2-grams by the most frequent 2-gram. High
+    * values flag degenerate/boilerplate text. Two hash aggregates
+    * riding one id-shuffle each; docs too short for a 2-gram get 0.0. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    def topFrac(grams: DataFrame): DataFrame =
+      grams.groupBy(col("id"), col("sh")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("frac"))
+    val tok = topFrac(exploded(df, id, text, 1)).withColumnRenamed("frac", "top_token_frac")
+    val big = topFrac(exploded(df, id, text, 2)).withColumnRenamed("frac", "top_bigram_frac")
+    tok.join(big, Seq("id"), "left")
+      .select(col("id"), col("top_token_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
 
   /** Bottom-k sketch fingerprint per document (SURVEY C11): the k
     * lexicographically smallest md5 hashes of the distinct shingles,

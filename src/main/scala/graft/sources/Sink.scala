@@ -35,6 +35,17 @@ object Sink {
     writePartitioned(df.withColumn("dt", to_date(col(tsCol)).cast("string")),
       path, Seq("dt"), mode)
 
+  /** CSV export (the reference's scraper output format,
+    * message_scraper.py:120-124): header on, standard quoting. */
+  def writeCsv(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** JSON-lines export (message_scraper.py:127-129). */
+  def writeJson(df: DataFrame, path: String,
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
   /** Bucketed + sorted managed table (bucketing requires the table
     * catalog): co-locates rows by `bucketCol` so equi-joins and
     * per-key dedup on it are exchange-free. */

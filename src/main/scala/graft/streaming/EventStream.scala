@@ -44,6 +44,15 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** D3: streaming exact dedup — the streaming twin of the batch
+    * keyed dedup (A8/C1): keep the first occurrence per key, with
+    * state bounded by the watermark (duplicates are only expected
+    * within the lateness horizon, the reference's re-scrape window).
+    * Input needs an event-time `ts` column. */
+  def dedup(events: DataFrame, keyCols: Seq[String], watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** D2: stateful gap sessionization via flatMapGroupsWithState —
     * streaming twin of B5. Emits a Session whenever a gap >
     * `gapSeconds` closes one; the open session per user stays in

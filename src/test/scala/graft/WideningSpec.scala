@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.functions.TextFunctions
+import graft.operators.{Shingles, Skew}
+import graft.sources.Sink
+import graft.streaming.EventStream
+
+class WideningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C13 scrub redacts emails, urls, phones with typed tokens") {
+    val df = Seq("mail a.b+c@x-corp.io or call +44-20-7946-0958 via https://x.io/a?b=1 end").toDF("t")
+    val got = df.select(TextFunctions.scrub(col("t"))).as[String].head()
+    assert(got == "mail <EMAIL> or call <PHONE> via <URL> end")
+    val (e, u, p) = TextFunctions.piiCounts(col("t"))
+    val counts = df.select(e, u, p).as[(Int, Int, Int)].head()
+    assert(counts == ((1, 1, 1)))
+  }
+
+  test("C15 normalize strips controls, collapses whitespace, lowercases") {
+    val df = Seq("  AB\t\tC   D ").toDF("t")
+    assert(df.select(TextFunctions.normalize(col("t"))).as[String].head() == "a b c d")
+  }
+
+  test("C14 repetitionStats flags degenerate text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),      // top token 4/5
+      (2L, "a b c d e f")).toDF("doc_id", "text")
+    val byId = Shingles.repetitionStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byId(1L)._1 == 0.8)       // 4 of 5 tokens are "spam"
+    assert(byId(1L)._2 == 0.75)      // "spam spam" is 3 of 4 bigrams
+    assert(byId(2L)._1 == math.rint(1.0 / 6.0 * 1e6) / 1e6)
+  }
+
+  test("E5 salted join equals the plain join") {
+    val probe = (1L to 1000L).map(i => (if (i % 10 == 0) "hot" else s"k$i", i)).toDF("key", "id")
+    val build = Seq(("hot", "H"), ("k1", "A"), ("k7", "B")).toDF("key", "tag")
+    val salted = Skew.saltedJoin(probe, build, "key", col("id"), salts = 8)
+    val plain = probe.join(build, "key")
+    assert(salted.count() == plain.count())
+    assert(salted.select("key", "id", "tag").collect().toSet ==
+      plain.select("key", "id", "tag").collect().toSet)
+  }
+
+  test("E6 csv/json sinks round-trip with Tables.loadFormat") {
+    val dir = Files.createTempDirectory("graft-fmt").toString
+    val df = Seq((1L, "a,b \"quoted\"", 1.5), (2L, "plain", -3.0)).toDF("id", "s", "v")
+    Sink.writeCsv(df, s"$dir/csv")
+    Sink.writeJson(df, s"$dir/json")
+    val csvBack = Tables.loadFormat(spark, s"$dir/csv", "csv")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    val jsonBack = Tables.loadFormat(spark, s"$dir/json", "json")
+      .select("id", "s", "v").orderBy("id").as[(Long, String, Double)].collect().toSeq
+    val want = Seq((1L, "a,b \"quoted\"", 1.5), (2L, "plain", -3.0))
+    assert(csvBack == want)
+    assert(jsonBack == want)
+  }
+
+  test("D3 streaming dedup keeps first occurrence within watermark") {
+    val input = MemoryStream[EventStream.Event](spark)(Encoders.product[EventStream.Event])
+    val q = EventStream.dedup(input.toDF(), Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("d3_out")
+      .outputMode(OutputMode.Append).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      input.addData(
+        EventStream.Event(1L, 100L, t("2024-01-01 10:00:00"), 1.0),
+        EventStream.Event(1L, 100L, t("2024-01-01 10:00:05"), 2.0),
+        EventStream.Event(2L, 200L, t("2024-01-01 10:01:00"), 3.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(3L, 100L, t("2024-01-01 10:02:00"), 4.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id, count(*) c FROM d3_out GROUP BY event_id")
+        .as[(Long, Long)].collect().toMap
+      assert(ids == Map(100L -> 1L, 200L -> 1L)) // dup event_id 100 dropped twice
+    } finally q.stop()
+  }
+}
