@@ -370,11 +370,12 @@ object SparkEntry {
   }
 
   /** C8 language ID: stopword-hit argmax with lang-code tie-break
-    * over text augmented with the declared language's stopwords. */
+    * over text augmented with the declared language's stopwords —
+    * the join-based distributed form (token-equality semantics). */
   private def c8(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextFunctions.langId(concat(lower(col("text")), repeat(langSuffix, 10))).as("lang_id"))
+    operators.LangId.detect(t(s, dir, "documents"),
+        col("doc_id"), concat(lower(col("text")), repeat(langSuffix, 10)))
+      .select(col("id").as("doc_id"), col("lang_id"))
       .orderBy(col("doc_id"))
 
   /** C9 quality scoring: length/punct/stopword/word-length components

@@ -40,6 +40,20 @@ class WideningSpec extends SparkSpec {
     assert(byId(2L)._1 == math.rint(1.0 / 6.0 * 1e6) / 1e6)
   }
 
+  test("C8 join-based LangId equals the map-side column function") {
+    val docs = Seq(
+      (1L, "the cat of the house is that it"),
+      (2L, "el que de la casa y un una"),
+      (3L, "xyzzy plugh"),
+      (4L, "der und die ist le la de")).toDF("doc_id", "text")
+    val joined = graft.operators.LangId.detect(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mapped = docs.select(col("doc_id"), TextFunctions.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(joined == mapped)
+    assert(joined(3L) == "und")
+  }
+
   test("E5 salted join equals the plain join") {
     val probe = (1L to 1000L).map(i => (if (i % 10 == 0) "hot" else s"k$i", i)).toDF("key", "id")
     val build = Seq(("hot", "H"), ("k1", "A"), ("k7", "B")).toDF("key", "tag")
