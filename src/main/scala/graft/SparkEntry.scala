@@ -283,6 +283,42 @@ object SparkEntry {
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
 
+  /** B8 EXISTS/semi-join shape (TPC-H Q4 analog): orders in a window
+    * having at least one late-shipped item, counted per priority.
+    * The semi-join carries the non-equi lateness predicate alongside
+    * the key; no duplicate-elimination pass is ever needed. */
+  private def b8(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** B9 correlated-average shape (TPC-H Q17 analog): revenue from
+    * items below 20% of their part's average quantity. The per-part
+    * average aggregates once (decimal-exact) and broadcasts back —
+    * the fact table never shuffles twice. */
+  private def b9(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val lim = l.groupBy(col("l_partkey")).agg(
+      (lit(0.2) * (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)))).as("lim"))
+    val p = t(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(lim), "l_partkey")
+      .filter(col("l_quantity") < col("lim"))
+      .groupBy(col("p_brand"))
+      .agg(round(dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
   /** A17 reactions-map aggregation (db_loader.py:98 reactions JSONB,
     * message_scraper.py:38-44 emoji→count maps): a deterministic
     * two-emoji reaction map is synthesized per event from the props
@@ -487,6 +523,8 @@ object SparkEntry {
     "c9_quality_score" -> (c9 _),
     "c10_token_count" -> (c10 _),
     "c11_fingerprint" -> (c11 _),
+    "b8_priority_semijoin" -> (b8 _),
+    "b9_small_qty_revenue" -> (b9 _),
     "a17_reactions_agg" -> (a17 _),
     "c13_scrub" -> (c13 _),
     "c14_repetition" -> (c14 _),
@@ -821,6 +859,22 @@ object SparkEntry {
         |      i -> t[i]||' '||t[i+1]||' '||t[i+2])), x -> md5(x)))[1:5],
         |    'string_agg', ','), '') AS fingerprint
         |FROM toks ORDER BY doc_id""".stripMargin,
+    "b8_priority_semijoin" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "b9_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey, 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS lim
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN pa USING (l_partkey) JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < lim AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "a17_reactions_agg" ->
       """WITH k AS (SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k FROM events),
         |r AS (SELECT 'heart' AS emoji, k%3 AS cnt FROM k UNION ALL SELECT 'like', k%5 FROM k)
