@@ -25,7 +25,7 @@ class WideningSpec extends SparkSpec {
   }
 
   test("C15 normalize strips controls, collapses whitespace, lowercases") {
-    val df = Seq("  AB\t\tC   D ").toDF("t")
+    val df = Seq("  A\u0001B\t\tC   D\u007f ").toDF("t")
     assert(df.select(TextFunctions.normalize(col("t"))).as[String].head() == "a b c d")
   }
 
