@@ -82,12 +82,28 @@ object SimHash {
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))): _*))
         .as(Seq("ci", "cv")))
-    val cand = chunked.as("a").join(chunked.as("b"),
-        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-          col("a.id") < col("b.id"))
+    // Emit each pair ONLY at its first agreeing chunk instead of
+    // deduplicating afterwards: a pure filter replaces a shuffle over
+    // every chunk collision. "No agreeing chunk below ci" = the XOR
+    // of the fingerprints, with all bytes ≥ ci forced to 0xFF, has no
+    // zero byte — the classic branch-free zero-byte test.
+    val loMask = array((0 until chunks).map(c =>
+      lit(if (c == 0) 0L else (1L << (c * width)) - 1)): _*)
+    val xorLow = {
+      val x = col("a.sig").bitwiseXOR(col("b.sig"))
+      x.bitwiseOR(bitwise_not(element_at(loMask, col("a.ci") + 1)))
+    }
+    val hasZeroByteBelow =
+      (xorLow - lit(0x0101010101010101L)).bitwiseAND(bitwise_not(xorLow))
+        .bitwiseAND(lit(0x8080808080808080L)) =!= 0
+    // (the byte trick needs 8-bit chunks; other widths dedup instead)
+    val base = chunked.as("a").join(chunked.as("b"),
+      col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+        col("a.id") < col("b.id") &&
+        (if (width == 8) !hasZeroByteBelow else lit(true)))
       .select(col("a.id").as("doc_a"), col("a.sig").as("siga"),
         col("b.id").as("doc_b"), col("b.sig").as("sigb"))
-      .distinct()
+    val cand = if (width == 8) base else base.distinct()
     cand.withColumn("hamming", hamming(col("siga"), col("sigb")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
