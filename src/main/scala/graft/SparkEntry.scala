@@ -319,6 +319,23 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
+  /** B10 exact multi-quantile aggregation: interpolated percentiles
+    * of quantity per return flag (the generalization of the
+    * reference's stats dashboard percentiles). Spark's `percentile`
+    * is the exact interpolated definition — identical to DuckDB's
+    * quantile_cont — computed in one aggregate pass. At scale the
+    * approx_percentile sketch is the drop-in for this shape. */
+  private def b10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.9D))").as("q"))
+      .select(col("l_returnflag"),
+        round(element_at(col("q"), 1), 6).as("q25"),
+        round(element_at(col("q"), 2), 6).as("q50"),
+        round(element_at(col("q"), 3), 6).as("q75"),
+        round(element_at(col("q"), 4), 6).as("q90"))
+      .orderBy(col("l_returnflag"))
+
   /** A17 reactions-map aggregation (db_loader.py:98 reactions JSONB,
     * message_scraper.py:38-44 emoji→count maps): a deterministic
     * two-emoji reaction map is synthesized per event from the props
@@ -390,6 +407,16 @@ object SparkEntry {
   private def c7(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** C16 ANN IVF: clustered coarse-quantizer path (rows-only — the
+    * Lloyd means are float-order sensitive, so no portable oracle). */
+  private def c16(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
         col("vec_id"), col("embedding"), k = 5)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("query_id"), col("rank"))
@@ -519,11 +546,13 @@ object SparkEntry {
     "c5_dedup_embedding" -> (c5 _),
     "c6_ann_bruteforce" -> (c6 _),
     "c7_ann_lsh" -> (c7 _),
+    "c16_ann_ivf" -> (c16 _),
     "c8_lang_id" -> (c8 _),
     "c9_quality_score" -> (c9 _),
     "c10_token_count" -> (c10 _),
     "c11_fingerprint" -> (c11 _),
     "b8_priority_semijoin" -> (b8 _),
+    "b10_quantiles" -> (b10 _),
     "b9_small_qty_revenue" -> (b9 _),
     "a17_reactions_agg" -> (a17 _),
     "c13_scrub" -> (c13 _),
@@ -859,6 +888,13 @@ object SparkEntry {
         |      i -> t[i]||' '||t[i+1]||' '||t[i+2])), x -> md5(x)))[1:5],
         |    'string_agg', ','), '') AS fingerprint
         |FROM toks ORDER BY doc_id""".stripMargin,
+    "b10_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS q90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "b8_priority_semijoin" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'

@@ -84,6 +84,67 @@ object Similarity {
       when(VectorExpressions.dot(vec, typedlit(hyperSigns(t, p, dims))) >= 0, "1").otherwise("0")
     }: _*)
 
+  /** IVF (inverted-file) ANN — the clustered scale path beside LSH.
+    *
+    * Coarse quantizer: `k` centroids seeded deterministically from the
+    * `k` lowest-id vectors and refined with `iters` Lloyd iterations,
+    * all in DataFrames: assignment is a broadcast cross of the (tiny)
+    * centroid table scored with the native dot; the update step
+    * explodes vector dims and mean-aggregates per (cell, dim) — one
+    * shuffle per iteration, never a driver-side collect of vectors
+    * (only the k×d centroid matrix ever reaches the driver, which is
+    * exactly the IVF model size).
+    *
+    * Search: score the query against centroids, take the `nprobe`
+    * nearest cells, rank only those cells' vectors by exact rounded
+    * cosine. The cell-restricted join is the only per-query shuffle;
+    * recall tunes with nprobe like any IVF index. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+              k: Int, nCells: Int = 16, nprobe: Int = 4, iters: Int = 2,
+              dims: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+
+    def assign(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .withColumn("d", VectorExpressions.dot(col("v"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("d"), (-col("cell")).as("nc"))).as("b"))
+        .select(col("vec_id"), (-col("b.nc")).as("cell"))
+
+    var cents = v.orderBy(col("vec_id")).limit(nCells)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
+        col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(cents).join(v, "vec_id")
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("cv"))
+      cents = means
+    }
+    val index = assign(cents).join(v, "vec_id")
+
+    val q = queries.select(id.as("query_id"), vec.cast("array<double>").as("qv"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d", VectorExpressions.dot(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", score(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
   /** ANN via L hash tables of `planes`-bit signatures: candidates
     * share a (table, signature) bucket with the query; exact rounded
     * cosine ranks them. Returns (query_id, rank, vec_id, cosine) with

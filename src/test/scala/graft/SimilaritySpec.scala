@@ -50,6 +50,19 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (_, v, c) => assert(brute(v) == c) }
   }
 
+  test("ivfTopK scores match brute force on its candidates; near-dup found with full probe") {
+    val got = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0),
+        col("vec_id"), col("embedding"), k = 5, nCells = 3, nprobe = 3, iters = 2, dims = 8)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(!got.map(_._1).contains(0L))
+    // nprobe = nCells → exhaustive → must equal brute force top-5
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        col("vec_id"), col("embedding"), 5)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    assert(got.toSet == brute.toSet)
+  }
+
   test("SortedIntersectSize merges correctly incl. empty and disjoint") {
     val df = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d"), 2),
