@@ -124,7 +124,10 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("cv"))
-      cents = means
+      // materialize the k×d model between iterations (the ONLY thing
+      // that ever reaches the driver) so plan lineage stays flat —
+      // the same structure MLlib's KMeans uses
+      cents = means.as[(Int, Seq[Double])].collect().toSeq.toDF("cell", "cv")
     }
     val index = assign(cents).join(v, "vec_id")
 
