@@ -41,6 +41,11 @@ object Sink {
                mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
 
+  /** ORC export (the other columnar lake format Spark ships). */
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** JSON-lines export (message_scraper.py:127-129). */
   def writeJson(df: DataFrame, path: String,
                 mode: SaveMode = SaveMode.Overwrite): Unit =

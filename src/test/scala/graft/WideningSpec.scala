@@ -69,6 +69,9 @@ class WideningSpec extends SparkSpec {
     val df = Seq((1L, "a,b \"quoted\"", 1.5), (2L, "plain", -3.0)).toDF("id", "s", "v")
     Sink.writeCsv(df, s"$dir/csv")
     Sink.writeJson(df, s"$dir/json")
+    Sink.writeOrc(df, s"$dir/orc")
+    val orcBack = Tables.loadFormat(spark, s"$dir/orc", "orc")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
     val csvBack = Tables.loadFormat(spark, s"$dir/csv", "csv")
       .orderBy("id").as[(Long, String, Double)].collect().toSeq
     val jsonBack = Tables.loadFormat(spark, s"$dir/json", "json")
@@ -76,6 +79,7 @@ class WideningSpec extends SparkSpec {
     val want = Seq((1L, "a,b \"quoted\"", 1.5), (2L, "plain", -3.0))
     assert(csvBack == want)
     assert(jsonBack == want)
+    assert(orcBack == want)
   }
 
   test("D3 streaming dedup keeps first occurrence within watermark") {
