@@ -156,9 +156,15 @@ object SparkEntry {
       .select(col("event_id"))
       .orderBy(col("event_id"))
 
-  /** A12 retention purge (duplicate_remover.py:199). */
+  /** A12 retention purge (duplicate_remover.py:199). The cutoff is
+    * applied in the RAW nanos domain so it reaches the parquet scan
+    * (PushedFilters) — a filter on the converted timestamp would scan
+    * everything at 100 TB. Equivalence is exact for whole-second
+    * cutoffs (see Tables.tsNanos). */
   private def a12(s: SparkSession, dir: String): DataFrame =
-    Cleanup.retention(t(s, dir, "events"), col("ts"), "2024-01-05 00:00:00")
+    Tables.eventsFromRaw(
+      Cleanup.retention(Tables.loadEventsRaw(s, dir), col("ts"),
+        Tables.tsNanos("2024-01-05 00:00:00")))
       .select(col("event_id"), fmtTs(col("ts")).as("ts"))
       .orderBy(col("event_id"))
 
@@ -172,11 +178,14 @@ object SparkEntry {
   }
 
   /** A14 incremental processing mode (dag.py:56-60): 7-day lookback
-    * window from a reference instant. */
-  private def a14(s: SparkSession, dir: String): DataFrame =
-    ModeFilter(t(s, dir, "events"), col("ts"), "incremental", "2024-01-15 00:00:00", 7)
+    * window from a reference instant, applied raw-side for scan
+    * pushdown (same rationale as A12). */
+  private def a14(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = Tables.tsNanos("2024-01-15 00:00:00") - 7L * 86400L * 1000000000L
+    Tables.loadEventsRaw(s, dir).filter(col("ts") >= cutoff)
       .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("event_type"))
+  }
 
   /** A15 JSON prop handling (db_loader.py:98 reactions JSONB). */
   private def a15(s: SparkSession, dir: String): DataFrame =

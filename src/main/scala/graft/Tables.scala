@@ -26,6 +26,27 @@ object Tables {
     else df
   }
 
+  /** Raw `events` (ts still the parquet nanos long) — for
+    * pushdown-sensitive event-time filters: a predicate on the raw
+    * long column reaches the parquet scan (and prunes row groups /
+    * partitions), which a predicate on the CONVERTED timestamp never
+    * does (it's a computed column to Catalyst). */
+  def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Nanos-since-epoch of a UTC 'yyyy-MM-dd HH:mm:ss' literal —
+    * the raw-domain image of a timestamp cutoff. Exact for whole
+    * seconds, so raw >= tsNanos(c) ⟺ converted ts >= c. */
+  def tsNanos(ts: String): Long =
+    java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+
+  /** Standard shape from raw events: ts truncated to micros. */
+  def eventsFromRaw(df: DataFrame): DataFrame =
+    df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+
   /** Load any supported lake format with an optional explicit schema
     * (csv/json need one for stable types; parquet carries its own). */
   def loadFormat(spark: SparkSession, path: String, format: String,

@@ -33,9 +33,10 @@ object Cleanup {
       retries >= maxRetries && checked < lit(cutoff)))
 
   /** Retention purge (duplicate_remover.py:199): keep rows newer than
-    * the cutoff. Pure filter — pushed down, prunes partitions when the
-    * table is date-partitioned. */
-  def retention(df: DataFrame, ts: Column, cutoff: String): DataFrame =
+    * the cutoff (a timestamp string, or a raw long for nanos-typed
+    * time columns — see Tables.loadEventsRaw). Pure filter — pushed
+    * down, prunes partitions when the table is date-partitioned. */
+  def retention(df: DataFrame, ts: Column, cutoff: Any): DataFrame =
     df.filter(ts >= lit(cutoff))
 
   /** Statistics dashboard (duplicate_remover.py:246-283): total /

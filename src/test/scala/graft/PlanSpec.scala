@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression tests: the scale design of SURVEY §5 as
+  * assertions, so a future change that un-broadcasts a dimension,
+  * loses a pushed filter, or breaks exchange reuse fails CI instead
+  * of surfacing as a 100 TB regression. Runs on sf0.001.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  private def finalPlan(q: String): String = {
+    val df: DataFrame = SparkEntry.queries(q)(spark, dir)
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("b3 star join: all five dimensions broadcast, no sort-merge join") {
+    val p = plan("b3_region_revenue")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p)
+    // region filter is pushed into its parquet scan
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+  }
+
+  test("b1 scan: filter pushed down and columns pruned") {
+    val p = plan("b1_pricing_summary")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p)
+    // projection pruning: untouched lineitem columns never read
+    assert(!p.contains("l_partkey") && !p.contains("l_comment"), p)
+  }
+
+  test("a5 anti-join broadcasts the processed-key side") {
+    val p = plan("a5_link_selection")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GreaterThan(c_acctbal,0.0)"), p)
+  }
+
+  test("c2 minhash: the shingle exchange is computed once and reused") {
+    val p = finalPlan("c2_dedup_minhash")
+    assert(p.contains("ReusedExchange"), p)
+  }
+
+  test("b5 sessionize: exactly one hash exchange (the per-user one)") {
+    val p = plan("b5_sessionize")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("a12/a14 event-time filters are pushed to the scan (raw nanos)") {
+    val p12 = plan("a12_retention")
+    assert(p12.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p12)
+    val p14 = plan("a14_mode_incremental")
+    assert(p14.contains("GreaterThanOrEqual(ts,"), p14)
+  }
+}
