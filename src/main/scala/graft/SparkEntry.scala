@@ -608,8 +608,8 @@ object SparkEntry {
     "a6_content_hash" ->
       """SELECT doc_id,
         |  CASE WHEN text IS NULL OR text = '' THEN '' ELSE md5(text) END AS content_hash,
-        |  CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS word_count
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |       ELSE len(regexp_extract_all(text, '\S+')) END AS BIGINT) AS word_count
         |FROM documents ORDER BY doc_id""".stripMargin,
     "a7_html_extract" ->
       """WITH pages AS (
@@ -883,8 +883,8 @@ object SparkEntry {
         |FROM comp ORDER BY doc_id""".stripMargin,
     "c10_token_count" ->
       """SELECT doc_id,
-        |  CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |       ELSE len(regexp_extract_all(text, '\S+')) END AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c11_fingerprint" ->

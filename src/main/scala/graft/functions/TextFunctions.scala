@@ -39,10 +39,11 @@ object TextFunctions {
     when(text.isNull || text === "", lit("")).otherwise(md5(text))
 
   /** Whitespace word count (reference telegraph_processor.py:142
-    * `len(text.split())` — python split() drops empty strings). */
+    * `len(text.split())` — python split() drops empty strings):
+    * counts \S+ runs, so leading tabs/newlines can't produce a
+    * phantom empty token (property-tested against scala split). */
   def wordCount(text: Column): Column =
-    when(text.isNull || trim(text) === "", lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+    when(text.isNull, lit(0)).otherwise(regexp_count(text, lit("\\S+")))
 
   /** Whitespace tokens (python str.split() semantics: no empties). */
   def tokens(text: Column): Column =

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.TextFunctions
+import graft.plans.{ArrayExpressions, VectorExpressions}
+
+/** Property tests: scalacheck generators drive batches of inputs
+  * through ONE Spark job per property, asserting algebraic laws the
+  * operators must keep (idempotence, agreement with scala-side
+  * reference computations). Deterministic seed. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val messyText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', ' ', '\t', '\n'),
+    1 -> Gen.oneOf('.', ',', '!', '@', '#', '+', '-', '\u0001', '\u007f'),
+    1 -> Gen.oneOf("the", "a", "и", "den").flatMap(w => Gen.const(s" $w ")))
+  ).map(_.mkString)
+
+  test("normalize is idempotent") {
+    val df = samples(messyText, 200).toDF("t")
+    val bad = df.select(TextFunctions.normalize(col("t")).as("n1"))
+      .select(col("n1"), TextFunctions.normalize(col("n1")).as("n2"))
+      .filter(col("n1") =!= col("n2"))
+    assert(bad.count() == 0)
+  }
+
+  test("scrub is idempotent and leaves no raw emails behind") {
+    val withPii = samples(messyText, 100).zipWithIndex.map { case (t, i) =>
+      s"$t u$i@ex.io https://x.io/$i +1-202-555-${1000 + i} $t"
+    }
+    val df = withPii.toDF("t")
+    val s1 = df.select(TextFunctions.scrub(col("t")).as("s1"))
+    val bad = s1.select(col("s1"), TextFunctions.scrub(col("s1")).as("s2"))
+      .filter(col("s1") =!= col("s2") || col("s1").rlike(TextFunctions.EmailPattern))
+    assert(bad.count() == 0)
+  }
+
+  test("wordCount equals the scala-side python-split reference") {
+    val xs = samples(messyText, 200)
+    val want = xs.map(s => s.split("\\s+").count(_.nonEmpty))
+    val got = xs.toDF("t").select(TextFunctions.wordCount(col("t")))
+      .as[Int].collect().toSeq
+    assert(got == want)
+  }
+
+  test("native dot equals a scala-side left fold") {
+    val vg = Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0))
+    val pairs = samples(Gen.zip(vg, vg), 150)
+      .map { case (a, b) => (a.toArray, b.toArray) }
+    val want = pairs.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y } }
+    val got = pairs.toDF("a", "b")
+      .select(VectorExpressions.dot(col("a"), col("b"))).as[Double].collect().toSeq
+    assert(got == want)
+  }
+
+  test("sortedIntersectSize equals set intersection size") {
+    val setG = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+      .map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(setG, setG), 200)
+    val want = pairs.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    val got = pairs.toDF("a", "b")
+      .select(ArrayExpressions.sortedIntersectSize(col("a"), col("b")))
+      .as[Int].collect().toSeq
+    assert(got == want)
+  }
+}
