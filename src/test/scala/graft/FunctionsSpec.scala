@@ -74,6 +74,27 @@ class FunctionsSpec extends SparkSpec {
     assert(ts == "2024-03-01 08:30:00")
   }
 
+  test("charShingles builds sliding character n-grams") {
+    val df = Seq("abcde", "ab").toDF("t")
+    val got = df.select(TextFunctions.charShingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("abc", "bcd", "cde"))
+    assert(got(1).isEmpty)
+  }
+
+  test("fingerprint column variant: bottom-k md5s, '' for short docs") {
+    val df = Seq("a b c d e", "x").toDF("t")
+    val got = df.select(TextFunctions.fingerprint(col("t"), 3, 2)).as[String].collect()
+    assert(got(0).split(",").length == 2)
+    assert(got(0).split(",").toSeq == got(0).split(",").toSeq.sorted)
+    assert(got(1) == "")
+  }
+
+  test("cleanDescription strips the mrakopedia wiki-url prefix") {
+    val df = Seq("https://mrakopedia.net/wiki/Some_Page actual description", "plain").toDF("t")
+    val got = df.select(HtmlFunctions.cleanDescription(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("actual description", "plain"))
+  }
+
   test("native dot/cosine matches the HOF reference bit-for-bit") {
     val vecs = Seq.tabulate(20)(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j * 3).toFloat)))
