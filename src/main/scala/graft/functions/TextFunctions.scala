@@ -53,7 +53,7 @@ object TextFunctions {
     * non-space punctuation each count as one token (a common
     * pre-tokenizer regex, GPT-2 style simplified). */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("""[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"""), lit(0)))
+    regexp_count(text, lit("""[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"""))
 
   /** Word n-gram shingles joined with a space. */
   def wordShingles(text: Column, n: Int): Column = {
@@ -73,7 +73,7 @@ object TextFunctions {
   /** Ratio of punctuation characters to total characters, rounded. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(
-      round(size(regexp_extract_all(text, lit("""[^a-zA-Z0-9\s]"""), lit(0)))
+      round(regexp_count(text, lit("""[^a-zA-Z0-9\s]"""))
         .cast("double") / length(text).cast("double"), 6))
 
   /** Count of whitespace-delimited tokens equal to one of `words` —
