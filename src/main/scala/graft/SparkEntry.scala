@@ -355,6 +355,7 @@ object SparkEntry {
     val reactions = concat(lit("{\"heart\":"), (k % 3).cast("string"),
       lit(",\"like\":"), (k % 5).cast("string"), lit("}"))
     t(s, dir, "events")
+      .filter(k.isNotNull)
       .select(explode(from_json(reactions,
         org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))).as(Seq("emoji", "cnt")))
       .groupBy(col("emoji"))
@@ -572,19 +573,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "a1_extract_hashtags" ->
       """SELECT doc_id,
-        |  list_aggregate(list_sort(list_distinct(
+        |  coalesce(list_aggregate(list_sort(list_distinct(
         |    list_transform(regexp_extract_all('#' || replace(text, ' ', ' #'),
         |                                      '#([a-zA-Zа-яА-Я0-9_]+)', 1),
-        |                   t -> lower(t)))), 'string_agg', ',') AS tags
+        |                   t -> lower(t)))), 'string_agg', ','), '') AS tags
         |FROM documents ORDER BY doc_id""".stripMargin,
     "a2_extract_links" ->
       """SELECT doc_id,
-        |  list_aggregate(list_sort(list_distinct(
+        |  coalesce(list_aggregate(list_sort(list_distinct(
         |    list_transform(
         |      regexp_extract_all('see https://telegra.ph/' || lang || '-' || doc_id ||
         |                         ' and (https://telegra.ph/p-' || source || '.) end',
         |                         'https://telegra\.ph/[^\s\n\])>_*}]+', 0),
-        |      l -> regexp_replace(l, '[.,"''\*_]+$', '')))), 'string_agg', ',') AS links
+        |      l -> regexp_replace(l, '[.,"''\*_]+$', '')))), 'string_agg', ','), '') AS links
         |FROM documents ORDER BY doc_id""".stripMargin,
     "a3_normalize_messages" ->
       """SELECT event_id AS message_id,
@@ -603,7 +604,8 @@ object SparkEntry {
     "a5_link_selection" ->
       """SELECT DISTINCT o_custkey FROM orders
         |WHERE o_orderstatus = 'O'
-        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM customer
+        |                  WHERE c_acctbal > 0 AND c_custkey = orders.o_custkey)
         |ORDER BY o_custkey""".stripMargin,
     "a6_content_hash" ->
       """SELECT doc_id,
@@ -643,7 +645,8 @@ object SparkEntry {
       """SELECT doc_id, md5(substr(text, 1, 30)) AS content_hash
         |FROM (SELECT *, row_number() OVER (PARTITION BY md5(substr(text, 1, 30))
         |                                   ORDER BY doc_id) AS rn
-        |      FROM documents) WHERE rn = 1
+        |      FROM documents)
+        |WHERE md5(substr(text, 1, 30)) IS NULL OR rn = 1
         |ORDER BY doc_id""".stripMargin,
     "a10_orphan_cleanup" ->
       """SELECT o_orderkey,
@@ -921,7 +924,8 @@ object SparkEntry {
         |WHERE l_quantity < lim AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "a17_reactions_agg" ->
-      """WITH k AS (SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k FROM events),
+      """WITH k AS (SELECT k FROM (SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k
+        |             FROM events) WHERE k IS NOT NULL),
         |r AS (SELECT 'heart' AS emoji, k%3 AS cnt FROM k UNION ALL SELECT 'like', k%5 FROM k)
         |SELECT emoji, CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_events
         |FROM r GROUP BY emoji ORDER BY emoji""".stripMargin,

@@ -102,7 +102,10 @@ object TextFunctions {
   /** Bottom-k sketch document fingerprint (C11): the k smallest md5
     * hex hashes of the distinct n-gram shingles, comma-joined. A
     * fixed-size, order-free content signature: equal docs → equal
-    * prints; near-dup docs → mostly-shared prints. Map-side only. */
+    * prints; near-dup docs → mostly-shared prints. Map-side only —
+    * the distributed twin used by query c11 is
+    * `operators.Shingles.bottomKFingerprint`; keep semantics in
+    * lockstep (both emit '' for docs too short to shingle). */
   def fingerprint(text: Column, n: Int = 3, k: Int = 5): Column =
     concat_ws(",", slice(
       array_sort(transform(array_distinct(wordShingles(lower(text), n)), x => md5(x))),

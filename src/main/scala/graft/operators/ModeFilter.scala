@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
 object ModeFilter {
   def apply(df: DataFrame, ts: Column, mode: String, now: String, lookbackDays: Int): DataFrame =
     mode match {
-      case "incremental" => df.filter(ts >= date_sub(lit(now).cast("timestamp"), lookbackDays))
-      case "refresh_old" => df.filter(ts < date_sub(lit(now).cast("timestamp"), lookbackDays))
+      case "incremental" =>
+        df.filter(ts >= lit(now).cast("timestamp") - expr(s"INTERVAL $lookbackDays DAYS"))
+      case "refresh_old" =>
+        df.filter(ts < lit(now).cast("timestamp") - expr(s"INTERVAL $lookbackDays DAYS"))
       case "daily"       => df.filter(to_date(ts) === to_date(lit(now)))
       case "full"        => df
       case other         => throw new IllegalArgumentException(s"unknown mode: $other")

@@ -130,19 +130,22 @@ object Similarity {
       cents = means.as[(Int, Seq[Double])].collect().toSeq.toDF("cell", "cv")
     }
     val index = assign(cents).join(v, "vec_id")
+      .withColumn("vn", VectorExpressions.norm(col("v")))
 
     val q = queries.select(id.as("query_id"), vec.cast("array<double>").as("qv"))
+      .withColumn("qn", VectorExpressions.norm(col("qv")))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("d", VectorExpressions.dot(col("qv"), col("cv")))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell"))))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     index.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", score(col("qv"), col("v")))
+      .withColumn("cosine",
+        round(VectorExpressions.dot(col("qv"), col("v")) / (col("qn") * col("vn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
@@ -154,20 +157,22 @@ object Similarity {
     * rank ≤ k. The bucket join is the only shuffle. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
               k: Int, tables: Int = 4, planes: Int = 6, dims: Int = 64): DataFrame = {
-    def bucketed(df: DataFrame, idName: String, vecName: String) =
+    def bucketed(df: DataFrame, idName: String, vecName: String, nName: String) =
       df.select(id.as(idName), vec.cast("array<double>").as(vecName))
-        .select(col(idName), col(vecName),
+        .withColumn(nName, VectorExpressions.norm(col(vecName)))
+        .select(col(idName), col(vecName), col(nName),
           posexplode(array((0 until tables).map(t =>
             lshSignature(col(vecName), t, planes, dims)): _*)).as(Seq("t", "sig")))
-    val c = bucketed(corpus, "vec_id", "cv")
-    val q = bucketed(queries, "query_id", "qv")
+    val c = bucketed(corpus, "vec_id", "cv", "cn")
+    val q = bucketed(queries, "query_id", "qv", "qn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     c.join(broadcast(q), Seq("t", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("cv"), col("qn"), col("cn"))
       .distinct() // a pair can collide in several tables
-      .withColumn("cosine", score(col("qv"), col("cv")))
+      .withColumn("cosine",
+        round(VectorExpressions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))

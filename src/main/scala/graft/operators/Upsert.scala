@@ -18,10 +18,21 @@ object Upsert {
     Dedup.keepLatest(existing.unionByName(incoming), keys, version)
 
   /** Idempotent batch merge writer (db_loader.py:117 batched upsert):
-    * merges and rewrites the target path. Parquet-atomic per run;
-    * re-running the same batch is a no-op by construction. */
+    * merges and rewrites the target path; re-running the same batch
+    * is a no-op by construction. Safe when `existing` READS the same
+    * path being written: the merge lands in a sibling temp directory
+    * first, then swaps in — Spark refuses (or corrupts) a direct
+    * overwrite of an input path. */
   def mergeWrite(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
-                 version: Seq[Column], path: String): Unit =
+                 version: Seq[Column], path: String): Unit = {
+    val spark = existing.sparkSession
+    val tmp = path + "__staging"
     merge(existing, incoming, keys, version)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(conf)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+  }
 }

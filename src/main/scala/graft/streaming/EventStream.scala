@@ -63,19 +63,26 @@ object EventStream {
     implicit val so = Encoders.product[OpenSession]
     implicit val kl = Encoders.scalaLong
 
+    def toMicros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    def fromMicros(us: Long): Timestamp = {
+      val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[OpenSession]): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
       var open = state.getOption
       val closed = Seq.newBuilder[Session]
       for (e <- sorted) {
-        val t = e.ts.getTime * 1000L
+        val t = toMicros(e.ts)
         open = open match {
           case Some(s) if t - s.lastMicros <= gapSeconds * 1000000L =>
             Some(s.copy(lastMicros = math.max(s.lastMicros, t), n = s.n + 1))
           case Some(s) =>
             closed += Session(userId, s.sessionId, s.n,
-              new Timestamp(s.startMicros / 1000L), new Timestamp(s.lastMicros / 1000L))
+              fromMicros(s.startMicros), fromMicros(s.lastMicros))
             Some(OpenSession(s.sessionId + 1, t, t, 1))
           case None =>
             Some(OpenSession(1, t, t, 1))

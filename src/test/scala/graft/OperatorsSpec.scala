@@ -69,6 +69,15 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set(11L, 12L, 20L, 21L))
   }
 
+  test("ModeFilter incremental honors the instant, not its midnight") {
+    // events at 10:00 and 11:30 on Jan 1; lookback 1 day from Jan 2 10:30
+    val got = ModeFilter(events, col("ts"), "incremental", "2024-01-02 10:30:00", 1)
+      .select("event_id").as[Long].collect().toSet
+    // 10:00 and 10:10 on Jan 1 are OLDER than 1 day before the
+    // instant (the pre-fix midnight truncation wrongly kept them)
+    assert(got == Set(12L, 20L, 21L))
+  }
+
   test("ModeFilter modes select the right windows") {
     val now = "2024-01-02 00:00:00"
     assert(ModeFilter(events, col("ts"), "incremental", now, 1).count() == 5)
