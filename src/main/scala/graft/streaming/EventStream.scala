@@ -53,6 +53,31 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** A click (left side of the D4 attribution join). */
+  case class Click(user_id: Long, click_id: Long, click_ts: Timestamp)
+
+  /** A conversion (right side of the D4 attribution join). */
+  case class Conversion(user_id: Long, conv_id: Long, conv_ts: Timestamp, amount: Double)
+
+  /** D4: stream-stream interval join — the attribution shape: each
+    * conversion matches the same user's clicks in the preceding
+    * `windowSeconds`. Both sides carry watermarks so Spark bounds the
+    * join state: a click can be dropped once the conversion stream's
+    * watermark passes click_ts + window; late rows beyond `watermark`
+    * are dropped. State is partitioned by user — one shuffle per
+    * side, same key discipline as the batch joins. */
+  def attribute(clicks: Dataset[Click], convs: Dataset[Conversion],
+                windowSeconds: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = clicks.toDF().withWatermark("click_ts", watermark)
+    val r = convs.toDF().withWatermark("conv_ts", watermark)
+    l.join(r,
+      l("user_id") === r("user_id") &&
+        r("conv_ts") >= l("click_ts") &&
+        r("conv_ts") <= l("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(l("user_id"), col("click_id"), col("conv_id"),
+        col("click_ts"), col("conv_ts"), col("amount"))
+  }
+
   /** D2: stateful gap sessionization via flatMapGroupsWithState —
     * streaming twin of B5. Emits a Session whenever a gap >
     * `gapSeconds` closes one; the open session per user stays in

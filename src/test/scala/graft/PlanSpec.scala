@@ -53,6 +53,14 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
   }
 
+  test("b8 semi-join and b9 broadcast shapes") {
+    val p8 = plan("b8_priority_semijoin")
+    assert(p8.contains("LeftSemi"), p8)
+    val p9 = plan("b9_small_qty_revenue")
+    assert(p9.contains("BroadcastHashJoin"), p9)
+    assert(!p9.contains("SortMergeJoin"), p9)
+  }
+
   test("a12/a14 event-time filters are pushed to the scan (raw nanos)") {
     val p12 = plan("a12_retention")
     assert(p12.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p12)

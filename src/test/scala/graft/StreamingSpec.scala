@@ -36,6 +36,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D4 attribute: conversions match prior clicks within the window") {
+    import EventStream.{Click, Conversion}
+    val clicks = MemoryStream[Click](spark)(Encoders.product[Click])
+    val convs = MemoryStream[Conversion](spark)(Encoders.product[Conversion])
+    val q = EventStream.attribute(clicks.toDS(), convs.toDS(), windowSeconds = 1800)
+      .writeStream.format("memory").queryName("d4_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Click(1L, 100L, ts("2024-01-01 10:00:00")),
+        Click(1L, 101L, ts("2024-01-01 10:20:00")),
+        Click(2L, 200L, ts("2024-01-01 10:00:00")))
+      convs.addData(
+        Conversion(1L, 900L, ts("2024-01-01 10:30:00"), 9.5), // matches 100 + 101
+        Conversion(2L, 901L, ts("2024-01-01 11:00:00"), 1.0)) // 10:00 click outside 30min
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT click_id, conv_id, amount FROM d4_out ORDER BY click_id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq((100L, 900L, 9.5), (101L, 900L, 9.5)))
+    } finally q.stop()
+  }
+
   test("D2 sessions: gap closes a session, open session stays in state") {
     implicit val ee = Encoders.product[Event]
     val input = MemoryStream[Event](spark)(Encoders.product[Event])
