@@ -34,15 +34,18 @@ object Similarity {
   def score(a: Column, b: Column): Column = round(VectorExpressions.cosine(a, b), 6)
 
   /** (vec_a, vec_b, cosine) for all pairs with rounded cosine ≥ t.
-    * Norms computed once per vector, not per pair. */
+    * Norms computed once per vector, not per pair, and the threshold
+    * is part of the JOIN CONDITION: the nested-loop join evaluates it
+    * on the (zero-copy) joined row and only MATERIALIZES qualifying
+    * pairs — for a selective threshold that removes the dominant
+    * cost, building millions of wide output rows. */
   def cosinePairs(vecs: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
     val v = vecs.select(id.as("id"), vec.cast("array<double>").as("v"))
       .withColumn("nrm", VectorExpressions.norm(col("v")))
-    val pair = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-    pair.withColumn("cosine",
-        round(VectorExpressions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
-      .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("cosine"))
+    val cosine =
+      round(VectorExpressions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id") && cosine >= threshold)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), cosine.as("cosine"))
   }
 
   /** Exact top-k neighbors per query vector (query set should be
