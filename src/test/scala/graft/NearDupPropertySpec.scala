@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Jaccard, MinHash}
+
+/** Generated-corpus properties for the near-dup family: the Spark
+  * operators are checked against a scala-side EXACT reference
+  * (distinct word 3-gram shingle Jaccard, rounded like SURVEY §4.3).
+  *
+  * - Jaccard.nearDupPairs must equal the reference pair set exactly
+  *   (it claims exactness).
+  * - MinHash.nearDupPairs must be SOUND (⊆ reference — candidates are
+  *   probabilistic, but verification is exact) and find the planted
+  *   heavy near-dups (J ≥ 0.9 passes 4 bands of 2 w.p. ~1-1e-5;
+  *   deterministic here since hashes are fixed).
+  */
+class NearDupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+    "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi")
+
+  private def corpus(seed: Long): Seq[(Long, String)] = {
+    val g = Gen.listOfN(30, Gen.oneOf(vocab))
+    val base = (0 until 40).map { i =>
+      val words = g.apply(Gen.Parameters.default, Seed(seed + i)).get
+      (i.toLong, words.mkString(" "))
+    }
+    // plant 5 near-dups: copy doc i, change one word
+    val planted = (0 until 5).map { i =>
+      val src = base(i)._2.split(" ")
+      src(7) = vocab((i + 9) % vocab.size)
+      (100L + i, src.mkString(" "))
+    }
+    base ++ planted
+  }
+
+  private def shingleSet(text: String): Set[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+  }
+
+  private def refPairs(docs: Seq[(Long, String)], t: Double): Map[(Long, Long), Double] = {
+    val sets = docs.map { case (id, s) => id -> shingleSet(s) }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      j = math.rint(inter.toDouble / (sa.size + sb.size - inter) * 1e6) / 1e6
+      if j >= t
+    } yield (a, b) -> j).toMap
+  }
+
+  test("Jaccard.nearDupPairs equals the exact reference on generated corpora") {
+    for (seed <- Seq(7L, 1234L)) {
+      val docs = corpus(seed)
+      val want = refPairs(docs, 0.5)
+      val got = Jaccard.nearDupPairs(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), 3, 0.5)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == want, s"seed=$seed")
+      assert(want.size >= 5, s"planted pairs missing from reference, seed=$seed")
+    }
+  }
+
+  test("MinHash.nearDupPairs is sound and finds the planted heavy near-dups") {
+    for (seed <- Seq(7L, 1234L)) {
+      val docs = corpus(seed)
+      val want = refPairs(docs, 0.5)
+      val got = MinHash.nearDupPairs(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // sound: every returned pair is a true pair with the exact score
+      got.foreach { case (k, j) => assert(want.get(k).contains(j), s"seed=$seed pair=$k") }
+      // complete on the planted heavy pairs (J >= 0.85)
+      val heavy = want.filter(_._2 >= 0.85).keySet
+      assert(heavy.subsetOf(got.keySet), s"seed=$seed missing=${heavy -- got.keySet}")
+    }
+  }
+}
