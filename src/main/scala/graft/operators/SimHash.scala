@@ -38,22 +38,21 @@ object SimHash {
     when(a >= 97, a - 87).otherwise(a - 48)
   }
 
-  /** ±1 sign of bit (k mod 4) of a 0-15 hex value column. */
-  private def bitSign(v: Column, k: Int): Column =
-    when(pmod(floor(v / lit(1 << k)), lit(2)) === 1, 1).otherwise(-1)
-
   /** Bit-packed 64-bit fingerprint per id from exploded (id, shingle)
     * rows: the md5 hex chars are extracted ONCE per row into 16 int
-    * columns (one substring each), then the 64 ±1 sums are pure
-    * integer arithmetic over them — one hash aggregate, sign bits
-    * packed into a long (bit i set ⇔ positional sum i > 0). */
+    * columns (one substring each), then 64 shift-and-mask BIT COUNTS
+    * plus the row count aggregate in one pass — bit i of the
+    * fingerprint is set iff ones > half the shingles, which equals
+    * the classic sum-of-±1 > 0 criterion with half the arithmetic. */
   def fingerprints(exploded: DataFrame, id: String, shingle: String): DataFrame = {
     val hashed = exploded
       .select(col(id), md5(col(shingle)).as("__h"))
       .select(col(id) +: (1 to 16).map(c => hexVal(col("__h"), c).as(s"v$c")): _*)
-    val aggs = (0 until 64).map(i => sum(bitSign(col(s"v${i / 4 + 1}"), i % 4)).as(s"b$i"))
+    val aggs = (0 until 64).map(i =>
+      sum(shiftright(col(s"v${i / 4 + 1}"), i % 4).bitwiseAND(lit(1))).as(s"b$i")) :+
+      count(lit(1)).as("__n")
     val packed = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .map(i => when(col(s"b$i") * 2 > col("__n"), lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     hashed.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
       .select(col(id), packed.as("sig"))
