@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{HtmlFunctions, TextFunctions}
-import graft.operators.{Cleanup, Dedup, Jaccard, MinHash, ModeFilter, Sessionize, Shingles, SimHash, Similarity, Upsert}
+import graft.operators.{Cleanup, Dedup, Jaccard, MinHash, Sessionize, Shingles, SimHash, Similarity, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *

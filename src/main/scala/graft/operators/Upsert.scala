@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
-import org.apache.spark.sql.functions._
 
 /** Keyed upsert — the reference's `INSERT … ON CONFLICT DO UPDATE`
   * (pasta-pipeline `dags/processors/db_loader.py:166-181`) re-expressed
