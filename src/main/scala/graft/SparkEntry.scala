@@ -432,6 +432,21 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C17 deterministic sampling/split: reproducible 25% holdout via
+    * lexicographic md5 threshold (never rand()), plus a 40% stratified
+    * keep for en docs / 10% for the rest — all pure map-side. */
+  private def c17(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val split = operators.Sampling.trainValSplit(docs, col("doc_id"), 0.25)
+    val kept = operators.Sampling.stratified(docs, col("doc_id"),
+      when(col("lang") === "en", "en").otherwise("other"),
+      Map("en" -> 0.4, "other" -> 0.1))
+      .select(col("doc_id"), lit(1L).as("kept"))
+    split.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), coalesce(col("kept"), lit(0L)).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language stopword suffix used to make the language-ID query
     * exercise every branch: each doc gets its declared language's
     * stopwords appended ×10, so the detector must recover `lang`. */
@@ -557,6 +572,7 @@ object SparkEntry {
     "c6_ann_bruteforce" -> (c6 _),
     "c7_ann_lsh" -> (c7 _),
     "c16_ann_ivf" -> (c16 _),
+    "c17_sample_split" -> (c17 _),
     "c8_lang_id" -> (c8 _),
     "c9_quality_score" -> (c9 _),
     "c10_token_count" -> (c10 _),
@@ -923,6 +939,17 @@ object SparkEntry {
         |FROM lineitem JOIN pa USING (l_partkey) JOIN part ON p_partkey = l_partkey
         |WHERE l_quantity < lim AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "c17_sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
+        |       THEN 'val' ELSE 'train' END AS split,
+        |  CAST(CASE
+        |    WHEN lang = 'en'
+        |         AND md5(CAST(doc_id AS VARCHAR)) < '66666666666666666666666666666666' THEN 1
+        |    WHEN lang <> 'en'
+        |         AND md5(CAST(doc_id AS VARCHAR)) < '19999999999999999999999999999999' THEN 1
+        |    ELSE 0 END AS BIGINT) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "a17_reactions_agg" ->
       """WITH k AS (SELECT k FROM (SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k
         |             FROM events) WHERE k IS NOT NULL),

@@ -54,6 +54,21 @@ class WideningSpec extends SparkSpec {
     assert(joined(3L) == "und")
   }
 
+  test("C17 sampling: deterministic, repartition-stable, fraction-accurate") {
+    import graft.operators.Sampling
+    val df = (1L to 4000L).toDF("id")
+    val n1 = Sampling.bernoulli(df, col("id"), 0.25).count()
+    val n2 = Sampling.bernoulli(df.repartition(13), col("id"), 0.25).count()
+    assert(n1 == n2)                       // stable under repartition
+    assert(math.abs(n1 - 1000.0) < 100)    // ~25% of 4000
+    val split = Sampling.trainValSplit(df, col("id"), 0.25)
+    assert(split.filter(col("split") === "val").count() == n1) // same membership rule
+    val strat = Sampling.stratified(df, col("id"),
+      when(col("id") % 2 === 0, "even").otherwise("odd"),
+      Map("even" -> 1.0, "odd" -> 0.0))
+    assert(strat.count() == 2000 && strat.filter(col("id") % 2 === 1).count() == 0)
+  }
+
   test("E5 salted join equals the plain join") {
     val probe = (1L to 1000L).map(i => (if (i % 10 == 0) "hot" else s"k$i", i)).toDF("key", "id")
     val build = Seq(("hot", "H"), ("k1", "A"), ("k7", "B")).toDF("key", "tag")
