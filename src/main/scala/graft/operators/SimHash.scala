@@ -39,21 +39,39 @@ object SimHash {
   }
 
   /** Bit-packed 64-bit fingerprint per id from exploded (id, shingle)
-    * rows: the md5 hex chars are extracted ONCE per row into 16 int
-    * columns (one substring each), then 64 shift-and-mask BIT COUNTS
-    * plus the row count aggregate in one pass — bit i of the
-    * fingerprint is set iff ones > half the shingles, which equals
-    * the classic sum-of-±1 > 0 criterion with half the arithmetic. */
+    * rows.
+    *
+    * The 64 per-bit ONES COUNTS are carried in just 16 aggregate
+    * accumulators: each md5 hex char (4 bits) is spread into a long
+    * with four 16-bit COUNTER LANES (the classic multiply-and-mask
+    * bit spread: v·(1+2¹⁵+2³⁰+2⁴⁵) & 0x0001000100010001 lands bit l
+    * of v in lane l), so one `sum` per hex char accumulates four
+    * counters at once with no inter-lane carries. This quarters both
+    * the aggregation state and the generated code size vs one sum per
+    * bit — the wide form's 65-accumulator HashAggregate was the
+    * dominant (codegen-compile) cost of the whole operator.
+    *
+    * Bit i of the fingerprint is set iff ones·2 > shingles (the
+    * classic sum-of-±1 > 0 criterion), extracted branch-free via the
+    * sign bit of (n − 2·ones).
+    *
+    * Lane bound: 16-bit lanes count up to 65 535 distinct shingles
+    * per document (a ~65k-word document). Beyond that, widen the
+    * lanes to 32 bits (two per long, 32 accumulators) — same
+    * construction, one extra doubling. */
   def fingerprints(exploded: DataFrame, id: String, shingle: String): DataFrame = {
+    val spreadM = (1L << 0) + (1L << 15) + (1L << 30) + (1L << 45)
+    val laneMask = 0x0001000100010001L
     val hashed = exploded
       .select(col(id), md5(col(shingle)).as("__h"))
-      .select(col(id) +: (1 to 16).map(c => hexVal(col("__h"), c).as(s"v$c")): _*)
-    val aggs = (0 until 64).map(i =>
-      sum(shiftright(col(s"v${i / 4 + 1}"), i % 4).bitwiseAND(lit(1))).as(s"b$i")) :+
-      count(lit(1)).as("__n")
-    val packed = (0 until 64)
-      .map(i => when(col(s"b$i") * 2 > col("__n"), lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
+      .select(col(id) +: (1 to 16).map(c =>
+        (hexVal(col("__h"), c) * lit(spreadM)).bitwiseAND(lit(laneMask)).as(s"p$c")): _*)
+    val aggs = (1 to 16).map(c => sum(col(s"p$c")).as(s"s$c")) :+ count(lit(1)).as("__n")
+    val packed = (0 until 64).map { i =>
+      val cnt = shiftrightunsigned(col(s"s${i / 4 + 1}"), (i % 4) * 16)
+        .bitwiseAND(lit(0xFFFFL))
+      shiftleft(shiftright(col("__n") - cnt * 2, 63).bitwiseAND(lit(1L)), i)
+    }.reduce(_ + _)
     hashed.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
       .select(col(id), packed.as("sig"))
   }
@@ -96,7 +114,13 @@ object SimHash {
       (xorLow - lit(0x0101010101010101L)).bitwiseAND(bitwise_not(xorLow))
         .bitwiseAND(lit(0x8080808080808080L)) =!= 0
     // (the byte trick needs 8-bit chunks; other widths dedup instead)
-    val base = chunked.as("a").join(chunked.as("b"),
+    // SHUFFLE_HASH forces both sides through an identical
+    // hashpartitioning(ci, cv) exchange, which AQE collapses into ONE
+    // computed pipeline + a ReusedExchange — a broadcast join would
+    // build the entire fingerprint pipeline a second time for the
+    // build side (2× the scan/shingle/aggregate work AND 2× the
+    // codegen of the wide aggregate).
+    val base = chunked.as("a").hint("shuffle_hash").join(chunked.as("b"),
       col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
         col("a.id") < col("b.id") &&
         (if (width == 8) !hasZeroByteBelow else lit(true)))
