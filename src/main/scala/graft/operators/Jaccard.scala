@@ -2,24 +2,34 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.plans.ArrayExpressions
 
 /** Exact n-gram Jaccard near-duplicate join (SURVEY C4).
   *
   * Unlike MinHash (C2, probabilistic candidates), this is EXACT: every
-  * pair with Jaccard ≥ t is found. The inverted-index formulation
-  * computes |A ∩ B| directly: index (shingle-hash → doc), self-join on
-  * the hash, count shared shingles per pair — no shingle-set arrays
-  * are ever shuffled, every operator is a codegen'd join/aggregate.
-  * |A ∪ B| then follows from per-doc set sizes, which travel as one
-  * int per row.
+  * pair with Jaccard ≥ t is found. Candidate generation uses the
+  * classic exactness-preserving PREFIX FILTER (Chaudhuri et al.
+  * SSJoin / Bayardo AllPairs): with every doc's shingle-hash set
+  * sorted in the global md5 order, only the first
+  * |S| − ⌈t·|S|⌉ + 1 hashes are indexed as candidate generators. For
+  * any pair with J ≥ t the overlap is ≥ ⌈t·|S|⌉ on both sides, so the
+  * two prefixes must share a hash — no qualifying pair is missed,
+  * while the index (and its self-join fan-out) shrinks by
+  * ~(t/(1+t))²·4 vs indexing every shingle. The prefix is SLICED from
+  * the already-sorted set array — no ranking window, no extra pass.
   *
-  * Scale: the only heavy shuffle is the index self-join on the
-  * shingle hash; size-compatibility (J ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t)
-  * prunes pairs in the join itself, and map-side partial counts
-  * collapse the pair stream before the (doc_a, doc_b) exchange. For
-  * heavy-tailed corpora, drop ubiquitous shingles first (their
-  * candidate fan-out is quadratic and they never decide J at
-  * realistic thresholds) — the classic stop-shingle cut.
+  * Verification is a merge-scan |A ∩ B| over the per-doc sorted hash
+  * arrays via the native codegen `SortedIntersectSize` (E2) — one
+  * O(|A|+|B|) pass per candidate, no per-pair set allocation.
+  *
+  * Execution shape: ONE aggregation exchange builds the sorted sets;
+  * the prefix explode is map-side on top of it; the prefix self-join
+  * shuffles only (hash, id, sz) rows and its two sides collapse into
+  * a ReusedExchange; size-compatibility (J ≥ t ⟹ t·|B| ≤ |A| ≤
+  * |B|/t) prunes inside the join condition. The verify joins
+  * broadcast the O(docs) set table — at corpus sizes beyond broadcast
+  * reach, bucket both sides on the id instead (Sink.writeBucketed)
+  * and the joins stay exchange-free.
   */
 object Jaccard {
 
@@ -28,23 +38,29 @@ object Jaccard {
     * jaccard). */
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // distinct (id, shingle-hash) index; the dedup and the size count
-    // both ride the exploded shuffle's id-partitioning
-    val index = Shingles.exploded(docs, id, text, n)
+    // per-doc ASC-sorted distinct hash array + size, in one exchange
+    // (map-side partial collect_set collapses duplicate shingles)
+    val sets = Shingles.exploded(docs, id, text, n)
       .select(col("id"), md5(col("sh")).as("h"))
-      .dropDuplicates("id", "h")
-    val sizes = index.groupBy(col("id")).agg(count(lit(1)).cast("int").as("sz"))
-    val indexed = index.join(sizes, "id")
-    val inter = indexed.as("a").join(indexed.as("b"),
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).as("sz"))
+    // prefix index: first sz − ⌈t·sz⌉ + 1 hashes of the sorted set
+    val plen = (col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+    val prefix = sets.select(col("id"), col("sz"),
+      explode(slice(col("hs"), lit(1), plen)).as("h"))
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("a.sz") >= lit(threshold) * col("b.sz") &&
           col("b.sz") >= lit(threshold) * col("a.sz"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
-      .agg(count(lit(1)).cast("int").as("cnt"))
-    inter
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val inter = ArrayExpressions.sortedIntersectSize(col("ha"), col("hb"))
+    cand
+      .join(broadcast(sets.select(col("id").as("doc_a"), col("hs").as("ha"), col("sz").as("sza"))), "doc_a")
+      .join(broadcast(sets.select(col("id").as("doc_b"), col("hs").as("hb"), col("sz").as("szb"))), "doc_b")
       .withColumn("jaccard",
-        round(col("cnt").cast("double") / (col("sza") + col("szb") - col("cnt")), 6))
+        round(inter.cast("double") / (col("sza") + col("szb") - inter), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
 /** Shared shingle machinery for the near-dup family (C2-C4, C11).
   *
   * `exploded` produces one (id, shingle) row per consecutive word
-  * n-gram WITHOUT higher-order functions: split + posexplode + per-id
-  * window `lead` — everything whole-stage codegen. It costs exactly
-  * one shuffle on id, and every downstream per-id aggregation
-  * (minhash mins, simhash bit sums, collect_set verification sets,
-  * bottom-k fingerprints) reuses that partitioning — Catalyst inserts
-  * no further exchange, and identical branches become ReusedExchange.
+  * n-gram ENTIRELY MAP-SIDE: tokenize into an array, build the n-gram
+  * array with `transform`/`slice` over the token array, explode. The
+  * per-doc lambda is interpreted, but it only runs once per DOCUMENT
+  * (cheap array slicing — no hashing inside), and in exchange the
+  * operator needs NO shuffle at all: the previous formulation
+  * (posexplode tokens → per-id window `lead`) shuffled and SORTED
+  * every token row before producing a single shingle, and its
+  * WindowExec stage was the dominant cold cost of the whole near-dup
+  * family. Downstream per-id aggregations add their own (map-side
+  * partialed) exchange — net one small hash shuffle instead of a
+  * token sort, and identical downstream branches still collapse into
+  * ReusedExchange.
   */
 object Shingles {
 
@@ -21,18 +27,20 @@ object Shingles {
     * Docs with fewer than n tokens produce no rows. NOT deduplicated
     * (min-aggregations don't care; dedup where semantics need it). */
   def exploded(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
-    val toks = df
-      .select(id.as("id"), posexplode(split(lower(text), "\\s+")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-    if (n == 1) return toks.select(col("id"), col("tok").as("sh"))
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val withLeads = toks.select(
-      col("id") +: col("tok") +:
-        (1 until n).map(j => lead(col("tok"), j).over(w).as(s"t$j")): _*)
-    withLeads
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("id"),
-        concat_ws(" ", (col("tok") +: (1 until n).map(j => col(s"t$j"))): _*).as("sh"))
+    // materialize the token array ONCE per row in its own projection:
+    // referencing the split expression directly inside the transform
+    // lambda would re-tokenize the document per SHINGLE (O(tokens ×
+    // shingles) interpreted work — measured 3-4× slower end-to-end)
+    val tokdf = df.select(id.as("id"),
+      filter(split(lower(text), "\\s+"), t => t =!= "").as("toks"))
+    if (n == 1)
+      return tokdf.select(col("id"), explode(col("toks")).as("sh"))
+    // sequence(0, k) DESCENDS for k < 0 — guard short docs explicitly
+    val grams = when(size(col("toks")) >= n,
+      transform(sequence(lit(0), size(col("toks")) - n),
+        i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    tokdf.select(col("id"), explode(grams).as("sh"))
   }
 
   /** Distinct-shingle set per id as an ASCENDING-SORTED array column
