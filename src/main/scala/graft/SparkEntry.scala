@@ -395,10 +395,12 @@ object SparkEntry {
         n = 3, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** C5 embedding-cosine near-dup: all pairs ≥ 0.4 (rounded); norms
-    * precomputed per vector. LSH bucketing (C7) is the 100 TB path. */
+  /** C5 embedding-cosine near-dup: every pair ≥ 0.4 (rounded), via
+    * angular-cell bucketing + exact verify — identical output to the
+    * all-pairs form (the triangle-inequality bound makes candidate
+    * generation complete), with only equi-joins in the plan. */
   private def c5(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairs(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), 0.4)
+    Similarity.cosinePairsBucketed(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
 
   /** C6 ANN brute-force: top-10 cosine neighbors for the broadcast

@@ -37,8 +37,9 @@ object Similarity {
     * Norms computed once per vector, not per pair, and the threshold
     * is part of the JOIN CONDITION: the nested-loop join evaluates it
     * on the (zero-copy) joined row and only MATERIALIZES qualifying
-    * pairs — for a selective threshold that removes the dominant
-    * cost, building millions of wide output rows. */
+    * pairs. This all-pairs form is the EXACTNESS ORACLE (specs diff
+    * `cosinePairsBucketed` against it) — the shipped C5 query runs
+    * the bucketed plan, which never builds the O(n²) loop. */
   def cosinePairs(vecs: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
     val v = vecs.select(id.as("id"), vec.cast("array<double>").as("v"))
       .withColumn("nrm", VectorExpressions.norm(col("v")))
@@ -46,6 +47,97 @@ object Similarity {
       round(VectorExpressions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
     v.as("a").join(v.as("b"), col("a.id") < col("b.id") && cosine >= threshold)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), cosine.as("cosine"))
+  }
+
+  private def clamp1(c: Column): Column = least(greatest(c, lit(-1.0)), lit(1.0))
+
+  /** EXACT threshold-pair dedup without the all-pairs join — the
+    * 100 TB-shaped C5.
+    *
+    * Vectors are clustered into `nCells` angular cells (Lloyd
+    * iterations with cosine assignment, deterministically seeded from
+    * the `nCells` lowest-id vectors). Assignment is PURE MAP-SIDE:
+    * after each (model-sized, k×d — the only thing that ever reaches
+    * the driver) centroid collect, the next assignment embeds the
+    * centroids as plan-time literal arrays and takes the arg-max via
+    * `greatest(struct(cos, -cell))` over k native-codegen dot
+    * products — no join, no nested loop anywhere in the plan.
+    *
+    * Completeness is GEOMETRIC, not probabilistic (unlike LSH): with
+    * r_c = max angle(centroid_c, member) and θmax = acos(t), the
+    * triangle inequality for angular distance gives, for any pair
+    * with angle ≤ θmax living in cells (c₁, c₂):
+    * angle(c₁, c₂) ≤ r₁ + θmax + r₂. Only cell pairs satisfying that
+    * bound (a tiny k² table, broadcast) feed the pair join — an
+    * EQUI-JOIN on the cell id — and every candidate is verified with
+    * the exact rounded cosine in the join condition. Output is
+    * therefore identical to `cosinePairs` regardless of clustering
+    * quality; the cells only decide how much work is pruned. Float
+    * jitter in the Lloyd means can shift candidates, never results.
+    *
+    * Scale: the only heavy exchange is the pair join's shuffle on the
+    * cell id (AQE splits skewed cells); raise `nCells` with corpus
+    * size (≈ √(n/target-cell-size)) to keep within-cell fan-out flat. */
+  def cosinePairsBucketed(vecs: DataFrame, id: Column, vec: Column, threshold: Double,
+                          nCells: Int = 16, iters: Int = 1): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val v = vecs.select(id.as("id"), vec.cast("array<double>").as("v"))
+      .withColumn("nrm", VectorExpressions.norm(col("v")))
+
+    def l2(a: Seq[Double]): Double = math.sqrt(a.map(x => x * x).sum)
+    // map-side arg-max assignment against literal centroids
+    def assigned(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      val best = greatest(cents.map { case (cellId, cv) =>
+        struct(
+          clamp1(VectorExpressions.dot(col("v"), typedlit(cv)) / (col("nrm") * lit(l2(cv))))
+            .as("cos"),
+          lit(-cellId).as("nc"))
+      }: _*)
+      v.select(col("id"), col("v"), col("nrm"), best.as("b"))
+        .select(col("id"), col("v"), col("nrm"),
+          (-col("b.nc")).as("cell"), acos(col("b.cos")).as("ang"))
+    }
+
+    // deterministic seeds: the nCells lowest-id vectors (k×d collect)
+    var cents: Seq[(Long, Seq[Double])] = v.orderBy(col("id")).limit(nCells)
+      .select(col("id"), col("v")).as[(Long, Seq[Double])].collect().toSeq
+    for (_ <- 0 until iters) {
+      cents = assigned(cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("cv"))
+        .as[(Long, Seq[Double])].collect().toSeq
+    }
+
+    val asg = assigned(cents)
+    val radii = asg.groupBy(col("cell")).agg(max(col("ang")).as("r"))
+    // candidate cell pairs: centroid angles are driver-side constants;
+    // 1e-6 slack absorbs double rounding in the triangle bound
+    val thetaMax = math.acos(math.max(-1.0, threshold - 1e-6))
+    val centAngles = (for {
+      (ca, va) <- cents; (cb, vb) <- cents if ca <= cb
+    } yield {
+      val cos = (va, vb).zipped.map(_ * _).sum / (l2(va) * l2(vb))
+      (ca, cb, math.acos(math.max(-1.0, math.min(1.0, cos))))
+    }).toDF("ca", "cb", "cang")
+    val cc = centAngles
+      .join(radii.select(col("cell").as("ca"), col("r").as("ra")), "ca")
+      .join(radii.select(col("cell").as("cb"), col("r").as("rb")), "cb")
+      .filter(col("cang") <= lit(thetaMax) + col("ra") + col("rb") + lit(1e-6))
+      .select(col("ca"), col("cb"))
+
+    val cosine =
+      round(VectorExpressions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+    asg.as("a").join(broadcast(cc), col("a.cell") === col("ca"))
+      .join(asg.as("b"),
+        col("b.cell") === col("cb") &&
+          (col("ca") =!= col("cb") || col("a.id") < col("b.id")) &&
+          cosine >= threshold)
+      .select(least(col("a.id"), col("b.id")).as("vec_a"),
+        greatest(col("a.id"), col("b.id")).as("vec_b"), cosine.as("cosine"))
   }
 
   /** Exact top-k neighbors per query vector (query set should be
@@ -116,9 +208,10 @@ object Similarity {
         .agg(max(struct(col("d"), (-col("cell")).as("nc"))).as("b"))
         .select(col("vec_id"), (-col("b.nc")).as("cell"))
 
+    // seed cells keyed by the vector id itself — contiguity is never
+    // needed, and a rank would force a global single-partition window
     var cents = v.orderBy(col("vec_id")).limit(nCells)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
-        col("v").as("cv"))
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
     for (_ <- 0 until iters) {
       val assigned = assign(cents).join(v, "vec_id")
       val means = assigned
@@ -130,7 +223,7 @@ object Similarity {
       // materialize the k×d model between iterations (the ONLY thing
       // that ever reaches the driver) so plan lineage stays flat —
       // the same structure MLlib's KMeans uses
-      cents = means.as[(Int, Seq[Double])].collect().toSeq.toDF("cell", "cv")
+      cents = means.as[(Long, Seq[Double])].collect().toSeq.toDF("cell", "cv")
     }
     val index = assign(cents).join(v, "vec_id")
       .withColumn("vn", VectorExpressions.norm(col("v")))

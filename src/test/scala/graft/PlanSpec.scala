@@ -61,6 +61,12 @@ class PlanSpec extends SparkSpec {
     assert(!p9.contains("SortMergeJoin"), p9)
   }
 
+  test("c5 bucketed pair dedup: no nested-loop or cartesian join anywhere") {
+    val p = finalPlan("c5_dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("a12/a14 event-time filters are pushed to the scan (raw nanos)") {
     val p12 = plan("a12_retention")
     assert(p12.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p12)

@@ -25,6 +25,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._3 > 0.999)
   }
 
+  test("cosinePairsBucketed equals the all-pairs oracle (several thresholds)") {
+    for (t <- Seq(0.2, 0.5, 0.9)) {
+      val want = Similarity.cosinePairs(vecs, col("vec_id"), col("embedding"), t)
+        .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
+      val got = Similarity.cosinePairsBucketed(vecs, col("vec_id"), col("embedding"), t,
+          nCells = 3, iters = 2)
+        .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"threshold $t")
+    }
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tie-break, excludes self") {
     val got = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
         col("vec_id"), col("embedding"), 3)
