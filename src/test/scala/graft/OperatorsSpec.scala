@@ -52,6 +52,40 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "2").collect().toSet == after1) // re-apply = no-op
   }
 
+  test("Upsert.mergeWritePartitioned touches only affected partition dirs") {
+    val root = Files.createTempDirectory("graft-upsert-part").toString + "/t"
+    val initial = Seq(
+      (1L, "a", 1L, "2024-01-01"), (2L, "b", 1L, "2024-01-01"),
+      (3L, "c", 1L, "2024-01-02"), (4L, "d", 1L, "2024-01-03"))
+      .toDF("k", "v", "ver", "dt")
+    initial.write.partitionBy("dt").parquet(root)
+    def partFiles(p: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$root/dt=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val untouched01 = partFiles("2024-01-01")
+    val untouched03 = partFiles("2024-01-03")
+    // incoming: update k=3 and insert k=5, both in dt=2024-01-02
+    val incoming = Seq((3L, "c2", 2L, "2024-01-02"), (5L, "e", 1L, "2024-01-02"))
+      .toDF("k", "v", "ver", "dt")
+    Upsert.mergeWritePartitioned(incoming, Seq("k"), Seq(col("ver")), root, "dt")
+    // untouched partitions: identical files, not rewritten or renamed
+    assert(partFiles("2024-01-01") == untouched01)
+    assert(partFiles("2024-01-03") == untouched03)
+    val after = spark.read.parquet(root).select("k", "v").as[(Long, String)].collect().toSet
+    assert(after == Set((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d"), (5L, "e")))
+    // idempotent: re-applying the same batch changes nothing
+    Upsert.mergeWritePartitioned(incoming, Seq("k"), Seq(col("ver")), root, "dt")
+    assert(spark.read.parquet(root).select("k", "v").as[(Long, String)].collect().toSet == after)
+    // crash healing: a stray __old leftover with its target missing is restored
+    val fs = new java.io.File(s"$root/dt=2024-01-03")
+    assert(fs.renameTo(new java.io.File(s"$root/dt=2024-01-03__old")))
+    Upsert.mergeWritePartitioned(incoming, Seq("k"), Seq(col("ver")), root, "dt")
+    assert(partFiles("2024-01-03").map(_._1) == untouched03.map(_._1))
+    assert(spark.read.parquet(root).select("k", "v").as[(Long, String)].collect().toSet == after)
+  }
+
   test("Cleanup.nullifyOrphans nulls refs missing from target") {
     val refs = Seq((1L, 10L), (2L, 99L)).toDF("id", "ref")
     val target = Seq(Tuple1(10L)).toDF("key")
