@@ -59,4 +59,32 @@ object Tables {
   /** Register every table as a temp view (for spark.sql users). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  private def jdbcProps(props: Map[String, String]): java.util.Properties = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  /** JDBC source — the reference's persistence layer is a SQL
+    * database read row-at-a-time (pasta-pipeline
+    * `dags/processors/telegraph_processor.py:82-88`); here the same
+    * table arrives as a DataFrame with Catalyst pushing filters and
+    * column pruning into the generated SQL (the scan shows
+    * `PushedFilters`), so only the needed rows/columns cross the
+    * wire. Single connection — for big tables use the partitioned
+    * overload. */
+  def loadJdbc(spark: SparkSession, url: String, table: String,
+               props: Map[String, String] = Map()): DataFrame =
+    spark.read.jdbc(url, table, jdbcProps(props))
+
+  /** Partitioned JDBC read: `numPartitions` parallel range queries on
+    * `partitionCol` (one executor task each, WHERE-clause ranges over
+    * [lower, upper]) — the scale path for ingesting a large table
+    * without funnelling it through one connection. */
+  def loadJdbc(spark: SparkSession, url: String, table: String,
+               partitionCol: String, lower: Long, upper: Long, numPartitions: Int,
+               props: Map[String, String]): DataFrame =
+    spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions,
+      jdbcProps(props))
 }

@@ -51,6 +51,23 @@ object Sink {
                 mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** JDBC sink — the reference's batched upsert loader
+    * (db_loader.py:117-181 collects rows into batches and
+    * execute_values them): each Spark task writes its partition over
+    * one connection in `batchSize`d prepared-statement batches.
+    * INSERT-only (the JDBC datasource has no MERGE) — for the
+    * reference's ON CONFLICT semantics, merge in the lake first
+    * (`Upsert.merge`/`mergeWritePartitioned`) and load the merged
+    * result, or stage into a temp table and MERGE database-side. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: SaveMode = SaveMode.Append, batchSize: Int = 1000,
+                props: Map[String, String] = Map()): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("batchsize", batchSize.toString)
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    df.write.mode(mode).jdbc(url, table, p)
+  }
+
   /** Bucketed + sorted managed table (bucketing requires the table
     * catalog): co-locates rows by `bucketCol` so equi-joins and
     * per-key dedup on it are exchange-free. */
