@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * where consecutive events more than `gapSeconds` apart start a new
   * session. One shuffle on the key; the per-key sort rides the same
   * exchange (no global sort).
+  *
+  * Resolution contract: the gap compares SECOND-FLOORED timestamps
+  * (`unix_timestamp`), the portable form every SQL oracle agrees on.
+  * The streaming twin (`EventStream.sessions`, D2) compares exact
+  * microseconds — events whose spacing straddles the gap only at
+  * sub-second precision can sessionize differently across the twins.
   */
 object Sessionize {
 

@@ -80,10 +80,23 @@ object EventStream {
 
   /** D2: stateful gap sessionization via flatMapGroupsWithState —
     * streaming twin of B5. Emits a Session whenever a gap >
-    * `gapSeconds` closes one; the open session per user stays in
-    * state (bounded by the active-user count). Batches are sorted
-    * in-group by (ts, event_id) so intra-batch order is total. */
-  def sessions(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    * `gapSeconds` closes one; the open session per user lives in
+    * state with an EVENT-TIME TIMEOUT at last-event + gap, so once
+    * the watermark passes the gap with no new events the idle
+    * session is FLUSHED and its state dropped. State size therefore
+    * tracks users active within one gap+watermark horizon — never
+    * all users ever seen (the NoTimeout formulation held every idle
+    * user's open session forever: unbounded state AND lost final
+    * sessions). Batches are sorted in-group by (ts, event_id) so
+    * intra-batch order is total.
+    *
+    * Resolution contract: gaps compare in MICROSECONDS here, while
+    * the batch twin (`Sessionize`, B5) floors to whole seconds to
+    * stay portable with its SQL oracle — events exactly gap±1µs
+    * apart can split differently across the twins on sub-second
+    * data (see Sessionize's scaladoc). */
+  def sessions(events: Dataset[Event], gapSeconds: Long,
+               watermark: String = "1 hour"): Dataset[Session] = {
     implicit val se = Encoders.product[Session]
     implicit val so = Encoders.product[OpenSession]
     implicit val kl = Encoders.scalaLong
@@ -95,8 +108,18 @@ object EventStream {
       t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
       t
     }
+    def asSession(userId: Long, s: OpenSession): Session =
+      Session(userId, s.sessionId, s.n, fromMicros(s.startMicros), fromMicros(s.lastMicros))
+
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        // watermark passed last-event + gap: the open session can
+        // never be extended — flush it and drop the state
+        val flushed = state.getOption.map(asSession(userId, _))
+        state.remove()
+        return flushed.iterator
+      }
       val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
       var open = state.getOption
       val closed = Seq.newBuilder[Session]
@@ -106,18 +129,25 @@ object EventStream {
           case Some(s) if t - s.lastMicros <= gapSeconds * 1000000L =>
             Some(s.copy(lastMicros = math.max(s.lastMicros, t), n = s.n + 1))
           case Some(s) =>
-            closed += Session(userId, s.sessionId, s.n,
-              fromMicros(s.startMicros), fromMicros(s.lastMicros))
+            closed += asSession(userId, s)
             Some(OpenSession(s.sessionId + 1, t, t, 1))
           case None =>
             Some(OpenSession(1, t, t, 1))
         }
       }
-      open.foreach(state.update)
+      open.foreach { s =>
+        state.update(s)
+        // fire once the event-time watermark passes the gap; clamp
+        // above the current watermark (a timeout in the past throws)
+        state.setTimeoutTimestamp(math.max(
+          math.floorDiv(s.lastMicros, 1000L) + gapSeconds * 1000L,
+          state.getCurrentWatermarkMs + 1))
+      }
       closed.result().iterator
     }
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 }

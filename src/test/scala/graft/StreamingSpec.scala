@@ -59,10 +59,10 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("D2 sessions: gap closes a session, open session stays in state") {
+  test("D2 sessions: gap closes a session; idle session flushes on watermark") {
     implicit val ee = Encoders.product[Event]
     val input = MemoryStream[Event](spark)(Encoders.product[Event])
-    val q = EventStream.sessions(input.toDS(), gapSeconds = 1800)
+    val q = EventStream.sessions(input.toDS(), gapSeconds = 1800, watermark = "1 hour")
       .writeStream.format("memory").queryName("d2_out")
       .outputMode(OutputMode.Append).start()
     try {
@@ -77,10 +77,18 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.sql(
         "SELECT user_id, session_id, n_events, " +
           "date_format(session_start,'HH:mm') s, date_format(session_end,'HH:mm') e " +
-          "FROM d2_out").collect()
+          "FROM d2_out ORDER BY user_id").collect()
+      // user 1: the 12:00 event closed the 10:00-10:10 session by gap.
+      // user 2 never sent again: the watermark (driven by other users'
+      // events) passed 09:00 + gap, so the idle open session is
+      // FLUSHED by the event-time timeout instead of living forever.
       assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getString(3), r.getString(4))).toSeq ==
-        Seq((1L, 1L, 2L, "10:00", "10:10")))
+        Seq((1L, 1L, 2L, "10:00", "10:10"), (2L, 1L, 1L, "09:00", "09:00")))
+      // user 1's fresh 12:00 session is still within the horizon → open
+      input.addData(Event(3L, 30L, ts("2024-01-01 12:30:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM d2_out WHERE user_id = 1").count() == 1)
     } finally q.stop()
   }
 }
