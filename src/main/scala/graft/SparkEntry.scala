@@ -168,13 +168,16 @@ object SparkEntry {
       .select(col("event_id"), fmtTs(col("ts")).as("ts"))
       .orderBy(col("event_id"))
 
-  /** A13 statistics dashboard (duplicate_remover.py:246-283). */
+  /** A13 statistics dashboard (duplicate_remover.py:246-283),
+    * including the orphaned-links counter (py:274-278): events whose
+    * JSON link value has no matching document. */
   private def a13(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Cleanup.stats(
       t(s, dir, "events"), col("user_id"), col("props"),
       docs.withColumn("status", when(col("lang") === "en", "success").otherwise(col("lang"))),
-      md5(col("text")), col("status"))
+      md5(col("text")), col("status"),
+      get_json_object(col("props"), "$.k").cast("int"), col("doc_id"))
   }
 
   /** A14 incremental processing mode (dag.py:56-60): 7-day lookback
@@ -344,6 +347,38 @@ object SparkEntry {
         round(element_at(col("q"), 3), 6).as("q75"),
         round(element_at(col("q"), 4), 6).as("q90"))
       .orderBy(col("l_returnflag"))
+
+  /** B11 approx multi-quantile — the documented 100 TB drop-in for
+    * B10's exact `percentile`: one pass, bounded sketch memory per
+    * group, relative error ≤ 1/accuracy. Sketch results are
+    * engine-specific (Spark uses KLL-style quantile summaries), so
+    * this is a rows-only query; WideningSpec bounds the error against
+    * the exact B10 answer instead. */
+  private def b11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.9D), 10000)").as("q"))
+      .select(col("l_returnflag"),
+        round(element_at(col("q"), 1), 6).as("q25"),
+        round(element_at(col("q"), 2), 6).as("q50"),
+        round(element_at(col("q"), 3), 6).as("q75"),
+        round(element_at(col("q"), 4), 6).as("q90"))
+      .orderBy(col("l_returnflag"))
+
+  /** A13b approx statistics dashboard — the HLL twin of A13: the two
+    * exact `countDistinct`s (each a full shuffle of the distinct key
+    * stream at 100 TB) become HyperLogLog++ sketches that merge
+    * map-side in fixed memory (rsd 1%). Sketch estimates are
+    * engine-specific → rows-only; WideningSpec bounds the error. */
+  private def a13b(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "events").agg(
+      count(lit(1)).as("total_messages"),
+      approx_count_distinct(col("user_id"), 0.01).as("unique_messages_approx"))
+    val c = t(s, dir, "documents").agg(
+      count(lit(1)).as("total_content"),
+      approx_count_distinct(md5(col("text")), 0.01).as("unique_content_approx"))
+    m.crossJoin(c)
+  }
 
   /** A17 reactions-map aggregation (db_loader.py:98 reactions JSONB,
     * message_scraper.py:38-44 emoji→count maps): a deterministic
@@ -581,6 +616,8 @@ object SparkEntry {
     "c11_fingerprint" -> (c11 _),
     "b8_priority_semijoin" -> (b8 _),
     "b10_quantiles" -> (b10 _),
+    "b11_quantiles_approx" -> (b11 _),
+    "a13b_stats_approx" -> (a13b _),
     "b9_small_qty_revenue" -> (b9 _),
     "a17_reactions_agg" -> (a17 _),
     "c13_scrub" -> (c13 _),
@@ -688,7 +725,11 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS total_content,
         |  CAST((SELECT count(DISTINCT md5(text)) FROM documents) AS BIGINT) AS unique_content,
         |  CAST((SELECT count(*) FROM documents WHERE lang = 'en') AS BIGINT) AS successful_content,
-        |  CAST((SELECT count(*) FROM documents WHERE lang <> 'en') AS BIGINT) AS failed_content""".stripMargin,
+        |  CAST((SELECT count(*) FROM documents WHERE lang <> 'en') AS BIGINT) AS failed_content,
+        |  CAST((SELECT count(*) FROM events
+        |        WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+        |          AND CAST(json_extract_string(props, '$.k') AS INT) NOT IN
+        |              (SELECT doc_id FROM documents)) AS BIGINT) AS orphaned_links""".stripMargin,
     "a14_mode_incremental" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 7 DAY

@@ -40,9 +40,14 @@ object Cleanup {
     df.filter(ts >= lit(cutoff))
 
   /** Statistics dashboard (duplicate_remover.py:246-283): total /
-    * distinct / conditional counts in one pass per table. */
+    * distinct / conditional counts in one pass per table, plus the
+    * orphaned-link counter (duplicate_remover.py:274-278 — messages
+    * whose link has no content row) as an anti-join count against the
+    * distinct content keys. Three single-row aggregates cross-joined;
+    * the anti-join broadcasts the key set when small. */
   def stats(messages: DataFrame, msgKey: Column, msgRef: Column,
-            content: DataFrame, contentHash: Column, contentStatus: Column): DataFrame = {
+            content: DataFrame, contentHash: Column, contentStatus: Column,
+            msgLink: Column, contentKey: Column): DataFrame = {
     val m = messages.agg(
       count(lit(1)).as("total_messages"),
       countDistinct(msgKey).as("unique_messages"),
@@ -52,6 +57,10 @@ object Cleanup {
       countDistinct(contentHash).as("unique_content"),
       count(when(contentStatus === "success", 1)).as("successful_content"),
       count(when(contentStatus =!= "success", 1)).as("failed_content"))
-    m.crossJoin(c)
+    val o = messages.select(msgLink.as("__l")).filter(col("__l").isNotNull)
+      .join(content.select(contentKey.as("__k")).distinct(),
+        col("__l") === col("__k"), "left_anti")
+      .agg(count(lit(1)).as("orphaned_links"))
+    m.crossJoin(c).crossJoin(o)
   }
 }

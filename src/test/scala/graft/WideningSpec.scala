@@ -69,6 +69,27 @@ class WideningSpec extends SparkSpec {
     assert(strat.count() == 2000 && strat.filter(col("id") % 2 === 1).count() == 0)
   }
 
+  test("B11/A13b approx sketches track their exact twins within tolerance") {
+    val dir = "/root/testdata/sf0.001"
+    // approx_percentile with accuracy 10000 is EXACT below 10k rows
+    // per group at this sf — but assert a tolerance, not equality,
+    // to pin the contract rather than the corpus size
+    val exactQ = SparkEntry.queries("b10_quantiles")(spark, dir)
+      .select("l_returnflag", "q50").as[(String, Double)].collect().toMap
+    val approxQ = SparkEntry.queries("b11_quantiles_approx")(spark, dir)
+      .select("l_returnflag", "q50").as[(String, Double)].collect().toMap
+    assert(exactQ.keySet == approxQ.keySet)
+    exactQ.foreach { case (k, v) =>
+      assert(math.abs(approxQ(k) - v) <= math.max(1.0, 0.05 * math.abs(v)), s"q50($k)") }
+    // HLL++ at rsd 1% — allow 5% (5 sigma) against the exact counts
+    val exact = SparkEntry.queries("a13_cleanup_stats")(spark, dir)
+      .select("unique_messages", "unique_content").as[(Long, Long)].head()
+    val approx = SparkEntry.queries("a13b_stats_approx")(spark, dir)
+      .select("unique_messages_approx", "unique_content_approx").as[(Long, Long)].head()
+    assert(math.abs(approx._1 - exact._1) <= math.max(2.0, 0.05 * exact._1), s"$approx vs $exact")
+    assert(math.abs(approx._2 - exact._2) <= math.max(2.0, 0.05 * exact._2), s"$approx vs $exact")
+  }
+
   test("E5 salted join equals the plain join") {
     val probe = (1L to 1000L).map(i => (if (i % 10 == 0) "hot" else s"k$i", i)).toDF("key", "id")
     val build = Seq(("hot", "H"), ("k1", "A"), ("k7", "B")).toDF("key", "tag")
