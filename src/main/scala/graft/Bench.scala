@@ -21,13 +21,18 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: computes every output column (count() would let
       // Catalyst prune the projections) without any write cost.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A query that THROWS records the -1.0 sentinel — a broken
+      // query must never masquerade as a fast one.
+      name -> (try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0
+      })
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

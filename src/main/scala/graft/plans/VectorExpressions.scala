@@ -31,6 +31,12 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // a LENGTH MISMATCH yields null even when both children are
+  // non-nullable — without this override the generated
+  // `isNull = true` would assign to a constant `false` under
+  // whole-stage codegen (a Java compile error → interpreted fallback)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
