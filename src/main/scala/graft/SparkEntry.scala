@@ -380,6 +380,41 @@ object SparkEntry {
     m.crossJoin(c)
   }
 
+  /** B12 as-of join: each click gets the user's newest purchase at or
+    * before it — union + one per-user window, never a range-exploded
+    * pair join (see operators.AsOf). (user_id, ts) is unique in the
+    * events table, so the match is total-order deterministic. */
+  private def b12(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purch_id"), col("value"), col("ts"))
+    operators.AsOf.join(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("purch_id", "value"))
+      .select(col("user_id"), col("event_id").as("click_id"), fmtTs(col("ts")).as("ts"),
+        col("purch_id"), col("value").as("purch_value"))
+      .orderBy(col("click_id"))
+  }
+
+  /** B13 keyless interval join: events within the 10 minutes before
+    * each error, bucketed into an equi-join (see operators.RangeJoin)
+    * instead of Spark's nested-loop fallback; zero-match errors kept
+    * via the left join back. */
+  private def b13(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts"))
+    val near = operators.RangeJoin.intervalJoin(
+        errors, col("ts"),
+        e.select(col("event_id").as("rid"), col("ts").as("rts")), col("rts"),
+        -600L, 0L)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("cnt"))
+    errors.join(near, Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(col("event_id"))
+  }
+
   /** A17 reactions-map aggregation (db_loader.py:98 reactions JSONB,
     * message_scraper.py:38-44 emoji→count maps): a deterministic
     * two-emoji reaction map is synthesized per event from the props
@@ -618,6 +653,8 @@ object SparkEntry {
     "b10_quantiles" -> (b10 _),
     "b11_quantiles_approx" -> (b11 _),
     "a13b_stats_approx" -> (a13b _),
+    "b12_asof_join" -> (b12 _),
+    "b13_interval_join" -> (b13 _),
     "b9_small_qty_revenue" -> (b9 _),
     "a17_reactions_agg" -> (a17 _),
     "c13_scrub" -> (c13 _),
@@ -993,6 +1030,20 @@ object SparkEntry {
         |         AND md5(CAST(doc_id AS VARCHAR)) < '19999999999999999999999999999999' THEN 1
         |    ELSE 0 END AS BIGINT) AS kept
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "b12_asof_join" ->
+      """SELECT l.user_id, l.event_id AS click_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  r.event_id AS purch_id, r.value AS purch_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY click_id""".stripMargin,
+    "b13_interval_join" ->
+      """SELECT l.event_id, CAST(count(r.event_id) AS BIGINT) AS cnt
+        |FROM (SELECT * FROM events WHERE event_type = 'error') l
+        |LEFT JOIN events r
+        |  ON r.ts >= l.ts - INTERVAL 10 MINUTE AND r.ts <= l.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a17_reactions_agg" ->
       """WITH k AS (SELECT k FROM (SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k
         |             FROM events) WHERE k IS NOT NULL),

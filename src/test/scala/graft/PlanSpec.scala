@@ -67,6 +67,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("b12/b13: time joins are window/equi plans, never nested loops") {
+    val p12 = plan("b12_asof_join")
+    assert(!p12.contains("Join"), p12) // pure union + window, no join at all
+    assert(p12.contains("Window"), p12)
+    val p13 = finalPlan("b13_interval_join")
+    assert(!p13.contains("BroadcastNestedLoopJoin"), p13)
+    assert(!p13.contains("CartesianProduct"), p13)
+  }
+
   test("a12/a14 event-time filters are pushed to the scan (raw nanos)") {
     val p12 = plan("a12_retention")
     assert(p12.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p12)
