@@ -182,13 +182,12 @@ object SparkEntry {
 
   /** A14 incremental processing mode (dag.py:56-60): 7-day lookback
     * window from a reference instant, applied raw-side for scan
-    * pushdown (same rationale as A12). */
-  private def a14(s: SparkSession, dir: String): DataFrame = {
-    val cutoff = Tables.tsNanos("2024-01-15 00:00:00") - 7L * 86400L * 1000000000L
-    Tables.loadEventsRaw(s, dir).filter(col("ts") >= cutoff)
+    * pushdown (same rationale as A12) via ModeFilter.applyRaw. */
+  private def a14(s: SparkSession, dir: String): DataFrame =
+    operators.ModeFilter.applyRaw(Tables.loadEventsRaw(s, dir), col("ts"),
+        "incremental", Tables.tsNanos("2024-01-15 00:00:00"), 7)
       .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("event_type"))
-  }
 
   /** A15 JSON prop handling (db_loader.py:98 reactions JSONB). */
   private def a15(s: SparkSession, dir: String): DataFrame =
@@ -413,6 +412,59 @@ object SparkEntry {
     errors.join(near, Seq("event_id"), "left")
       .select(col("event_id"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .orderBy(col("event_id"))
+  }
+
+  /** B14 rolling time-range window: per-user count + exact decimal
+    * sum over the trailing hour (RANGE frame on second-floored epoch
+    * — the portable frame both engines define identically). One
+    * shuffle on user_id; the frame rides the per-key sort. */
+  private def b14(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3600L, 0L)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+      .withColumn("rolling_cnt", count(lit(1)).over(w))
+      .withColumn("rolling_sum",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+        col("rolling_cnt"), col("rolling_sum"))
+      .orderBy(col("event_id"))
+  }
+
+  /** B15 rollup (grouping-set subtotals + grand total), the OLAP
+    * cube family; subtotal rows render NULL group keys as 'ALL' so
+    * both engines order identically. */
+  private def b15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("revenue"), col("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** C18 TF-IDF top terms per document (smoothed reciprocal-df — see
+    * operators.TfIdf for the engine-portability rationale). */
+  private def c18(s: SparkSession, dir: String): DataFrame =
+    operators.TfIdf.topTerms(t(s, dir, "documents"), col("doc_id"), lower(col("text")), 3)
+      .select(col("id").as("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** C19 train/eval decontamination: distinct 5-gram collisions of
+    * each train doc (doc_id % 100 ≠ 0) against the synthetic eval
+    * split (doc_id % 100 = 0); zero-collision docs kept via left
+    * join. The shipped shape of the benchmark-leak scrub. */
+  private def c19(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 100 =!= 0)
+    val eval = docs.filter(col("doc_id") % 100 === 0)
+    val shared = operators.Contamination.sharedGrams(
+      train, eval, col("doc_id"), lower(col("text")), 5)
+    train.select(col("doc_id")).join(shared.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+      .orderBy(col("doc_id"))
   }
 
   /** A17 reactions-map aggregation (db_loader.py:98 reactions JSONB,
@@ -655,6 +707,10 @@ object SparkEntry {
     "a13b_stats_approx" -> (a13b _),
     "b12_asof_join" -> (b12 _),
     "b13_interval_join" -> (b13 _),
+    "b14_rolling_window" -> (b14 _),
+    "b15_rollup" -> (b15 _),
+    "c18_tfidf" -> (c18 _),
+    "c19_decontaminate" -> (c19 _),
     "b9_small_qty_revenue" -> (b9 _),
     "a17_reactions_agg" -> (a17 _),
     "c13_scrub" -> (c13 _),
@@ -1044,6 +1100,52 @@ object SparkEntry {
         |LEFT JOIN events r
         |  ON r.ts >= l.ts - INTERVAL 10 MINUTE AND r.ts <= l.ts
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "b14_rolling_window" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  CAST(count(*) OVER w AS BIGINT) AS rolling_cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_sum
+        |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "b15_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "c18_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, round(CAST(tf AS DOUBLE) * (n + 1) / (df + 1), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |      FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "c19_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-3),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS s
+        |  FROM toks WHERE len(t) >= 5),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 100 = 0),
+        |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 100 <> 0),
+        |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+        |        FROM tr JOIN ev USING (g) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(hit.shared_grams, 0) AS shared_grams
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+        |LEFT JOIN hit USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "a17_reactions_agg" ->
       """WITH k AS (SELECT k FROM (SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k
         |             FROM events) WHERE k IS NOT NULL),

@@ -21,4 +21,25 @@ object ModeFilter {
       case "full"        => df
       case other         => throw new IllegalArgumentException(s"unknown mode: $other")
     }
+
+  private val DayNanos = 86400L * 1000000000L
+
+  /** Raw-nanos-domain modes (for tables whose time column is a
+    * parquet nanos long, see Tables.loadEventsRaw): the comparison
+    * stays on the STORED column, so it reaches the parquet scan as a
+    * pushed filter and prunes row groups — a filter on the converted
+    * timestamp never does. Backs the A14 query. */
+  def applyRaw(df: DataFrame, tsNanos: Column, mode: String,
+               nowNanos: Long, lookbackDays: Int): DataFrame = {
+    val lookback = lookbackDays * DayNanos
+    mode match {
+      case "incremental" => df.filter(tsNanos >= nowNanos - lookback)
+      case "refresh_old" => df.filter(tsNanos < nowNanos - lookback)
+      case "daily" =>
+        val dayStart = Math.floorDiv(nowNanos, DayNanos) * DayNanos
+        df.filter(tsNanos >= dayStart && tsNanos < dayStart + DayNanos)
+      case "full"  => df
+      case other   => throw new IllegalArgumentException(s"unknown mode: $other")
+    }
+  }
 }
