@@ -45,14 +45,24 @@ object Jaccard {
       .groupBy(col("id"))
       .agg(sort_array(collect_set(col("h"))).as("hs"))
       .select(col("id"), col("hs"), size(col("hs")).as("sz"))
-    // prefix index: first sz − ⌈t·sz⌉ + 1 hashes of the sorted set
+    // prefix index: first sz − ⌈t·sz⌉ + 1 hashes of the sorted set,
+    // with each hash's position for the PPJoin positional filter
     val plen = (col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
     val prefix = sets.select(col("id"), col("sz"),
-      explode(slice(col("hs"), lit(1), plen)).as("h"))
+      posexplode(slice(col("hs"), lit(1), plen)).as(Seq("pos", "h")))
+    // positional filter (PPJoin): at the FIRST common hash, overlap
+    // ≤ min of the remaining suffix lengths, which must reach the
+    // J ≥ t overlap bound t·(|A|+|B|)/(1+t). Later common hashes may
+    // fail the test, but the first always passes for a qualifying
+    // pair, and distinct() keeps a pair if ANY instance survived.
+    // (−1e-9: the real-valued bound must never round up past an
+    // integer overlap that exactly meets it.)
+    val alpha = lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz")) - lit(1e-9)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("a.sz") >= lit(threshold) * col("b.sz") &&
-          col("b.sz") >= lit(threshold) * col("a.sz"))
+          col("b.sz") >= lit(threshold) * col("a.sz") &&
+          least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= alpha)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     val inter = ArrayExpressions.sortedIntersectSize(col("ha"), col("hb"))
