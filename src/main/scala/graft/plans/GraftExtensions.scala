@@ -37,13 +37,21 @@ object GraftExtensions {
       Multiply(Sqrt(ArrayDotProduct(a, a)), Sqrt(ArrayDotProduct(b, b))))
   }
 
+  private def intersectOf(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "expected (sorted array, sorted array)")
+    SortedIntersectSize(args.head, args.last)
+  }
+
   private[plans] val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       dotOf _),
     ("graft_cosine",
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_cosine"),
-      cosineOf _))
+      cosineOf _),
+    ("graft_sorted_intersect_size",
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
+      intersectOf _))
 
   /** Idempotently register the graft functions on a live session. */
   def register(spark: SparkSession): Unit =

@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
   * equivalent of Python's `mapInPandas` batch contract (batch shape =
   * `batchSize` items, schema preserved + feature column appended).
   *
-  * The DECODE ITSELF IS A STUB: real image/audio codecs aren't in
-  * this environment, so `decodeStub` derives a deterministic fake
+  * The PIXEL/SAMPLE DECODE IS A STUB: real image/audio codecs aren't
+  * in this environment, so `decodeStub` derives a deterministic fake
   * feature vector from the bytes' md5. Everything around it — schema,
   * binary handling, batch iteration, partitioning, frame-sample
-  * explode — is the real Spark plumbing and is what the specs test.
+  * explode — is the real Spark plumbing, and `probeImage`/`probeMeta`
+  * are a REAL container-header parser (PNG/JPEG/GIF/BMP dimensions)
+  * that needs no codec at all.
   *
   * Scale: decode is pure map-side (zero shuffle); `partitionHint`
   * repartitions only when the caller asks (codec work is CPU-bound, so
@@ -84,6 +86,65 @@ object Multimodal {
           val feats = if (content == null) null else decodeStub(content)
           Row.fromSeq(r.toSeq :+ feats)
         }
+      }
+    }(enc)
+  }
+
+  /** REAL (codec-free) image container probe: format + pixel
+    * dimensions parsed from the leading bytes of PNG / JPEG / GIF /
+    * BMP payloads — the metadata a lake ingest derives WITHOUT
+    * decoding pixels (validating the `meta` struct, routing by size,
+    * dropping thumbnails). Unlike `decodeStub`, nothing here is
+    * stubbed: these are the actual container layouts (PNG IHDR
+    * big-endian at offset 16; JPEG marker walk to the first SOFn;
+    * GIF/BMP little-endian headers). Returns (format, width,
+    * height); None for null/unrecognized/truncated payloads. */
+  def probeImage(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b == null) None
+    else if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some(("bmp", le32(18), le32(22)))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length) {
+        if (u8(i) != 0xff) return None
+        val m = u8(i + 1)
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone markers
+        else {
+          val len = be16(i + 2)
+          if (len < 2) return None
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            return Some(("jpeg", be16(i + 7), be16(i + 5))) // SOFn: height then width
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Append a `probed struct<format,width,height>` column from the
+    * real header parse — map-side, batched like `decodeFeatures`. */
+  def probeMeta(media: DataFrame): DataFrame = {
+    val probedType = StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val outSchema = media.schema.add("probed", probedType, nullable = true)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = probeImage(r.get(contentIdx).asInstanceOf[Array[Byte]])
+          .map { case (f, w, h) => Row(f, w, h) }.orNull
+        Row.fromSeq(r.toSeq :+ p)
       }
     }(enc)
   }

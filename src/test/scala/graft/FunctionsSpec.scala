@@ -107,12 +107,14 @@ class FunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
-  test("graft_cosine / graft_dot usable from SQL after register") {
+  test("graft_cosine / graft_dot / graft_sorted_intersect_size usable from SQL after register") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark.sql(
       "SELECT round(graft_cosine(array(1.0d,0.0d), array(1.0d,0.0d)), 6) c," +
-        " graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) d").head()
+        " graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) d," +
+        " graft_sorted_intersect_size(array('a','b','c'), array('b','c','d')) s").head()
     assert(got.getDouble(0) == 1.0)
     assert(got.getDouble(1) == 11.0)
+    assert(got.getInt(2) == 2)
   }
 }

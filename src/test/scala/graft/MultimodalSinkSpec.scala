@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.sources.{Multimodal, Sink}
 
@@ -31,6 +32,53 @@ class MultimodalSinkSpec extends SparkSpec {
     val d2 = 2000L + 2 * 53L
     assert(byId(2L) == (d2 + 499) / 500)
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_ms"))
+  }
+
+  test("C12 probeImage parses real PNG/JPEG/GIF/BMP headers, rejects junk") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(26)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h).put(8.toByte).put(6.toByte)
+      b.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(2 + 18 + 2 + 9)
+      b.put(Array(0xff, 0xd8).map(_.toByte))
+      b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16.toShort).put(new Array[Byte](14)) // APP0
+      b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(9.toShort) // SOF0
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      b.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array[Byte]((w & 0xff).toByte, (w >> 8).toByte,
+        (h & 0xff).toByte, (h >> 8).toByte)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26).putInt(12)
+      b.putInt(w).putInt(h)
+      b.array()
+    }
+    assert(Multimodal.probeImage(png(640, 480)) == Some(("png", 640, 480)))
+    assert(Multimodal.probeImage(jpeg(222, 333)) == Some(("jpeg", 222, 333)))
+    assert(Multimodal.probeImage(gif(77, 55)) == Some(("gif", 77, 55)))
+    assert(Multimodal.probeImage(bmp(1024, 768)) == Some(("bmp", 1024, 768)))
+    assert(Multimodal.probeImage(Array[Byte](1, 2, 3, 4, 5)) == None)
+    assert(Multimodal.probeImage(null) == None)
+
+    // DataFrame op: probed struct appended map-side
+    val rows = Seq(
+      Row(0L, "image", png(64, 32), null),
+      Row(1L, "image", Array[Byte](9, 9, 9, 9), null),
+      Row(2L, "image", null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val probed = Multimodal.probeMeta(df)
+      .select("media_id", "probed.format", "probed.width", "probed.height")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "-" else r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    assert(probed == Set((0L, "png", 64, 32), (1L, "-", -1, -1), (2L, "-", -1, -1)))
   }
 
   test("E4 partitioned sink enables partition pruning") {

@@ -47,6 +47,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("c3 simhash: shuffle-hash self-join reuses one fingerprint pipeline") {
+    val p = finalPlan("c3_dedup_simhash")
+    assert(p.contains("ShuffledHashJoin"), p) // broadcast would duplicate the pipeline
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("b5 sessionize: exactly one hash exchange (the per-user one)") {
     val p = plan("b5_sessionize")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
