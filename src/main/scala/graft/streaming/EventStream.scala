@@ -78,6 +78,101 @@ object EventStream {
         col("click_ts"), col("conv_ts"), col("amount"))
   }
 
+  /** A priced quote (right side of the D5 as-of enrichment). */
+  case class Quote(user_id: Long, quote_id: Long, qts: Timestamp, px: Double)
+
+  /** A trade enriched with the newest quote at-or-before it. */
+  case class Enriched(user_id: Long, event_id: Long, ts: Timestamp,
+                      quote_id: Option[Long], px: Option[Double])
+
+  /** D5 buffer state: rows not yet past the watermark, plus the
+    * newest already-flushed quote (public: encoder codegen). */
+  case class AsOfState(quotes: Seq[(Long, Long, Double)], // (micros, id, px)
+                       trades: Seq[(Long, Long)],         // (micros, id)
+                       last: Option[(Long, Long, Double)])
+
+  /** D5: streaming as-of enrichment — the streaming twin of B12.
+    * Trades and quotes union into ONE keyed stream; per-user state
+    * buffers both sides until the event-time watermark passes, then
+    * flushes in strict event-time order: each trade ≤ watermark is
+    * emitted with the newest quote at-or-before it (quotes sort
+    * before trades at equal timestamps — the inclusive as-of
+    * convention, same as the batch twin). Because nothing is matched
+    * before the watermark seals its ordering, the result is EXACT for
+    * data within the allowed lateness — not a best-effort
+    * latest-state lookup. State is the within-horizon buffer plus one
+    * retained quote per user (the newest flushed one), so it tracks
+    * the active-key horizon like D2, never history. */
+  def enrichAsOf(trades: Dataset[Event], quotes: Dataset[Quote],
+                 watermark: String = "1 hour"): Dataset[Enriched] = {
+    implicit val ee = Encoders.product[Enriched]
+    implicit val es = Encoders.product[AsOfState]
+    val spark = trades.sparkSession
+    import spark.implicits._
+
+    def toMicros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    def fromMicros(us: Long): Timestamp = {
+      val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    // tag both sides into one schema: side 0 = quote, 1 = trade
+    val tagged = trades.select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id").as("id"), lit(0.0).as("px"))
+      .unionByName(quotes.select(col("user_id"), col("qts").as("ts"), lit(0).as("side"),
+        col("quote_id").as("id"), col("px")))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Int, Long, Double)]
+
+    def flush(userId: Long, st: AsOfState, wmMicros: Long,
+              out: scala.collection.mutable.Builder[Enriched, Seq[Enriched]]): AsOfState = {
+      val (dueQ, keepQ) = st.quotes.partition(_._1 <= wmMicros)
+      val (dueT, keepT) = st.trades.partition(_._1 <= wmMicros)
+      var last = st.last
+      // merge in event-time order, quotes first at equal instants
+      val qIt = dueQ.sortBy(q => (q._1, q._2)).iterator.buffered
+      for ((tUs, tid) <- dueT.sortBy(t => (t._1, t._2))) {
+        while (qIt.hasNext && qIt.head._1 <= tUs) last = Some(qIt.next())
+        out += Enriched(userId, tid, fromMicros(tUs), last.map(_._2), last.map(_._3))
+      }
+      var tail = last
+      while (qIt.hasNext) tail = Some(qIt.next()) // remaining due quotes still advance `last`
+      AsOfState(keepQ, keepT, tail)
+    }
+
+    def update(userId: Long, rows: Iterator[(Long, Timestamp, Int, Long, Double)],
+               state: GroupState[AsOfState]): Iterator[Enriched] = {
+      val st = state.getOption.getOrElse(AsOfState(Nil, Nil, None))
+      val out = Seq.newBuilder[Enriched]
+      val next =
+        if (state.hasTimedOut) flush(userId, st, state.getCurrentWatermarkMs * 1000L, out)
+        else {
+          var q = st.quotes; var t = st.trades
+          for ((_, ts, side, id, px) <- rows) {
+            val us = toMicros(ts)
+            if (side == 0) q = q :+ ((us, id, px)) else t = t :+ ((us, id))
+          }
+          st.copy(quotes = q, trades = t)
+        }
+      // the newest flushed quote is retained per key (a later trade
+      // still needs it); only a key that never saw a quote and holds
+      // nothing buffered can drop out entirely. Idle keys with empty
+      // buffers set no timeout — no per-watermark wakeups.
+      if (next.quotes.isEmpty && next.trades.isEmpty && next.last.isEmpty) state.remove()
+      else {
+        state.update(next)
+        if (next.quotes.nonEmpty || next.trades.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+      }
+      out.result().iterator
+    }
+
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update _)
+  }
+
   /** D2: stateful gap sessionization via flatMapGroupsWithState —
     * streaming twin of B5. Emits a Session whenever a gap >
     * `gapSeconds` closes one; the open session per user lives in

@@ -5,12 +5,14 @@ import graft.operators.{AsOf, RangeJoin}
 
 /** As-of and keyless interval joins (SURVEY B12/B13) — brute-force
   * differential tests on adversarial small data (equal timestamps,
-  * no-match rows, window boundaries).
+  * no-match rows, window boundaries) plus generated-corpus
+  * differentials against naive reference joins.
   */
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def tsAt(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000L)
 
   test("AsOf.join matches newest right at-or-before, null when none, tolerance drops stale") {
     val trades = Seq(
@@ -44,6 +46,32 @@ class JoinsSpec extends SparkSpec {
       .select("trade_id", "quote_id")
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
     assert(tol == Set((100L, 900L), (101L, -1L), (200L, -1L), (300L, 903L)))
+  }
+
+  test("AsOf.join equals the naive argmax join on a generated corpus") {
+    // deterministic pseudo-random corpus: 40 trades + 30 quotes over
+    // 12 users with colliding timestamps across (but not within) keys
+    val base = 1700000000L
+    val trades = (0 until 40).map { i =>
+      (i % 12L, i.toLong, tsAt(base + (i * 7919) % 600)) }.toDF("k", "tid", "ts")
+    val quotes = (0 until 30).map { i =>
+      (i % 12L, 100L + i, tsAt(base + (i * 104729) % 600), i * 1.5) }
+      .toDF("k", "qid", "qts", "px")
+    val got = AsOf.join(trades, quotes, Seq("k"), "ts", "qts", Seq("qid", "px"))
+      .select("tid", "qid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // naive reference: max-qts quote per trade via a range join + argmax
+    val naive = trades.join(quotes, Seq("k"), "left")
+      .filter(col("qts").isNull || col("qts") <= col("ts"))
+      .groupBy(col("tid"))
+      .agg(max(struct(col("qts"), col("qid"))).as("m"))
+      .select(col("tid"), col("m.qid"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // the naive left-join drops trades whose every quote is later →
+    // re-add them as null matches
+    val missing = trades.select("tid").as[Long].collect().toSet -- naive.map(_._1)
+    assert(got == naive ++ missing.map(_ -> -1L))
+    assert(got.size == 40)
   }
 
   test("RangeJoin.intervalJoin equals brute force incl. window boundaries") {

@@ -59,6 +59,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D5 enrichAsOf: trades match newest quote <= ts after watermark seals order") {
+    import EventStream.Quote
+    val trades = MemoryStream[Event](spark)(Encoders.product[Event])
+    val quotes = MemoryStream[Quote](spark)(Encoders.product[Quote])
+    val q = EventStream.enrichAsOf(trades.toDS(), quotes.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("d5_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      quotes.addData(Quote(1L, 900L, ts("2024-01-01 10:00:00"), 5.0))
+      trades.addData(
+        Event(1L, 10L, ts("2024-01-01 10:05:00"), 1.0), // after q900 → match
+        Event(1L, 11L, ts("2024-01-01 09:55:00"), 1.0), // before any quote → null
+        Event(2L, 20L, ts("2024-01-01 10:00:00"), 1.0)) // user 2 has no quotes
+      q.processAllAvailable()
+      assert(spark.table("d5_out").count() == 0) // watermark hasn't sealed yet
+      trades.addData(Event(3L, 30L, ts("2024-01-01 13:00:00"), 1.0))
+      q.processAllAvailable()
+      trades.addData(Event(3L, 31L, ts("2024-01-01 13:30:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_id, quote_id, px FROM d5_out ORDER BY event_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+      assert(rows == Seq((10L, 900L, 5.0), (11L, -1L, -1.0), (20L, -1L, -1.0)))
+      // retained last quote: a much-later trade with no new quotes
+      // still enriches from q900
+      trades.addData(Event(1L, 12L, ts("2024-01-01 14:00:00"), 1.0))
+      q.processAllAvailable()
+      trades.addData(Event(3L, 32L, ts("2024-01-01 16:00:00"), 1.0))
+      q.processAllAvailable()
+      trades.addData(Event(3L, 33L, ts("2024-01-01 16:30:00"), 1.0))
+      q.processAllAvailable()
+      val late = spark.sql("SELECT quote_id FROM d5_out WHERE event_id = 12").collect()
+      assert(late.length == 1 && late.head.getLong(0) == 900L)
+    } finally q.stop()
+  }
+
   test("D2 sessions: gap closes a session; idle session flushes on watermark") {
     implicit val ee = Encoders.product[Event]
     val input = MemoryStream[Event](spark)(Encoders.product[Event])
