@@ -445,6 +445,16 @@ object SparkEntry {
         col("revenue"), col("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** B16 pivot: revenue matrix returnflag × linestatus. Pivot values
+    * are EXPLICIT ("F", "O") so Spark needs no extra distinct-values
+    * pass — one shuffle with map-side partials, like any grouped agg. */
+  private def b16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_extendedprice")))
+      .orderBy(col("l_returnflag"))
+
   /** C18 TF-IDF top terms per document (smoothed reciprocal-df — see
     * operators.TfIdf for the engine-portability rationale). */
   private def c18(s: SparkSession, dir: String): DataFrame =
@@ -569,6 +579,27 @@ object SparkEntry {
     split.join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("split"), coalesce(col("kept"), lit(0L)).as("kept"))
       .orderBy(col("doc_id"))
+  }
+
+  /** C21 end-to-end corpus pipeline — the composed shape a training
+    * corpus actually ships through, all from library operators:
+    * normalize (C15) → quality gate (C9's components) → exact dedup
+    * keep-first (C1/A9) → deterministic split (C17) → per-(lang,
+    * split) corpus stats. One map-side pass + one dedup shuffle +
+    * one stats shuffle. */
+  private def c21(s: SparkSession, dir: String): DataFrame = {
+    val norm = t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextFunctions.normalize(col("text")).as("t"))
+    val gated = norm
+      .withColumn("wc", TextFunctions.wordCount(col("t")).cast("long"))
+      .withColumn("punct", TextFunctions.punctRatio(col("t")))
+      .filter(col("wc") >= 5 && col("punct") <= 0.2)
+    val deduped = Dedup.keepFirstByHash(gated, md5(col("t")), Seq(col("doc_id")))
+    operators.Sampling.trainValSplit(deduped, col("doc_id"), 0.25)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("wc")).cast("long").as("total_tokens"))
+      .orderBy(col("lang"), col("split"))
   }
 
   /** Per-language stopword suffix used to make the language-ID query
@@ -709,6 +740,8 @@ object SparkEntry {
     "b13_interval_join" -> (b13 _),
     "b14_rolling_window" -> (b14 _),
     "b15_rollup" -> (b15 _),
+    "b16_pivot" -> (b16 _),
+    "c21_pipeline" -> (c21 _),
     "c18_tfidf" -> (c18 _),
     "c19_decontaminate" -> (c19 _),
     "b9_small_qty_revenue" -> (b9 _),
@@ -1115,6 +1148,34 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b16_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |           THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |           THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "c21_pipeline" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang,
+        |    lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, lang, t,
+        |    CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS wc
+        |  FROM norm
+        |  WHERE CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) >= 5
+        |    AND (CASE WHEN len(t) = 0 THEN 0.0
+        |         ELSE round(len(regexp_extract_all(t, '[^a-zA-Z0-9\s]'))::DOUBLE / len(t), 6) END) <= 0.2),
+        |dedup AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn FROM gated),
+        |split AS (
+        |  SELECT *, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
+        |                 THEN 'val' ELSE 'train' END AS split
+        |  FROM dedup WHERE rn = 1)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(wc) AS BIGINT) AS total_tokens
+        |FROM split GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "c18_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '')) AS term
