@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *
   * Execution shape: one explode of tokens feeds BOTH aggregations —
   * tf per (doc, term) and df per term ride the same exploded stream
-  * with map-side partials; the per-term df table (vocabulary-sized)
-  * broadcasts back; ranking is one window shuffle on doc_id.
+  * with map-side partials; the per-term df table joins back on the
+  * term (AQE broadcasts it while the vocabulary fits); ranking is
+  * one window shuffle on doc_id.
   */
 object TfIdf {
 
@@ -33,7 +34,10 @@ object TfIdf {
     val n = docs.agg(countDistinct(id).as("n"))
     val score = round(col("tf").cast("double") * (col("n") + 1) / (col("df") + 1), 6)
     val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("sh"))
-    tf.join(broadcast(df), "sh")
+    // df is vocabulary-sized: small here, but it GROWS with the
+    // corpus — no broadcast hint; AQE broadcasts while it fits and
+    // falls back to a shuffled join on the term beyond that
+    tf.join(df, "sh")
       .crossJoin(broadcast(n))
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w))
