@@ -82,6 +82,24 @@ class PlanSpec extends SparkSpec {
     assert(!p13.contains("CartesianProduct"), p13)
   }
 
+  test("E9 co-bucketed tables join with zero exchanges on the bucket key") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.Sink.writeBucketed(
+        (1L to 500L).map(i => (i, s"a$i")).toDF("k", "va"), "bkt_a", "k", 4)
+      graft.sources.Sink.writeBucketed(
+        (1L to 500L).map(i => (i, i * 2.0)).toDF("k", "vb"), "bkt_b", "k", 4)
+      val j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(j.count() == 500)
+      val p = j.queryExecution.executedPlan.toString
+      // the §5 claim made checkable: co-located bucketed joins are
+      // exchange-free — the shuffle happened once, at write time
+      assert(!p.contains("Exchange"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("a12/a14 event-time filters are pushed to the scan (raw nanos)") {
     val p12 = plan("a12_retention")
     assert(p12.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p12)
