@@ -35,7 +35,7 @@ object AsOf {
     val lTagged = left.select(
       keyCols :+ col(leftTs).cast("timestamp").as("__ts") :+ lit(1).as("__side") :+
         lit(null).cast(s"struct<${payload.map(p => s"$p:" + right.schema(p).dataType.sql).mkString(",")},__rts:timestamp>").as("__r") :+
-        struct(left.columns.map(col): _*).as("__l"): _*)
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l"): _*)
     val rTagged = right.select(
       keyCols :+ col(rightTs).cast("timestamp").as("__ts") :+ lit(0).as("__side") :+
         struct(payload.map(col) :+ col(rightTs).cast("timestamp").as("__rts"): _*).as("__r") :+
@@ -48,7 +48,7 @@ object AsOf {
     lTagged.unionByName(rTagged)
       .withColumn("__m", matched)
       .filter(col("__side") === 1)
-      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++
         payload.map(p => col(s"__m.$p").as(p)): _*)
   }
 }

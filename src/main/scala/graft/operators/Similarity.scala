@@ -120,7 +120,7 @@ object Similarity {
     val centAngles = (for {
       (ca, va) <- cents; (cb, vb) <- cents if ca <= cb
     } yield {
-      val cos = (va, vb).zipped.map(_ * _).sum / (l2(va) * l2(vb))
+      val cos = va.lazyZip(vb).map(_ * _).sum / (l2(va) * l2(vb))
       (ca, cb, math.acos(math.max(-1.0, math.min(1.0, cos))))
     }).toDF("ca", "cb", "cang")
     val cc = centAngles

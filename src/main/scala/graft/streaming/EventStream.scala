@@ -147,7 +147,7 @@ object EventStream {
       val st = state.getOption.getOrElse(AsOfState(Nil, Nil, None))
       val out = Seq.newBuilder[Enriched]
       val next =
-        if (state.hasTimedOut) flush(userId, st, state.getCurrentWatermarkMs * 1000L, out)
+        if (state.hasTimedOut) flush(userId, st, state.getCurrentWatermarkMs() * 1000L, out)
         else {
           var q = st.quotes; var t = st.trades
           for ((_, ts, side, id, px) <- rows) {
@@ -164,7 +164,7 @@ object EventStream {
       else {
         state.update(next)
         if (next.quotes.nonEmpty || next.trades.nonEmpty)
-          state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
       }
       out.result().iterator
     }
@@ -236,7 +236,7 @@ object EventStream {
         // above the current watermark (a timeout in the past throws)
         state.setTimeoutTimestamp(math.max(
           math.floorDiv(s.lastMicros, 1000L) + gapSeconds * 1000L,
-          state.getCurrentWatermarkMs + 1))
+          state.getCurrentWatermarkMs() + 1))
       }
       closed.result().iterator
     }
