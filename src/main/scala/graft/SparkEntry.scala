@@ -455,6 +455,17 @@ object SparkEntry {
       .agg(dsum(col("l_extendedprice")))
       .orderBy(col("l_returnflag"))
 
+  /** B17 skyline: customers on the (total spend, order count) Pareto
+    * frontier — two-phase distributed dominance prune, never the
+    * O(n²) anti-join (see operators.Skyline). */
+  private def b17(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+      .select(col("o_custkey"), col("n_orders"), col("total_spend"))
+    operators.Skyline.of(spend, Seq(("n_orders", false), ("total_spend", false)))
+      .orderBy(col("o_custkey"))
+  }
+
   /** C18 TF-IDF top terms per document (smoothed reciprocal-df — see
     * operators.TfIdf for the engine-portability rationale). */
   private def c18(s: SparkSession, dir: String): DataFrame =
@@ -741,6 +752,7 @@ object SparkEntry {
     "b14_rolling_window" -> (b14 _),
     "b15_rollup" -> (b15 _),
     "b16_pivot" -> (b16 _),
+    "b17_skyline" -> (b17 _),
     "c21_pipeline" -> (c21 _),
     "c18_tfidf" -> (c18 _),
     "c19_decontaminate" -> (c19 _),
@@ -1155,6 +1167,16 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN l_linestatus = 'O'
         |           THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b17_skyline" ->
+      """WITH sp AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, n_orders, total_spend FROM sp p
+        |WHERE NOT EXISTS (SELECT 1 FROM sp q
+        |  WHERE q.n_orders >= p.n_orders AND q.total_spend >= p.total_spend
+        |    AND (q.n_orders > p.n_orders OR q.total_spend > p.total_spend))
+        |ORDER BY o_custkey""".stripMargin,
     "c21_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, lang,

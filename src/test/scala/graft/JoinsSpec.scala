@@ -74,6 +74,29 @@ class JoinsSpec extends SparkSpec {
     assert(got.size == 40)
   }
 
+  test("Skyline.of matches brute-force dominance incl. duplicates and min/max mix") {
+    import graft.operators.Skyline
+    // hand case, both maximized: frontier {(1,5),(3,3),(5,1)}; (2,2)
+    // dominated; duplicate frontier points BOTH survive
+    val pts = Seq((1.0, 5.0), (5.0, 1.0), (3.0, 3.0), (2.0, 2.0), (3.0, 3.0))
+      .toDF("x", "y")
+    val sky = Skyline.of(pts, Seq(("x", false), ("y", false)))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq.sorted
+    assert(sky == Seq((1.0, 5.0), (3.0, 3.0), (3.0, 3.0), (5.0, 1.0)))
+
+    // generated differential, minimize x / maximize y, across partitions
+    val gen = (0 until 300).map { i =>
+      (i.toLong, ((i * 7919) % 101).toDouble, ((i * 104729) % 97).toDouble) }
+    val df = gen.toDF("id", "x", "y").repartition(7)
+    val got = Skyline.of(df, Seq(("x", true), ("y", false)))
+      .select("id").as[Long].collect().toSet
+    val brute = gen.filter { case (_, px, py) =>
+      !gen.exists { case (_, qx, qy) =>
+        qx <= px && qy >= py && (qx < px || qy > py) }
+    }.map(_._1).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
   test("RangeJoin.intervalJoin equals brute force incl. window boundaries") {
     val left = (0L until 40L).map(i => (i, ts(f"2024-01-01 10:${i % 60}%02d:00")))
       .toDF("lid", "lts")
