@@ -102,6 +102,10 @@ object Similarity {
     // deterministic seeds: the nCells lowest-id vectors (k×d collect)
     var cents: Seq[(Long, Seq[Double])] = v.orderBy(col("id")).limit(nCells)
       .select(col("id"), col("v")).as[(Long, Seq[Double])].collect().toSeq
+    // degenerate corpus (< 2 cells): greatest() needs two arguments
+    // and a 0/1-vector corpus has at most the empty pair set anyway —
+    // the all-pairs form is exact and trivially cheap there
+    if (cents.length < 2) return cosinePairs(vecs, id, vec, threshold)
     for (_ <- 0 until iters) {
       cents = assigned(cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))

@@ -21,13 +21,18 @@ object Upsert {
   /** Swap `staging` into `target` keeping a recoverable copy at every
     * instant: target → target__old, staging → target, delete old. A
     * crash mid-swap leaves either the original or the `__old` copy on
-    * disk; `recoverSwap` (run first) restores an interrupted swap. */
+    * disk; `recoverSwap` (run first) restores an interrupted swap.
+    * Every rename RESULT is checked — Hadoop filesystems report most
+    * failures by returning false, and an unchecked false here would
+    * silently skip the merge (or nest staging inside a still-present
+    * target on rename-into-directory filesystems). */
   private def safeSwap(fs: org.apache.hadoop.fs.FileSystem,
                        staging: Path, target: Path): Unit = {
     val old = new Path(target.getParent, target.getName + "__old")
     recoverSwap(fs, target)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(staging, target)
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"rename $target -> $old failed")
+    require(fs.rename(staging, target), s"rename $staging -> $target failed")
     if (fs.exists(old)) fs.delete(old, true)
   }
 
@@ -38,9 +43,21 @@ object Upsert {
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, target: Path): Unit = {
     val old = new Path(target.getParent, target.getName + "__old")
     if (fs.exists(old)) {
-      if (!fs.exists(target)) fs.rename(old, target)
+      if (!fs.exists(target))
+        require(fs.rename(old, target), s"recovery rename $old -> $target failed")
       else fs.delete(old, true)
     }
+  }
+
+  /** Heal an interrupted `mergeWrite` swap at `path` (table dir
+    * missing, `path__old` present). Call BEFORE reading a table a
+    * crashed writer may have left mid-swap — the writer itself can't
+    * do it for you, because the caller reads `existing` from the same
+    * path first. `mergeWritePartitioned` heals its partitions
+    * automatically. */
+  def heal(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val target = new Path(path)
+    recoverSwap(target.getFileSystem(spark.sparkContext.hadoopConfiguration), target)
   }
 
   /** Idempotent batch merge writer (db_loader.py:117 batched upsert):
@@ -48,7 +65,9 @@ object Upsert {
     * is a no-op by construction. The merge lands in a sibling staging
     * directory first (Spark refuses — or corrupts — a direct
     * overwrite of an input path), then swaps in via `safeSwap`, so a
-    * reader/crash at any instant still finds a complete copy.
+    * crash at any instant leaves a recoverable copy — run `heal`
+    * before reading `existing` when recovering from a crashed run
+    * (the swap window leaves only `path__old` on disk).
     *
     * O(table) per batch — fine for small tables; for partitioned
     * lakes use `mergeWritePartitioned`, which is O(affected
@@ -93,8 +112,17 @@ object Upsert {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val parts = incoming.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val rawParts = incoming.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0))).toSeq
+    require(!rawParts.contains(None),
+      s"mergeWritePartitioned: null $partCol values in the incoming batch " +
+        "(null partitions have no stable directory identity to swap)")
+    // directory names must match what Spark actually writes — values
+    // with ':', '=', '%', … are hive-escaped (e.g. '00%3A00%3A00'); a
+    // raw interpolation would miss the staging dir and silently drop
+    // the batch's rows for that partition
+    val parts = rawParts.flatten.sorted.map(p =>
+      p -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(p))
     // heal EVERY interrupted swap first — a stray `dt=X__old` dir
     // would otherwise be discovered as partition value "X__old"
     if (fs.exists(root))
@@ -104,14 +132,16 @@ object Upsert {
     val existing =
       if (fs.exists(root) && !fs.listStatus(root).isEmpty)
         spark.read.parquet(path)
-          .filter(col(partCol).cast("string").isin(parts: _*))
+          .filter(col(partCol).cast("string").isin(parts.map(_._1): _*))
       else incoming.limit(0)
     val staging = path + "__staging"
     merge(existing, incoming, keys, version)
       .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staging)
-    for (p <- parts) {
-      val s = new Path(staging, s"$partCol=$p")
-      if (fs.exists(s)) safeSwap(fs, s, new Path(root, s"$partCol=$p"))
+    for ((raw, escaped) <- parts) {
+      val s = new Path(staging, s"$partCol=$escaped")
+      require(fs.exists(s),
+        s"staging partition for $partCol=$raw missing at $s — dir-name mismatch would lose the batch")
+      safeSwap(fs, s, new Path(root, s"$partCol=$escaped"))
     }
     fs.delete(new Path(staging), true)
   }

@@ -110,12 +110,20 @@ object Multimodal {
       Some(("png", be32(16), be32(20)))
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
       Some(("gif", le16(6), le16(8)))
-    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      Some(("bmp", le32(18), le32(22)))
-    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+    else if (b.length >= 22 && b(0) == 'B' && b(1) == 'M') {
+      // the DIB header size at offset 14 decides the field layout:
+      // 12-byte BITMAPCOREHEADER stores 16-bit dims; the common
+      // 40+-byte headers store 32-bit dims (height may be negative =
+      // top-down; report its magnitude)
+      if (le32(14) == 12) Some(("bmp", le16(18), le16(20)))
+      else if (b.length >= 26) Some(("bmp", le32(18), math.abs(le32(22))))
+      else None
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
       while (i + 9 < b.length) {
         if (u8(i) != 0xff) return None
+        // any number of 0xFF fill bytes may pad before a marker
+        while (i + 9 < b.length && u8(i + 1) == 0xff) i += 1
         val m = u8(i + 1)
         if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone markers
         else {

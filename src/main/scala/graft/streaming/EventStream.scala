@@ -29,8 +29,7 @@ object EventStream {
                      session_start: Timestamp, session_end: Timestamp)
 
   /** Per-user state (public: encoder codegen instantiates it). */
-  case class OpenSession(sessionId: Long, startMicros: Long,
-                         lastMicros: Long, n: Long)
+  case class OpenSession(startMicros: Long, lastMicros: Long, n: Long)
 
   /** D1: watermarked tumbling-window counts/sums per event_type —
     * streaming twin of B6. Input must have (ts: timestamp,
@@ -146,6 +145,10 @@ object EventStream {
                state: GroupState[AsOfState]): Iterator[Enriched] = {
       val st = state.getOption.getOrElse(AsOfState(Nil, Nil, None))
       val out = Seq.newBuilder[Enriched]
+      // flush on BOTH paths: a key receiving data in every micro-batch
+      // never times out, so the data path must also drain everything
+      // the watermark has already sealed — otherwise emission defers
+      // forever and the buffers grow without bound
       val next =
         if (state.hasTimedOut) flush(userId, st, state.getCurrentWatermarkMs() * 1000L, out)
         else {
@@ -154,7 +157,8 @@ object EventStream {
             val us = toMicros(ts)
             if (side == 0) q = q :+ ((us, id, px)) else t = t :+ ((us, id))
           }
-          st.copy(quotes = q, trades = t)
+          flush(userId, st.copy(quotes = q, trades = t),
+            state.getCurrentWatermarkMs() * 1000L, out)
         }
       // the newest flushed quote is retained per key (a later trade
       // still needs it); only a key that never saw a quote and holds
@@ -203,8 +207,13 @@ object EventStream {
       t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
       t
     }
+    // session id = the session's start micros: unique per user even
+    // ACROSS state expiry (a per-user counter would either restart at
+    // 1 after a timeout flush — colliding ids — or require keeping a
+    // counter for every user forever, the unbounded state this
+    // operator exists to avoid)
     def asSession(userId: Long, s: OpenSession): Session =
-      Session(userId, s.sessionId, s.n, fromMicros(s.startMicros), fromMicros(s.lastMicros))
+      Session(userId, s.startMicros, s.n, fromMicros(s.startMicros), fromMicros(s.lastMicros))
 
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[OpenSession]): Iterator[Session] = {
@@ -225,9 +234,9 @@ object EventStream {
             Some(s.copy(lastMicros = math.max(s.lastMicros, t), n = s.n + 1))
           case Some(s) =>
             closed += asSession(userId, s)
-            Some(OpenSession(s.sessionId + 1, t, t, 1))
+            Some(OpenSession(t, t, 1))
           case None =>
-            Some(OpenSession(1, t, t, 1))
+            Some(OpenSession(t, t, 1))
         }
       }
       open.foreach { s =>

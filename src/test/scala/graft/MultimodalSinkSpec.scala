@@ -52,16 +52,29 @@ class MultimodalSinkSpec extends SparkSpec {
     def gif(w: Int, h: Int): Array[Byte] =
       "GIF89a".getBytes ++ Array[Byte]((w & 0xff).toByte, (w >> 8).toByte,
         (h & 0xff).toByte, (h >> 8).toByte)
-    def bmp(w: Int, h: Int): Array[Byte] = {
+    def bmp(w: Int, h: Int): Array[Byte] = { // BITMAPINFOHEADER: 32-bit dims
       val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26).putInt(12)
+      b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26).putInt(40)
       b.putInt(w).putInt(h)
       b.array()
     }
+    def bmpCore(w: Int, h: Int): Array[Byte] = { // BITMAPCOREHEADER: 16-bit dims
+      val b = java.nio.ByteBuffer.allocate(22).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(22).putInt(0).putInt(22).putInt(12)
+      b.putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    // JPEG with 0xFF fill padding before the APP0 marker (spec-legal)
+    def jpegPadded(w: Int, h: Int): Array[Byte] = {
+      val base = jpeg(w, h)
+      base.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ base.drop(2)
+    }
     assert(Multimodal.probeImage(png(640, 480)) == Some(("png", 640, 480)))
     assert(Multimodal.probeImage(jpeg(222, 333)) == Some(("jpeg", 222, 333)))
+    assert(Multimodal.probeImage(jpegPadded(222, 333)) == Some(("jpeg", 222, 333)))
     assert(Multimodal.probeImage(gif(77, 55)) == Some(("gif", 77, 55)))
     assert(Multimodal.probeImage(bmp(1024, 768)) == Some(("bmp", 1024, 768)))
+    assert(Multimodal.probeImage(bmpCore(100, 200)) == Some(("bmp", 100, 200)))
     assert(Multimodal.probeImage(Array[Byte](1, 2, 3, 4, 5)) == None)
     assert(Multimodal.probeImage(null) == None)
 

@@ -86,6 +86,32 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(root).select("k", "v").as[(Long, String)].collect().toSet == after)
   }
 
+  test("Upsert.mergeWritePartitioned escapes hive partition names; nulls rejected") {
+    val root = Files.createTempDirectory("graft-upsert-esc").toString + "/t"
+    // timestamp-string partition values: Spark writes '00%3A00%3A00'
+    val initial = Seq((1L, "a", 1L, "2024-01-01 00:00:00"), (2L, "b", 1L, "2024-01-02 00:00:00"))
+      .toDF("k", "v", "ver", "dt")
+    initial.write.partitionBy("dt").parquet(root)
+    val incoming = Seq((1L, "a2", 2L, "2024-01-01 00:00:00")).toDF("k", "v", "ver", "dt")
+    Upsert.mergeWritePartitioned(incoming, Seq("k"), Seq(col("ver")), root, "dt")
+    val after = spark.read.parquet(root).select("k", "v").as[(Long, String)].collect().toSet
+    assert(after == Set((1L, "a2"), (2L, "b")))
+    val withNull = Seq((3L, "c", 1L, null: String)).toDF("k", "v", "ver", "dt")
+    intercept[IllegalArgumentException] {
+      Upsert.mergeWritePartitioned(withNull, Seq("k"), Seq(col("ver")), root, "dt")
+    }
+  }
+
+  test("Upsert.heal restores a table whose swap crashed mid-rename") {
+    val dir = Files.createTempDirectory("graft-heal").toString + "/t"
+    val df = Seq((1L, "x")).toDF("k", "v")
+    df.write.parquet(dir)
+    // simulate the crash window: target renamed aside, staging never in
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__old")))
+    Upsert.heal(spark, dir)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("Cleanup.nullifyOrphans nulls refs missing from target") {
     val refs = Seq((1L, 10L), (2L, 99L)).toDF("id", "ref")
     val target = Seq(Tuple1(10L)).toDF("key")

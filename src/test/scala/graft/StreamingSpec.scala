@@ -120,9 +120,13 @@ class StreamingSpec extends SparkSpec {
       // user 2 never sent again: the watermark (driven by other users'
       // events) passed 09:00 + gap, so the idle open session is
       // FLUSHED by the event-time timeout instead of living forever.
+      // session_id = session-start micros (unique per user even after
+      // state expiry — a counter would restart at 1).
+      def micros(t: String): Long = ts(t).getTime * 1000L
       assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getString(3), r.getString(4))).toSeq ==
-        Seq((1L, 1L, 2L, "10:00", "10:10"), (2L, 1L, 1L, "09:00", "09:00")))
+        Seq((1L, micros("2024-01-01 10:00:00"), 2L, "10:00", "10:10"),
+          (2L, micros("2024-01-01 09:00:00"), 1L, "09:00", "09:00")))
       // user 1's fresh 12:00 session is still within the horizon → open
       input.addData(Event(3L, 30L, ts("2024-01-01 12:30:00"), 1.0))
       q.processAllAvailable()
