@@ -613,6 +613,21 @@ object SparkEntry {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** C22 dedup clusters: near-dup pairs (exact Jaccard, C4) resolved
+    * into connected components — every doc gets its cluster's min id
+    * as the canonical representative and a keep flag. The decision
+    * step a pairwise dedup is useless without (see
+    * operators.Components). */
+  private def c22(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Jaccard.nearDupPairs(docs, col("doc_id"), col("text"), n = 3, threshold = 0.5)
+    operators.Components.connected(docs.select(col("doc_id")), col("doc_id"),
+        pairs, col("doc_a"), col("doc_b"))
+      .select(col("id").as("doc_id"), col("comp").as("cluster"),
+        when(col("id") === col("comp"), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language stopword suffix used to make the language-ID query
     * exercise every branch: each doc gets its declared language's
     * stopwords appended ×10, so the detector must recover `lang`. */
@@ -754,6 +769,7 @@ object SparkEntry {
     "b16_pivot" -> (b16 _),
     "b17_skyline" -> (b17 _),
     "c21_pipeline" -> (c21 _),
+    "c22_dedup_clusters" -> (c22 _),
     "c18_tfidf" -> (c18 _),
     "c19_decontaminate" -> (c19 _),
     "b9_small_qty_revenue" -> (b9 _),
@@ -1177,6 +1193,28 @@ object SparkEntry {
         |  WHERE q.n_orders >= p.n_orders AND q.total_spend >= p.total_spend
         |    AND (q.n_orders > p.n_orders OR q.total_spend > p.total_spend))
         |ORDER BY o_custkey""".stripMargin,
+    "c22_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |          (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster,
+        |  CAST(CASE WHEN min(lab) = id THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "c21_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, lang,

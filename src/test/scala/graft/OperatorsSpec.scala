@@ -112,6 +112,17 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("Components.connected: chains merge, singletons survive, long chain converges") {
+    val nodes = (1L to 12L).toDF("n")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      // a 5-long chain exercising multiple propagation rounds
+      (7L, 8L), (8L, 9L), (9L, 10L), (10L, 11L)).toDF("a", "b")
+    val got = Components.connected(nodes, col("n"), edges, col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L, 11L -> 7L, 12L -> 12L))
+  }
+
   test("Cleanup.nullifyOrphans nulls refs missing from target") {
     val refs = Seq((1L, 10L), (2L, 99L)).toDF("id", "ref")
     val target = Seq(Tuple1(10L)).toDF("key")
