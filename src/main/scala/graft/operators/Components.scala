@@ -29,11 +29,16 @@ object Components {
     * every edge are their own singleton component. */
   def connected(nodes: DataFrame, id: Column, edges: DataFrame,
                 a: Column, b: Column, maxIter: Int = 20,
-                checkpointEvery: Int = 5): DataFrame = {
+                checkpointEvery: Int = 1): DataFrame = {
+    // materialize the (small) edge list and seed labels ONCE — the
+    // iteration runs one action per round, and without this every
+    // round would replay the entire upstream pair-generation pipeline
     val sym = edges.select(a.as("src"), b.as("dst"))
       .unionByName(edges.select(b.as("src"), a.as("dst")))
+      .localCheckpoint(true)
     var labels = nodes.select(id.as("id")).distinct()
       .withColumn("comp", col("id"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
