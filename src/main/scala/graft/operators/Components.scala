@@ -52,6 +52,12 @@ object Components {
       labels = step.select(col("id"), col("comp"))
       iter += 1
     }
+    // partially-propagated labels are silently WRONG (one component
+    // reported as several) — refuse rather than return them
+    require(converged,
+      s"Components.connected: not converged after $maxIter rounds " +
+        "(graph diameter exceeds maxIter — raise it, or use " +
+        "large-star/small-star for long-chain graphs)")
     labels
   }
 }

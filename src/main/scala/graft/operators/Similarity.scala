@@ -80,6 +80,8 @@ object Similarity {
     * size (≈ √(n/target-cell-size)) to keep within-cell fan-out flat. */
   def cosinePairsBucketed(vecs: DataFrame, id: Column, vec: Column, threshold: Double,
                           nCells: Int = 16, iters: Int = 1): DataFrame = {
+    require(nCells >= 2, "cosinePairsBucketed: need nCells >= 2 " +
+      "(one cell would degenerate to the all-pairs join this operator exists to avoid)")
     val spark = vecs.sparkSession
     import spark.implicits._
     val v = vecs.select(id.as("id"), vec.cast("array<double>").as("v"))
@@ -102,9 +104,10 @@ object Similarity {
     // deterministic seeds: the nCells lowest-id vectors (k×d collect)
     var cents: Seq[(Long, Seq[Double])] = v.orderBy(col("id")).limit(nCells)
       .select(col("id"), col("v")).as[(Long, Seq[Double])].collect().toSeq
-    // degenerate corpus (< 2 cells): greatest() needs two arguments
-    // and a 0/1-vector corpus has at most the empty pair set anyway —
-    // the all-pairs form is exact and trivially cheap there
+    // degenerate CORPUS (0/1 vectors → ≤ 1 seed): at most the empty
+    // pair set — the all-pairs form is exact and trivially cheap
+    // there. nCells itself is validated up front so a misconfigured
+    // cell count on a big corpus can never silently dispatch here.
     if (cents.length < 2) return cosinePairs(vecs, id, vec, threshold)
     for (_ <- 0 until iters) {
       cents = assigned(cents)

@@ -18,9 +18,16 @@ object Upsert {
             version: Seq[Column]): DataFrame =
     Dedup.keepLatest(existing.unionByName(incoming), keys, version)
 
+  /** The aside-copy a swap parks the current data in. DOT-PREFIXED so
+    * it can never collide with a real hive partition directory
+    * (those are always `col=value`) and stays invisible to Spark's
+    * file discovery (names starting with '.' or '_' are hidden). */
+  private def asidePath(target: Path): Path =
+    new Path(target.getParent, "." + target.getName + "__graft_old")
+
   /** Swap `staging` into `target` keeping a recoverable copy at every
-    * instant: target → target__old, staging → target, delete old. A
-    * crash mid-swap leaves either the original or the `__old` copy on
+    * instant: target → hidden aside, staging → target, delete aside.
+    * A crash mid-swap leaves either the original or the aside copy on
     * disk; `recoverSwap` (run first) restores an interrupted swap.
     * Every rename RESULT is checked — Hadoop filesystems report most
     * failures by returning false, and an unchecked false here would
@@ -28,7 +35,7 @@ object Upsert {
     * target on rename-into-directory filesystems). */
   private def safeSwap(fs: org.apache.hadoop.fs.FileSystem,
                        staging: Path, target: Path): Unit = {
-    val old = new Path(target.getParent, target.getName + "__old")
+    val old = asidePath(target)
     recoverSwap(fs, target)
     if (fs.exists(target))
       require(fs.rename(target, old), s"rename $target -> $old failed")
@@ -36,12 +43,12 @@ object Upsert {
     if (fs.exists(old)) fs.delete(old, true)
   }
 
-  /** Heal a previous crash: `__old` present with the target missing
-    * means the swap died between renames — restore the old copy;
-    * `__old` present beside a target means only the final delete was
-    * lost — finish it. */
+  /** Heal a previous crash: the aside copy present with the target
+    * missing means the swap died between renames — restore it; aside
+    * present beside a target means only the final delete was lost —
+    * finish it. */
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, target: Path): Unit = {
-    val old = new Path(target.getParent, target.getName + "__old")
+    val old = asidePath(target)
     if (fs.exists(old)) {
       if (!fs.exists(target))
         require(fs.rename(old, target), s"recovery rename $old -> $target failed")
@@ -50,11 +57,11 @@ object Upsert {
   }
 
   /** Heal an interrupted `mergeWrite` swap at `path` (table dir
-    * missing, `path__old` present). Call BEFORE reading a table a
-    * crashed writer may have left mid-swap — the writer itself can't
-    * do it for you, because the caller reads `existing` from the same
-    * path first. `mergeWritePartitioned` heals its partitions
-    * automatically. */
+    * missing, hidden aside copy present). Call BEFORE reading a table
+    * a crashed writer may have left mid-swap — the writer itself
+    * can't do it for you, because the caller reads `existing` from
+    * the same path first. `mergeWritePartitioned` heals its affected
+    * partitions automatically. */
   def heal(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val target = new Path(path)
     recoverSwap(target.getFileSystem(spark.sparkContext.hadoopConfiguration), target)
@@ -67,7 +74,7 @@ object Upsert {
     * overwrite of an input path), then swaps in via `safeSwap`, so a
     * crash at any instant leaves a recoverable copy — run `heal`
     * before reading `existing` when recovering from a crashed run
-    * (the swap window leaves only `path__old` on disk).
+    * (the swap window leaves only the hidden aside copy on disk).
     *
     * O(table) per batch — fine for small tables; for partitioned
     * lakes use `mergeWritePartitioned`, which is O(affected
@@ -95,17 +102,28 @@ object Upsert {
     * partitions, so the partitions holding old versions of incoming
     * keys are exactly the incoming rows' own partition values. The
     * affected-partition list (one string per partition — model-sized)
-    * is the only thing collected to the driver; the existing-side
-    * read is partition-pruned to those directories, and untouched
-    * partition directories are never opened, rewritten, or renamed.
+    * is the only thing collected to the driver.
+    *
+    * The existing side is selected by DIRECTORY IDENTITY — the
+    * affected partitions' hive-escaped paths are read explicitly,
+    * with partition-type inference disabled and the partition column
+    * cast back to the incoming type. A value-level filter would be
+    * wrong twice over: Spark's partition inference can round-trip a
+    * string value into a different literal ("007" reads back as int
+    * 7), silently matching nothing and REPLACING the partition with
+    * just the batch; and stray directories would pollute discovery.
+    * Untouched partition directories are never opened, rewritten, or
+    * renamed.
     *
     * Each affected partition directory is swapped via `safeSwap`
     * (rename aside → rename in → delete), so a crash at any instant
     * leaves a recoverable copy and interrupted swaps self-heal on the
-    * next run. The rename pair is not one atomic operation: a reader
-    * racing the swap can briefly miss one partition — serialize
-    * writers against readers (or use a MERGE-capable table format)
-    * where that window matters. */
+    * next run (aside copies are dot-prefixed — they can never be
+    * mistaken for, or collide with, a real partition directory). The
+    * rename pair is not one atomic operation: a reader racing the
+    * swap can briefly miss one partition — serialize writers against
+    * readers (or use a MERGE-capable table format) where that window
+    * matters. */
   def mergeWritePartitioned(incoming: DataFrame, keys: Seq[String], version: Seq[Column],
                             path: String, partCol: String): Unit = {
     val spark = incoming.sparkSession
@@ -114,26 +132,26 @@ object Upsert {
     val fs = root.getFileSystem(conf)
     val rawParts = incoming.select(col(partCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0))).toSeq
-    require(!rawParts.contains(None),
-      s"mergeWritePartitioned: null $partCol values in the incoming batch " +
-        "(null partitions have no stable directory identity to swap)")
+    require(!rawParts.exists(p => p.isEmpty || p.contains("")),
+      s"mergeWritePartitioned: null or empty $partCol values in the incoming batch " +
+        "(both land in __HIVE_DEFAULT_PARTITION__ — no stable directory identity to swap)")
     // directory names must match what Spark actually writes — values
-    // with ':', '=', '%', … are hive-escaped (e.g. '00%3A00%3A00'); a
-    // raw interpolation would miss the staging dir and silently drop
-    // the batch's rows for that partition
+    // with ':', '=', '%', … are hive-escaped (e.g. '00%3A00%3A00')
     val parts = rawParts.flatten.sorted.map(p =>
       p -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(p))
-    // heal EVERY interrupted swap first — a stray `dt=X__old` dir
-    // would otherwise be discovered as partition value "X__old"
-    if (fs.exists(root))
-      fs.listStatus(root).filter(_.getPath.getName.endsWith("__old"))
-        .foreach(st => recoverSwap(fs,
-          new Path(root, st.getPath.getName.stripSuffix("__old"))))
+    parts.foreach { case (_, esc) => recoverSwap(fs, new Path(root, s"$partCol=$esc")) }
+    val affectedDirs = parts
+      .map { case (_, esc) => new Path(root, s"$partCol=$esc") }
+      .filter(fs.exists).map(_.toString)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.get(inferKey)
     val existing =
-      if (fs.exists(root) && !fs.listStatus(root).isEmpty)
-        spark.read.parquet(path)
-          .filter(col(partCol).cast("string").isin(parts.map(_._1): _*))
-      else incoming.limit(0)
+      if (affectedDirs.isEmpty) incoming.limit(0)
+      else try {
+        spark.conf.set(inferKey, "false") // dir value verbatim, not re-typed
+        spark.read.option("basePath", path).parquet(affectedDirs: _*)
+          .withColumn(partCol, col(partCol).cast(incoming.schema(partCol).dataType))
+      } finally spark.conf.set(inferKey, inferPrev)
     val staging = path + "__staging"
     merge(existing, incoming, keys, version)
       .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staging)

@@ -127,8 +127,12 @@ object EventStream {
 
     def flush(userId: Long, st: AsOfState, wmMicros: Long,
               out: scala.collection.mutable.Builder[Enriched, Seq[Enriched]]): AsOfState = {
-      val (dueQ, keepQ) = st.quotes.partition(_._1 <= wmMicros)
-      val (dueT, keepT) = st.trades.partition(_._1 <= wmMicros)
+      // STRICTLY below the watermark: Spark admits rows AT the
+      // watermark, so a quote with ts exactly equal to a buffered
+      // trade's could still arrive — flushing that trade now would
+      // miss its inclusive same-instant match
+      val (dueQ, keepQ) = st.quotes.partition(_._1 < wmMicros)
+      val (dueT, keepT) = st.trades.partition(_._1 < wmMicros)
       var last = st.last
       // merge in event-time order, quotes first at equal instants
       val qIt = dueQ.sortBy(q => (q._1, q._2)).iterator.buffered

@@ -78,12 +78,18 @@ class OperatorsSpec extends SparkSpec {
     // idempotent: re-applying the same batch changes nothing
     Upsert.mergeWritePartitioned(incoming, Seq("k"), Seq(col("ver")), root, "dt")
     assert(spark.read.parquet(root).select("k", "v").as[(Long, String)].collect().toSet == after)
-    // crash healing: a stray __old leftover with its target missing is restored
-    val fs = new java.io.File(s"$root/dt=2024-01-03")
-    assert(fs.renameTo(new java.io.File(s"$root/dt=2024-01-03__old")))
+    // crash healing: a stray aside-copy leftover with its target
+    // missing is restored when that partition is touched again
+    val fs = new java.io.File(s"$root/dt=2024-01-02")
+    assert(fs.renameTo(new java.io.File(s"$root/.dt=2024-01-02__graft_old")))
     Upsert.mergeWritePartitioned(incoming, Seq("k"), Seq(col("ver")), root, "dt")
-    assert(partFiles("2024-01-03").map(_._1) == untouched03.map(_._1))
     assert(spark.read.parquet(root).select("k", "v").as[(Long, String)].collect().toSet == after)
+    // a real partition whose VALUE ends in __old is data, not a
+    // crash leftover — merges elsewhere must never touch it
+    Seq((9L, "z", 1L, "alpha__old")).toDF("k", "v", "ver", "dt")
+      .write.mode("append").partitionBy("dt").parquet(root)
+    Upsert.mergeWritePartitioned(incoming, Seq("k"), Seq(col("ver")), root, "dt")
+    assert(spark.read.parquet(root).filter(col("dt") === "alpha__old").count() == 1)
   }
 
   test("Upsert.mergeWritePartitioned escapes hive partition names; nulls rejected") {
@@ -100,6 +106,26 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Upsert.mergeWritePartitioned(withNull, Seq("k"), Seq(col("ver")), root, "dt")
     }
+    val withEmpty = Seq((3L, "c", 1L, "")).toDF("k", "v", "ver", "dt")
+    intercept[IllegalArgumentException] {
+      Upsert.mergeWritePartitioned(withEmpty, Seq("k"), Seq(col("ver")), root, "dt")
+    }
+  }
+
+  test("Upsert.mergeWritePartitioned keeps numeric-LOOKING string partitions intact") {
+    // partition inference would read dir dt=007 back as int 7; a
+    // value-level filter would then match nothing and replace the
+    // partition with just the batch — directory-identity reads don't
+    val root = Files.createTempDirectory("graft-upsert-007").toString + "/t"
+    Seq((1L, "a", 1L, "007"), (2L, "b", 1L, "007"), (3L, "c", 1L, "008"))
+      .toDF("k", "v", "ver", "dt").write.partitionBy("dt").parquet(root)
+    val incoming = Seq((1L, "a2", 2L, "007")).toDF("k", "v", "ver", "dt")
+    Upsert.mergeWritePartitioned(incoming, Seq("k"), Seq(col("ver")), root, "dt")
+    val rows = spark.read.parquet(root).selectExpr("k", "v", "cast(dt as string) dt")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows == Set((1L, "a2", "7"), (2L, "b", "7"), (3L, "c", "8")) ||
+      rows == Set((1L, "a2", "007"), (2L, "b", "007"), (3L, "c", "008")))
+    // the critical property: k=2 survived the merge of its partition
   }
 
   test("Upsert.heal restores a table whose swap crashed mid-rename") {
@@ -107,7 +133,8 @@ class OperatorsSpec extends SparkSpec {
     val df = Seq((1L, "x")).toDF("k", "v")
     df.write.parquet(dir)
     // simulate the crash window: target renamed aside, staging never in
-    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__old")))
+    val aside = new java.io.File(new java.io.File(dir).getParent, ".t__graft_old")
+    assert(new java.io.File(dir).renameTo(aside))
     Upsert.heal(spark, dir)
     assert(spark.read.parquet(dir).count() == 1)
   }
