@@ -20,7 +20,10 @@ object Bench {
     // name-sorted so per-query timings are comparable across rounds:
     // with Map iteration order, adding one query reshuffles who pays
     // the shared cold codegen/JIT of each operator family
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter (local profiling; driver passes none)
+    val results = (if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+                   else args.toSeq.map(n => n -> SparkEntry.queries(n)))
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: computes every output column (count() would let
       // Catalyst prune the projections) without any write cost.

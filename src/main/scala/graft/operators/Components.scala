@@ -10,33 +10,43 @@ import org.apache.spark.sql.functions._
   * B~C can both drop their "right side" and lose C's content even
   * though A survives.
   *
-  * Iterative min-label propagation in DataFrames: every node starts
-  * as its own label; each round takes the min of its own and its
-  * neighbors' labels (edges walked BOTH directions); convergence is
-  * checked with a per-round count — the same driver-coordinated
-  * iteration pattern as the IVF Lloyd loop, with only a scalar ever
-  * reaching the driver. Rounds needed = graph diameter; dedup
-  * graphs are overwhelmingly tiny cliques/chains, so 3-5 rounds is
-  * typical. (For adversarially long chains at 100 TB, switch to the
-  * large-star/small-star alternation — same join shapes, O(log n)
-  * rounds.) Each round is two key shuffles; `checkpointEvery` truncates
-  * the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+  * Iterative min-label propagation with POINTER DOUBLING, all in
+  * DataFrames. Two scale decisions:
+  *
+  *  1. Only EDGE-ENDPOINT nodes iterate. A near-dup graph touches a
+  *     tiny fraction of a 100 TB corpus; shuffling every node's label
+  *     every round would make each round O(corpus) instead of
+  *     O(matches). Non-endpoint nodes are singletons by definition
+  *     and join back (broadcast-sized labels vs the corpus) once at
+  *     the end.
+  *  2. Each round takes the min over (own label, neighbors' labels,
+  *     label-of-label). The extra label-of-label self-join is the
+  *     pointer-doubling hop that halves the remaining distance to the
+  *     component root each round — O(log diameter) rounds instead of
+  *     O(diameter), the same asymptotics as the large-star/small-star
+  *     alternation but with one fewer shuffle per round.
+  *
+  * Convergence is checked with a cheap scan over the round's eager
+  * checkpoint (only a boolean reaches the driver); the checkpoint
+  * also truncates lineage so round N never replays rounds 1..N-1.
+  * At a stable fixpoint labels are constant across every edge and
+  * equal to the component's min id (labels only ever decrease and
+  * start at the node's own id).
   */
 object Components {
 
-  /** (id, component) for every node in `nodes`; component = min
-    * reachable id via `edges` (undirected pairs). Nodes absent from
-    * every edge are their own singleton component. */
+  /** (id, comp) for every node in `nodes`; comp = min reachable id
+    * via `edges` (undirected pairs). Nodes absent from every edge are
+    * their own singleton component. */
   def connected(nodes: DataFrame, id: Column, edges: DataFrame,
-                a: Column, b: Column, maxIter: Int = 20,
-                checkpointEvery: Int = 1): DataFrame = {
-    // materialize the (small) edge list and seed labels ONCE — the
-    // iteration runs one action per round, and without this every
+                a: Column, b: Column, maxIter: Int = 20): DataFrame = {
+    // materialize the (match-sized, not corpus-sized) edge list ONCE —
+    // the iteration runs one action per round, and without this every
     // round would replay the entire upstream pair-generation pipeline
     val sym = edges.select(a.as("src"), b.as("dst"))
       .unionByName(edges.select(b.as("src"), a.as("dst")))
       .localCheckpoint(true)
-    var labels = nodes.select(id.as("id")).distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
     var iter = 0
@@ -44,10 +54,14 @@ object Components {
     while (iter < maxIter && !converged) {
       val nbrMin = sym.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("comp")).as("nc"))
-      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
-          (col("nc") < col("comp")).as("chg"))
-      val step = if ((iter + 1) % checkpointEvery == 0) next.localCheckpoint(true) else next
+      val hop = labels.select(col("id").as("pid"), col("comp").as("pc"))
+      val prop = least(coalesce(col("nc"), col("comp")), coalesce(col("pc"), col("comp")))
+      val next = labels
+        .join(nbrMin, col("id") === col("dst"), "left")
+        .join(hop, col("comp") === col("pid"), "left")
+        .select(col("id"), least(col("comp"), prop).as("comp"),
+          (prop < col("comp")).as("chg"))
+      val step = next.localCheckpoint(true)
       converged = step.filter(col("chg")).isEmpty
       labels = step.select(col("id"), col("comp"))
       iter += 1
@@ -56,8 +70,9 @@ object Components {
     // reported as several) — refuse rather than return them
     require(converged,
       s"Components.connected: not converged after $maxIter rounds " +
-        "(graph diameter exceeds maxIter — raise it, or use " +
-        "large-star/small-star for long-chain graphs)")
-    labels
+        "(pathological graph — raise maxIter)")
+    nodes.select(id.as("id")).distinct()
+      .join(labels.withColumnRenamed("comp", "__c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
   }
 }
