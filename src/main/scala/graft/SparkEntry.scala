@@ -628,6 +628,48 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C23 mergeable HLL distinct dashboard: per-lang distinct content
+    * hashes + a '*' row from UNIONING the per-group sketches (never
+    * re-scanning) — the storable-state form of A13's countDistinct.
+    * Rows-only: estimates carry the documented ±1.6% HLL bound
+    * (exact-vs-sketch tolerance is spec'd in SketchesSpec). */
+  private def c23(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.distinctByGroup(t(s, dir, "documents"),
+        col("lang"), md5(col("text")))
+      .orderBy(col("grp"))
+
+  /** C24 mergeable KLL quantiles: per-event-type p50/p90/p99 of value
+    * + a '*' row MERGING the per-group sketches — B10/B11's storable
+    * twin (the sketch is a column, not transient agg state). */
+  private def c24(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.quantilesByGroup(t(s, dir, "events"),
+        col("event_type"), col("value"), Seq(0.5, 0.9, 0.99))
+      .withColumnsRenamed(Map("q0" -> "p50", "q1" -> "p90", "q2" -> "p99"))
+      .orderBy(col("grp"))
+
+  /** C25 mergeable heavy hitters: top-10 terms via the
+    * accumulate/combine/estimate state — B7 with constant memory
+    * (exact here: vocabulary ≪ tracked budget; SketchesSpec pins
+    * that equivalence). */
+  private def c25(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.approxTopK(
+        t(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(lower(col("text")))).as("term")),
+        col("term"), k = 10)
+
+  /** C26 theta-sketch decontamination dashboard: train/val split
+    * (C17's deterministic threshold) → per-split theta sketch of
+    * content hashes → union/intersection/difference estimates — the
+    * single-pass sketch twin of C19's n-gram collision join. */
+  private def c26(s: SparkSession, dir: String): DataFrame = {
+    val split = operators.Sampling.trainValSplit(
+      t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("h")),
+      col("doc_id"), 0.25)
+    operators.Sketches.setOverlap(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "val"), col("h"))
+  }
+
   /** Per-language stopword suffix used to make the language-ID query
     * exercise every branch: each doc gets its declared language's
     * stopwords appended ×10, so the detector must recover `lang`. */
@@ -776,7 +818,11 @@ object SparkEntry {
     "a17_reactions_agg" -> (a17 _),
     "c13_scrub" -> (c13 _),
     "c14_repetition" -> (c14 _),
-    "c15_normalize" -> (c15 _))
+    "c15_normalize" -> (c15 _),
+    "c23_sketch_distinct" -> (c23 _),
+    "c24_sketch_quantiles" -> (c24 _),
+    "c25_sketch_topk" -> (c25 _),
+    "c26_sketch_overlap" -> (c26 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
