@@ -466,6 +466,21 @@ object SparkEntry {
       .orderBy(col("o_custkey"))
   }
 
+  /** B18 funnel conversion: view → click → purchase, greedy
+    * strictly-ordered stages per user — one user-key shuffle + a
+    * codegen'd sorted fold, stage-count independent (the oracle's
+    * min-ts cascade is the k-shuffle naive form; see
+    * operators.Funnel). */
+  private def b18(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.steps(t(s, dir, "events"), col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase"))
+
+  /** B19 retention cohorts: first-event-day cohort × day offset →
+    * distinct active users, first day via the user-key window (no
+    * firsts-table join). */
+  private def b19(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.retentionCohorts(t(s, dir, "events"), col("user_id"), col("ts"))
+
   /** C18 TF-IDF top terms per document (smoothed reciprocal-df — see
     * operators.TfIdf for the engine-portability rationale). */
   private def c18(s: SparkSession, dir: String): DataFrame =
@@ -810,6 +825,8 @@ object SparkEntry {
     "b15_rollup" -> (b15 _),
     "b16_pivot" -> (b16 _),
     "b17_skyline" -> (b17 _),
+    "b18_funnel" -> (b18 _),
+    "b19_retention" -> (b19 _),
     "c21_pipeline" -> (c21 _),
     "c22_dedup_clusters" -> (c22 _),
     "c18_tfidf" -> (c18 _),
@@ -1239,6 +1256,29 @@ object SparkEntry {
         |  WHERE q.n_orders >= p.n_orders AND q.total_spend >= p.total_spend
         |    AND (q.n_orders > p.n_orders OR q.total_spend > p.total_spend))
         |ORDER BY o_custkey""".stripMargin,
+    "b18_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3))
+        |ORDER BY step""".stripMargin,
+    "b19_retention" ->
+      """WITH f AS (SELECT user_id, ts,
+        |  CAST(min(ts) OVER (PARTITION BY user_id) AS DATE) AS first_day
+        |  FROM events)
+        |SELECT CAST(first_day AS VARCHAR) AS cohort,
+        |  CAST(date_diff('day', first_day, CAST(ts AS DATE)) AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM f GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
     "c22_dedup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
