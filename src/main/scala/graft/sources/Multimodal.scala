@@ -157,6 +157,74 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL (codec-free) audio container probe, the audio twin of
+    * `probeImage`: format + channels + sample rate + duration parsed
+    * from container headers alone. WAV: RIFF chunk walk to `fmt `
+    * (channels / rate / byte-rate) and `data` (payload size →
+    * duration = size / byte-rate). FLAC: the mandatory first
+    * STREAMINFO metadata block (sample rate is 20 bits, total
+    * samples 36 bits, packed big-endian at byte 18 of the block).
+    * Returns (format, channels, sample_rate, duration_ms); None for
+    * null/unrecognized/truncated payloads. */
+  def probeAudio(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3).toLong << 24)).toLong
+    def tag(i: Int, s: String) = s.indices.forall(j => b(i + j) == s(j).toByte)
+    if (b == null) None
+    else if (b.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE")) {
+      // chunk walk: chunks are (4-byte id, 4-byte LE size, payload),
+      // word-aligned; fmt may precede or follow non-audio chunks
+      var i = 12
+      var rate = -1; var channels = -1; var byteRate = -1L; var dataLen = -1L
+      while (i + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+        val size = le32(i + 4)
+        if (tag(i, "fmt ") && i + 16 + 8 <= b.length) {
+          channels = le16(i + 10); rate = le32(i + 12).toInt; byteRate = le32(i + 16)
+        } else if (tag(i, "data")) dataLen = size
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (rate > 0 && byteRate > 0 && dataLen >= 0)
+        Some(("wav", channels, rate, dataLen * 1000L / byteRate))
+      else None
+    } else if (b.length >= 4 + 4 + 34 && tag(0, "fLaC")) {
+      // STREAMINFO is required first: header byte 4 has type in the
+      // low 7 bits (0 = STREAMINFO); block starts at byte 8
+      if ((u8(4) & 0x7f) != 0) None
+      else {
+        val s = 8
+        val rate = (u8(s + 10) << 12) | (u8(s + 11) << 4) | (u8(s + 12) >> 4)
+        val channels = ((u8(s + 12) >> 1) & 0x7) + 1
+        val totalSamples = ((u8(s + 13) & 0xfL) << 32) | (u8(s + 14).toLong << 24) |
+          (u8(s + 15).toLong << 16) | (u8(s + 16).toLong << 8) | u8(s + 17).toLong
+        if (rate == 0) None
+        else Some(("flac", channels, rate, totalSamples * 1000L / rate))
+      }
+    } else None
+  }
+
+  /** Append a `probed_audio struct<format,channels,sample_rate,
+    * duration_ms>` column from the real header parse — map-side,
+    * same contract as `probeMeta`. */
+  def probeAudioMeta(media: DataFrame): DataFrame = {
+    val probedType = StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    val outSchema = media.schema.add("probed_audio", probedType, nullable = true)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = probeAudio(r.get(contentIdx).asInstanceOf[Array[Byte]])
+          .map { case (f, c, sr, d) => Row(f, c, sr, d) }.orNull
+        Row.fromSeq(r.toSeq :+ p)
+      }
+    }(enc)
+  }
+
   /** One row per sampled frame for video media: (media_id, frame_idx,
     * frame_ms) every `everyMs` within meta.duration_ms — the explode
     * happens BEFORE decode so frame work distributes evenly. */

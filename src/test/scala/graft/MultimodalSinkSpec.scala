@@ -94,6 +94,62 @@ class MultimodalSinkSpec extends SparkSpec {
     assert(probed == Set((0L, "png", 64, 32), (1L, "-", -1, -1), (2L, "-", -1, -1)))
   }
 
+  test("C12 probeAudio parses real WAV/FLAC headers, rejects junk") {
+    // canonical 44-byte WAV header + data payload; fmt after a
+    // spec-legal LIST chunk in the shuffled variant
+    def wav(channels: Int, rate: Int, dataBytes: Int, pre: Array[Byte] = Array()): Array[Byte] = {
+      val byteRate = rate * channels * 2
+      val b = java.nio.ByteBuffer.allocate(12 + pre.length + 24 + 8 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+      b.put(pre)
+      b.put("fmt ".getBytes).putInt(16).putShort(1.toShort).putShort(channels.toShort)
+      b.putInt(rate).putInt(byteRate).putShort((channels * 2).toShort).putShort(16.toShort)
+      b.put("data".getBytes).putInt(dataBytes).put(new Array[Byte](dataBytes))
+      b.array()
+    }
+    def list(n: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes).putInt(n).put(new Array[Byte](n))
+      b.array()
+    }
+    def flac(channels: Int, rate: Int, totalSamples: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+      b.put("fLaC".getBytes)
+      b.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte) // last block, STREAMINFO
+      b.put(new Array[Byte](10)) // block/frame sizes
+      // 20-bit rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit samples
+      b.put((rate >> 12).toByte).put(((rate >> 4) & 0xff).toByte)
+      b.put((((rate & 0xf) << 4) | ((channels - 1) << 1) | 0).toByte)
+      b.put(((totalSamples >> 32) & 0xf).toByte)
+      b.put(((totalSamples >> 24) & 0xff).toByte).put(((totalSamples >> 16) & 0xff).toByte)
+      b.put(((totalSamples >> 8) & 0xff).toByte).put((totalSamples & 0xff).toByte)
+      b.array()
+    }
+    // 16000 Hz stereo 16-bit → byteRate 64000; 32000 bytes = 500 ms
+    assert(Multimodal.probeAudio(wav(2, 16000, 32000)) == Some(("wav", 2, 16000, 500L)))
+    // fmt chunk AFTER a LIST chunk still found by the walk
+    assert(Multimodal.probeAudio(wav(1, 8000, 8000, list(10))) == Some(("wav", 1, 8000, 500L)))
+    // 44100 Hz, 22050 samples = 500 ms
+    assert(Multimodal.probeAudio(flac(2, 44100, 22050L)) == Some(("flac", 2, 44100, 500L)))
+    assert(Multimodal.probeAudio(flac(1, 96000, 96000L * 3600)) == Some(("flac", 1, 96000, 3600000L)))
+    assert(Multimodal.probeAudio("RIFFxxxxJUNK".getBytes) == None)
+    assert(Multimodal.probeAudio(Array[Byte](1, 2, 3)) == None)
+    assert(Multimodal.probeAudio(null) == None)
+
+    val rows = Seq(
+      Row(0L, "audio", wav(2, 16000, 32000), null),
+      Row(1L, "audio", Array[Byte](9, 9, 9), null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val probed = Multimodal.probeAudioMeta(df)
+      .select("media_id", "probed_audio.format", "probed_audio.duration_ms")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "-" else r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(probed == Set((0L, "wav", 500L), (1L, "-", -1L)))
+  }
+
   test("E4 partitioned sink enables partition pruning") {
     val dir = Files.createTempDirectory("graft-sink").toString + "/events"
     val df = Seq(
