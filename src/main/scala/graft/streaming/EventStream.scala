@@ -258,4 +258,29 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** D6: continuous keyed upsert sink — the streaming form of the
+    * reference's batched `ON CONFLICT DO UPDATE` loader
+    * (db_loader.py:117-181): each micro-batch keep-latest-merges into
+    * a partitioned parquet table via `Upsert.mergeWritePartitioned`
+    * (O(batch) partition-scoped rewrite, crash-safe swaps).
+    *
+    * Exactly-once EFFECTIVE semantics without a transactional sink:
+    * foreachBatch may REPLAY a micro-batch after recovery, and the
+    * keyed keep-latest merge is IDEMPOTENT (re-merging rows already
+    * in the table changes nothing), so replays are absorbed —
+    * idempotent-write exactly-once, the documented pattern for
+    * non-transactional stores. Returns the started query. */
+  def upsertSink(stream: DataFrame, keys: Seq[String], version: Seq[String],
+                 path: String, partCol: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Upsert.mergeWritePartitioned(
+            batch, keys, version.map(col), path, partCol)
+      }
+      .start()
 }

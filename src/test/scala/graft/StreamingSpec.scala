@@ -36,6 +36,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Upd(k: Long, day: String, ver: Long, v: String)
+
+  test("D6 upsertSink: micro-batches keep-latest-merge into the table; replay is absorbed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-d6").toString
+    val path = dir + "/tbl"
+    val input = MemoryStream[Upd](spark)(Encoders.product[Upd])
+    val q = EventStream.upsertSink(input.toDF(), Seq("k"), Seq("ver"),
+      path, "day", dir + "/ckpt")
+    def table() = spark.read.parquet(path)
+      .selectExpr("k", "cast(day as string) day", "ver", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    try {
+      input.addData(Upd(1L, "2024-01-01", 1L, "a"), Upd(2L, "2024-01-02", 1L, "b"))
+      q.processAllAvailable()
+      assert(table() == Set((1L, "2024-01-01", 1L, "a"), (2L, "2024-01-02", 1L, "b")))
+      // batch 2: newer version of k=1, older (late) version of k=2, new k=3
+      input.addData(Upd(1L, "2024-01-01", 5L, "a2"), Upd(2L, "2024-01-02", 0L, "stale"),
+        Upd(3L, "2024-01-01", 1L, "c"))
+      q.processAllAvailable()
+      val after = table()
+      assert(after == Set((1L, "2024-01-01", 5L, "a2"), (2L, "2024-01-02", 1L, "b"),
+        (3L, "2024-01-01", 1L, "c")))
+      // simulated REPLAY of batch 2 (foreachBatch redelivery after a
+      // crash): idempotent merge leaves the table unchanged
+      import org.apache.spark.sql.functions.col
+      val replay = spark.createDataFrame(Seq(
+        Upd(1L, "2024-01-01", 5L, "a2"), Upd(2L, "2024-01-02", 0L, "stale"),
+        Upd(3L, "2024-01-01", 1L, "c")))
+      graft.operators.Upsert.mergeWritePartitioned(
+        replay, Seq("k"), Seq(col("ver")), path, "day")
+      assert(table() == after)
+    } finally q.stop()
+  }
+
   test("D4 attribute: conversions match prior clicks within the window") {
     import EventStream.{Click, Conversion}
     val clicks = MemoryStream[Click](spark)(Encoders.product[Click])
