@@ -592,6 +592,21 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C27 ANN via product quantization: 8 codes per 64-dim vector
+    * (32× compression — the form factor a 100 TB embedding corpus is
+    * scanned in), ADC approximate scan + exact cosine re-rank
+    * (rows-only — the Lloyd codebooks are float-order sensitive; the
+    * recall and exact-score properties are pinned in PQSpec). */
+  private def c27(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = operators.PQ.train(e, col("vec_id"), col("embedding"))
+    val encoded = operators.PQ.encode(e, col("vec_id"), col("embedding"), model)
+    operators.PQ.adcTopK(encoded, e, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), model, k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** C17 deterministic sampling/split: reproducible 25% holdout via
     * lexicographic md5 threshold (never rand()), plus a 40% stratified
     * keep for en docs / 10% for the rest — all pure map-side. */
@@ -839,7 +854,8 @@ object SparkEntry {
     "c23_sketch_distinct" -> (c23 _),
     "c24_sketch_quantiles" -> (c24 _),
     "c25_sketch_topk" -> (c25 _),
-    "c26_sketch_overlap" -> (c26 _))
+    "c26_sketch_overlap" -> (c26 _),
+    "c27_ann_pq" -> (c27 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.VectorExpressions
+
+/** Product-quantization ANN (SURVEY C27) — compressed-domain
+  * similarity search in the IVFADC family (Jégou, Douze, Schmid,
+  * "Product quantization for nearest neighbor search", TPAMI 2011).
+  *
+  * Vectors are L2-normalized, split into `m` subspaces, and each
+  * subvector is replaced by the id of its nearest subspace centroid:
+  * d floats become m small codes (64-dim float32 → 8 bytes here, a
+  * 32× compression), which is what makes a 100 TB embedding corpus
+  * scannable — the scan touches codes, not vectors.
+  *
+  * Search is ADC (asymmetric distance computation): each query
+  * precomputes an m×k table of subspace dots against the centroids
+  * (tiny, broadcast with the query), and a candidate's approximate
+  * cosine is m array lookups summed — `zip_with(codes, tbl, …)` +
+  * `aggregate`, fully codegen'd, no join fan-out. The top `rerank`
+  * candidates per query are then re-scored EXACTLY against the full
+  * vectors (one model-sized semi-join), so approximation decides only
+  * WHICH candidates are considered, never their reported scores —
+  * the same verify-exact discipline as the LSH/IVF/angular-cell
+  * operators here.
+  *
+  * Training runs one Lloyd recursion for ALL subspaces at once: the
+  * corpus explodes to (id, sub, subvector) rows, assignment is a
+  * broadcast join on `sub` + arg-max over the k cells, the update is
+  * a (sub, cell, dim) mean — two shuffles per iteration total,
+  * independent of m. Only the m×k×(d/m) centroid model (= one
+  * d-dim vector per cell column, ~k·d doubles) ever reaches the
+  * driver, embedded as plan-time literals for the map-side encode.
+  */
+object PQ {
+
+  /** Trained model: centroids(sub)(cell) = subspace centroid. */
+  final case class Model(m: Int, k: Int, subDim: Int,
+                         centroids: Seq[Seq[Seq[Double]]]) {
+    require(centroids.length == m && centroids.forall(_.length == k))
+  }
+
+  /** L2-normalized d-dim view of `vec` (PQ operates on the unit
+    * sphere so ADC dots approximate cosine directly). */
+  private def unit(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    transform(v, x => x / VectorExpressions.norm(v))
+  }
+
+  /** Train the m×k subspace codebooks with `iters` Lloyd rounds,
+    * seeded deterministically from the `k` lowest-id vectors'
+    * subvectors. */
+  def train(corpus: DataFrame, id: Column, vec: Column,
+            m: Int = 8, k: Int = 16, iters: Int = 2): Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = corpus.select(size(vec.cast("array<double>"))).as[Int].head()
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val subDim = d / m
+    val subs = corpus.select(id.as("id"), unit(vec).as("v"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("v"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
+
+    // seed: subvector s of the j-th lowest-id vector → cell j of
+    // codebook s (collected as keyed rows — no reliance on row order)
+    val seedRows = corpus
+      .select(id.cast("long").as("id"), unit(vec).as("v")).orderBy(col("id")).limit(k)
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("v"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
+      .as[(Long, Int, Seq[Double])].collect()
+    val cellOfId = seedRows.map(_._1).distinct.sorted.zipWithIndex.toMap
+    var model: Seq[((Int, Int), Seq[Double])] =
+      seedRows.toSeq.map { case (i, s, sv) => ((s, cellOfId(i)), sv) }
+    for (_ <- 0 until iters) {
+      val cents = model.map { case ((s, c), cv) => (s, c, cv) }
+        .toDF("sub", "cell", "cv")
+      val assigned = subs.join(broadcast(cents), "sub")
+        // nearest by L2 ⇔ max of (sv·cv − |cv|²/2) — dot is codegen'd
+        .withColumn("sc", VectorExpressions.dot(col("sv"), col("cv")) -
+          VectorExpressions.dot(col("cv"), col("cv")) / 2)
+        .groupBy(col("id"), col("sub"))
+        .agg(max(struct(col("sc"), (-col("cell")).as("nc"))).as("b"),
+          first(col("sv")).as("sv"))
+        .select(col("sub"), (-col("b.nc")).as("cell"), col("sv"))
+      model = assigned
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cell"), col("dim")).agg(avg(col("x")).as("mu"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+        .select(col("sub"), col("cell"), transform(col("dm"), e => e.getField("mu")).as("cv"))
+        .as[(Int, Int, Seq[Double])].collect().toSeq
+        .map { case (s, c, cv) => ((s, c), cv) }
+    }
+    val byKey = model.toMap
+    // a cell that lost all members keeps its previous centroid absent
+    // from `model` — refill from the seed order to keep the codebook
+    // total (codes must always have k valid targets)
+    val seedFill = byKey.values.head
+    Model(m, k, subDim, Seq.tabulate(m)(s => Seq.tabulate(k)(c =>
+      byKey.getOrElse((s, c), seedFill))))
+  }
+
+  /** Append `codes array<int>` (length m): per subspace, the cell id
+    * of the nearest codebook centroid — pure map-side against the
+    * literal model. */
+  def encode(corpus: DataFrame, id: Column, vec: Column, model: Model): DataFrame = {
+    val codes = array((0 until model.m).map { s =>
+      val sv = slice(unit(vec), s * model.subDim + 1, model.subDim)
+      val best = greatest(model.centroids(s).zipWithIndex.map { case (cv, c) =>
+        struct(
+          (VectorExpressions.dot(sv, typedlit(cv)) - lit(cv.map(x => x * x).sum / 2)).as("sc"),
+          lit(-c).as("nc"))
+      }: _*)
+      (-best.getField("nc")).cast("int")
+    }: _*)
+    corpus.select(id.as("vec_id"), codes.as("codes"))
+  }
+
+  /** ADC top-k: approximate-cosine scan over codes, exact re-rank of
+    * the top `rerank` candidates per query against the full vectors.
+    * Returns (query_id, rank, vec_id, cosine) with the EXACT rounded
+    * cosine, rank by (cosine desc, vec_id). */
+  def adcTopK(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+              id: Column, vec: Column, model: Model, k: Int,
+              rerank: Int = 32): DataFrame = {
+    // per-query m×k ADC table: tbl(sub)(cell) = q_sub · centroid
+    val tbl = array((0 until model.m).map { s =>
+      val qs = slice(unit(vec), s * model.subDim + 1, model.subDim)
+      array(model.centroids(s).map(cv =>
+        VectorExpressions.dot(qs, typedlit(cv))): _*)
+    }: _*)
+    val q = queries.select(id.as("query_id"), tbl.as("tbl"))
+    val approx = encoded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("tbl"), (c, t) => element_at(t, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank: candidates join back to true vectors (model-sized
+    // per query), scores are exact rounded cosine like C6
+    val full = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .withColumn("nrm", VectorExpressions.norm(col("v")))
+    val qfull = queries.select(id.as("query_id"), vec.cast("array<double>").as("qv"))
+      .withColumn("qn", VectorExpressions.norm(col("qv")))
+    approx
+      .join(full, "vec_id")
+      .join(broadcast(qfull), "query_id")
+      .withColumn("cosine",
+        round(VectorExpressions.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+}

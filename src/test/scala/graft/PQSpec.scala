@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{PQ, Similarity}
+
+/** Product quantization (C27): codes are well-formed, ADC+rerank
+  * recalls brute-force neighbors, and reported scores are exact. */
+class PQSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 240 vectors in 12 deterministic clusters on the unit sphere
+  // (dim 16): cluster centers from a fixed LCG, members = center +
+  // small deterministic jitter
+  private lazy val vecs = {
+    val dim = 16
+    def lcg(seed: Long): Iterator[Double] =
+      Iterator.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
+        .map(s => ((s >>> 33).toDouble / (1L << 31).toDouble) - 0.5)
+    val centers = (0 until 12).map(c => lcg(c * 7919L + 1).take(dim).toArray)
+    (0 until 240).map { i =>
+      val c = centers(i % 12)
+      val j = lcg(i * 104729L + 13).take(dim).toArray
+      val v = c.indices.map(d => c(d) + 0.08 * j(d)).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("encode: m codes per vector, all within the codebook") {
+    val model = PQ.train(vecs, col("vec_id"), col("embedding"), m = 4, k = 8, iters = 2)
+    val codes = PQ.encode(vecs, col("vec_id"), col("embedding"), model)
+      .select(col("codes")).as[Seq[Int]].collect()
+    assert(codes.length == 240)
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // clustered corpus → codebook actually used, not collapsed
+    assert(codes.distinct.length > 8)
+  }
+
+  test("adcTopK: recall@5 vs brute force >= 0.8 with rerank, scores exact") {
+    val queries = vecs.filter(col("vec_id") < 10)
+    val model = PQ.train(vecs, col("vec_id"), col("embedding"), m = 4, k = 8, iters = 2)
+    val encoded = PQ.encode(vecs, col("vec_id"), col("embedding"), model)
+    val pq = PQ.adcTopK(encoded, vecs, queries, col("vec_id"), col("embedding"),
+        model, k = 5, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val bf = Similarity.bruteForceTopK(vecs, queries, col("vec_id"), col("embedding"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val bfSet = bf.map(t => (t._1, t._2)).toSet
+    val hit = pq.map(t => (t._1, t._2)).count(bfSet)
+    assert(hit >= (0.8 * bfSet.size).toInt, s"recall ${hit}/${bfSet.size}")
+    // any overlapping (query, vec) pair reports the SAME exact cosine
+    val bfScore = bf.map(t => (t._1, t._2) -> t._3).toMap
+    pq.foreach { case (q, v, s) =>
+      bfScore.get((q, v)).foreach(exp => assert(s == exp, s"($q,$v): $s vs $exp"))
+    }
+  }
+}
