@@ -592,6 +592,18 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C28 char-trigram LM perplexity score (CCNet-style quality
+    * filter): model trained on the corpus itself, documents ranked
+    * by average negative log-prob — decimal-summed, rounded per
+    * SURVEY §4 so the DuckDB oracle hash-matches. */
+  private def c28(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = operators.LangModel.train(docs, lower(col("text")))
+    operators.LangModel.score(docs, col("doc_id"), lower(col("text")), model)
+      .select(col("id").as("doc_id"), col("n_tris"), col("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C27 ANN via product quantization: 8 codes per 64-dim vector
     * (32× compression — the form factor a 100 TB embedding corpus is
     * scanned in), ADC approximate scan + exact cosine re-rank
@@ -855,7 +867,8 @@ object SparkEntry {
     "c24_sketch_quantiles" -> (c24 _),
     "c25_sketch_topk" -> (c25 _),
     "c26_sketch_overlap" -> (c26 _),
-    "c27_ann_pq" -> (c27 _))
+    "c27_ann_pq" -> (c27 _),
+    "c28_lm_score" -> (c28 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1287,6 +1300,23 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3))
         |ORDER BY step""".stripMargin,
+    "c28_lm_score" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+        |        FROM d, UNNEST(range(1, CASE WHEN length(t) >= 3
+        |                                     THEN length(t) - 1 ELSE 1 END)) AS u(i)),
+        |c3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c3),
+        |c2 AS (SELECT substr(tri, 1, 2) AS pre, sum(c3) AS c2 FROM c3 GROUP BY 1),
+        |m AS (SELECT tri, round(ln((c3 + 0.5) / (c2 + 0.5 * (SELECT v FROM v))), 8) AS logp
+        |      FROM c3 JOIN c2 ON substr(c3.tri, 1, 2) = c2.pre),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tris,
+        |         CAST(sum(CAST(logp AS DECIMAL(20,8))) AS DOUBLE) AS s
+        |       FROM tri JOIN m USING (tri) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(sc.n_tris, 0) AS n_tris,
+        |  coalesce(round(-sc.s / sc.n_tris, 6),
+        |           round(-round(ln(0.5 / (0.5 * (SELECT v FROM v))), 8), 6)) AS lm_score
+        |FROM d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "b19_retention" ->
       """WITH f AS (SELECT user_id, ts,
         |  CAST(min(ts) OVER (PARTITION BY user_id) AS DATE) AS first_day
