@@ -503,6 +503,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C29 bloom-prefiltered decontamination: identical semantics (and
+    * oracle) to C19, but train-side grams pass a Bloom sketch of the
+    * eval grams BEFORE the join's exchange — the shuffle carries only
+    * collisions + fpp strays (see operators.Bloom / E10). */
+  private def c29(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 100 =!= 0)
+    val eval = docs.filter(col("doc_id") % 100 === 0)
+    val shared = operators.Contamination.sharedGramsPrefiltered(
+      train, eval, col("doc_id"), lower(col("text")), 5, expectedEvalGrams = 200000L)
+    train.select(col("doc_id")).join(shared.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** A17 reactions-map aggregation (db_loader.py:98 reactions JSONB,
     * message_scraper.py:38-44 emoji→count maps): a deterministic
     * two-emoji reaction map is synthesized per event from the props
@@ -868,7 +883,8 @@ object SparkEntry {
     "c25_sketch_topk" -> (c25 _),
     "c26_sketch_overlap" -> (c26 _),
     "c27_ann_pq" -> (c27 _),
-    "c28_lm_score" -> (c28 _))
+    "c28_lm_score" -> (c28 _),
+    "c29_decontaminate_bloom" -> (c29 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1384,6 +1400,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "c19_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-3),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS s
+        |  FROM toks WHERE len(t) >= 5),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 100 = 0),
+        |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 100 <> 0),
+        |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+        |        FROM tr JOIN ev USING (g) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(hit.shared_grams, 0) AS shared_grams
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+        |LEFT JOIN hit USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // c29 = c19 with a Bloom prefilter that cannot change the result
+    // — the oracle is the same collision count
+    "c29_decontaminate_bloom" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
         |  FROM documents),

@@ -23,11 +23,30 @@ object Contamination {
     * every doc must appear). Returns (id, shared_grams). */
   def sharedGrams(train: DataFrame, eval: DataFrame, id: Column, text: Column,
                   n: Int): DataFrame = {
-    def grams(df: DataFrame) = Shingles.exploded(df, id, text, n)
+    val evalGrams = grams(eval, id, text, n).select(col("h")).distinct()
+    grams(train, id, text, n)
+      .join(evalGrams, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  private def grams(df: DataFrame, id: Column, text: Column, n: Int) =
+    Shingles.exploded(df, id, text, n)
       .select(col("id"), md5(col("sh")).as("h"))
       .dropDuplicates("id", "h")
-    val evalGrams = grams(eval).select(col("h")).distinct()
-    grams(train)
+
+  /** `sharedGrams` with a Bloom prefilter (E10) on the train side:
+    * train grams that are definitely not in the eval set never reach
+    * the join's exchange — at 100 TB that is almost all of them, so
+    * the shuffle carries ~collisions + fpp·|train grams| instead of
+    * every gram. Output is bit-identical to `sharedGrams` (the Bloom
+    * admits false positives only; the exact join resolves them). */
+  def sharedGramsPrefiltered(train: DataFrame, eval: DataFrame, id: Column,
+                             text: Column, n: Int,
+                             expectedEvalGrams: Long): DataFrame = {
+    val evalGrams = grams(eval, id, text, n).select(col("h")).distinct()
+    Bloom.prefilterFor(grams(train, id, text, n), col("h"),
+        evalGrams, col("h"), expectedEvalGrams)
       .join(evalGrams, "h")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("shared_grams"))
