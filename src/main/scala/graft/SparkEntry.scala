@@ -466,6 +466,26 @@ object SparkEntry {
       .orderBy(col("o_custkey"))
   }
 
+  /** A18 snapshot diff: what an upsert cycle actually changed —
+    * keep-latest snapshots of the events table at two cutoffs,
+    * diffed per (user_id, event_type) key. Cumulative tables only
+    * ever add/change; the 'removed' branch is exercised in
+    * SnapshotSpec (see operators.Snapshot). */
+  private def a18(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def snap(cutoff: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.filter(col("ts") < lit(cutoff).cast("timestamp"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    }
+    operators.Snapshot.diff(snap("2024-01-01 12:00:00"), snap("2024-01-31 00:00:00"),
+        Seq("user_id", "event_type"), Seq("event_id", "value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** B18 funnel conversion: view → click → purchase, greedy
     * strictly-ordered stages per user — one user-key shuffle + a
     * codegen'd sorted fold, stage-count independent (the oracle's
@@ -867,6 +887,7 @@ object SparkEntry {
     "b15_rollup" -> (b15 _),
     "b16_pivot" -> (b16 _),
     "b17_skyline" -> (b17 _),
+    "a18_snapshot_diff" -> (a18 _),
     "b18_funnel" -> (b18 _),
     "b19_retention" -> (b19 _),
     "c21_pipeline" -> (c21 _),
@@ -1301,6 +1322,26 @@ object SparkEntry {
         |  WHERE q.n_orders >= p.n_orders AND q.total_spend >= p.total_spend
         |    AND (q.n_orders > p.n_orders OR q.total_spend > p.total_spend))
         |ORDER BY o_custkey""".stripMargin,
+    "a18_snapshot_diff" ->
+      """WITH s1 AS (SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-01 12:00:00') WHERE rn = 1),
+        |s2 AS (SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-31 00:00:00') WHERE rn = 1)
+        |SELECT user_id, event_type,
+        |  CASE WHEN s1.event_id IS NULL THEN 'added'
+        |       WHEN s2.event_id IS NULL THEN 'removed'
+        |       WHEN s1.event_id IS DISTINCT FROM s2.event_id
+        |         OR s1.value IS DISTINCT FROM s2.value THEN 'changed' END AS change
+        |FROM s1 FULL OUTER JOIN s2 USING (user_id, event_type)
+        |WHERE CASE WHEN s1.event_id IS NULL THEN 'added'
+        |           WHEN s2.event_id IS NULL THEN 'removed'
+        |           WHEN s1.event_id IS DISTINCT FROM s2.event_id
+        |             OR s1.value IS DISTINCT FROM s2.value THEN 'changed' END IS NOT NULL
+        |ORDER BY user_id, event_type""".stripMargin,
     "b18_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),
