@@ -25,12 +25,11 @@ import org.apache.spark.sql.functions._
 object LangModel {
 
   /** All length-3 character windows of `text` (lowercased upstream if
-    * the caller wants case folding). */
+    * the caller wants case folding) — the native linear-pass
+    * expression (per-position substr is quadratic on UTF-8; see
+    * plans.CharNgrams). */
   private[operators] def charTrigrams(text: Column): Column =
-    filter(
-      transform(sequence(lit(1), greatest(length(text) - 2, lit(0))),
-        i => text.substr(i, lit(3))),
-      t => length(t) === 3)
+    graft.plans.TextExpressions.charNgrams(text, 3)
 
   /** Trained model: (tri, logp) with add-half smoothing
     * logp = ln((c(tri) + 0.5) / (c(prefix) + 0.5·V)), plus the
@@ -40,7 +39,12 @@ object LangModel {
 
   def train(docs: DataFrame, text: Column): Model = {
     val tris = docs.select(explode(charTrigrams(text)).as("tri"))
+    // materialize the (charset-bounded, tiny) trigram counts ONCE:
+    // vocab count, prefix counts, and the model table all derive from
+    // it — without this the corpus-sized explode would run three
+    // times (count action, model build, and again under the join)
     val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+      .localCheckpoint(true)
     val vocab = c3.count().toDouble
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("pre"))
       .agg(sum(col("c3")).as("c2"))

@@ -42,6 +42,15 @@ object GraftExtensions {
     SortedIntersectSize(args.head, args.last)
   }
 
+  private def charNgramsOf(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "expected (text, n)")
+    val n = args.last match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
+    }
+    CharNgrams(args.head, n)
+  }
+
   private[plans] val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
@@ -51,7 +60,10 @@ object GraftExtensions {
       cosineOf _),
     ("graft_sorted_intersect_size",
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
-      intersectOf _))
+      intersectOf _),
+    ("graft_char_ngrams",
+      new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
+      charNgramsOf _))
 
   /** Idempotently register the graft functions on a live session. */
   def register(spark: SparkSession): Unit =

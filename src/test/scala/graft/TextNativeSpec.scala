@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.TextExpressions
+
+/** Native CharNgrams (E2): codepoint-exact parity with the
+  * substr-based HOF form on ASCII, Cyrillic, and astral-plane text —
+  * same grams the DuckDB oracle computes. */
+class TextNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofTrigrams(text: org.apache.spark.sql.Column) =
+    filter(
+      transform(sequence(lit(1), greatest(length(text) - 2, lit(0))),
+        i => text.substr(i, lit(3))),
+      t => length(t) === 3)
+
+  test("charNgrams == substr HOF on mixed-width unicode") {
+    val rows = Seq(
+      "hello world",
+      "ab", "abc", "", "a",
+      "привет мир и ещё немного текста",
+      "emoji 😀 inside 🎉 text",
+      "mixed räksmörgås ascii приве́т"
+    ).toDF("t")
+    val out = rows.select(
+        TextExpressions.charNgrams(col("t"), 3).as("native"),
+        hofTrigrams(col("t")).as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native ${r.getSeq[String](0)} vs hof ${r.getSeq[String](1)}")
+    }
+  }
+
+  test("graft_char_ngrams is SQL-callable after registration") {
+    graft.plans.GraftExtensions.register(spark)
+    Seq("abcd").toDF("t").createOrReplaceTempView("tns_t")
+    val grams = spark.sql("SELECT graft_char_ngrams(t, 2) g FROM tns_t")
+      .collect().head.getSeq[String](0)
+    assert(grams == Seq("ab", "bc", "cd"))
+  }
+}
