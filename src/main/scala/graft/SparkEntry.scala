@@ -523,6 +523,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C30 token-budget shard packing: docs → fixed-budget training
+    * shards by exclusive prefix sum of whitespace token counts in
+    * doc_id order — two-phase distributed prefix sum, never a global
+    * single-partition window (the oracle's global window IS the
+    * naive form; see operators.Packing). */
+  private def c30(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packByBudget(t(s, dir, "documents"),
+        col("doc_id"), TextFunctions.wordCount(col("text")), budget = 2000L)
+      .select(col("id").as("doc_id"), col("weight").as("tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+
   /** C29 bloom-prefiltered decontamination: identical semantics (and
     * oracle) to C19, but train-side grams pass a Bloom sketch of the
     * eval grams BEFORE the join's exchange — the shuffle carries only
@@ -905,7 +916,8 @@ object SparkEntry {
     "c26_sketch_overlap" -> (c26 _),
     "c27_ann_pq" -> (c27 _),
     "c28_lm_score" -> (c28 _),
-    "c29_decontaminate_bloom" -> (c29 _))
+    "c29_decontaminate_bloom" -> (c29 _),
+    "c30_shard_pack" -> (c30 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1456,6 +1468,15 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
         |LEFT JOIN hit USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "c30_shard_pack" ->
+      """WITH w AS (SELECT doc_id,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |       ELSE len(regexp_extract_all(text, '\S+')) END AS BIGINT) AS tokens
+        |  FROM documents)
+        |SELECT doc_id, tokens,
+        |  CAST(floor(coalesce(sum(tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS shard
+        |FROM w ORDER BY doc_id""".stripMargin,
     // c29 = c19 with a Bloom prefilter that cannot change the result
     // — the oracle is the same collision count
     "c29_decontaminate_bloom" ->
