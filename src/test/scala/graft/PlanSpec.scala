@@ -106,4 +106,36 @@ class PlanSpec extends SparkSpec {
     val p14 = plan("a14_mode_incremental")
     assert(p14.contains("GreaterThanOrEqual(ts,"), p14)
   }
+
+  test("c29 decontamination keeps its bloom prefilter in the plan") {
+    // regression guard: if the prefilter is dropped the query still
+    // passes its oracle (results are identical by design) but the
+    // 100 TB shuffle-reduction silently disappears
+    val p = plan("c29_decontaminate_bloom")
+    assert(p.contains("might_contain"), p)
+  }
+
+  test("c28 lm score explodes via the native linear-pass expression") {
+    val p = plan("c28_lm_score")
+    assert(p.contains("graft_char_ngrams"), p)
+    // the quadratic per-position substring-in-a-lambda form must not
+    // come back (fixed-position substring(tri, 1, 2) in the model
+    // build is O(1) and fine)
+    assert(!p.contains("lambdafunction(substring"), p)
+  }
+
+  test("b18 funnel: one user-key exchange feeds the fold, no join") {
+    val p = plan("b18_funnel")
+    assert(!p.contains("Join"), p)
+    val userExchanges = "hashpartitioning\\(u".r.findAllIn(p).size
+    assert(userExchanges >= 1, p)
+  }
+
+  test("c30 shard packing: windows are per-range-partition, never global") {
+    val p = plan("c30_shard_pack")
+    // a global-order window would show an empty partition spec:
+    // "Window [...], [id ASC..." with SinglePartition exchange
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("pid"), p)
+  }
 }
