@@ -28,8 +28,9 @@ import graft.plans.VectorExpressions
   *
   * Training runs one Lloyd recursion for ALL subspaces at once: the
   * corpus explodes to (id, sub, subvector) rows, assignment is a
-  * broadcast join on `sub` + arg-max over the k cells, the update is
-  * a (sub, cell, dim) mean — two shuffles per iteration total,
+  * MAP-SIDE arg-max against literal centroids (per-subspace when()
+  * chain — only the matching branch's k dots evaluate), and the
+  * update is a (sub, cell, dim) mean — ONE shuffle per iteration,
   * independent of m. Only the m×k×(d/m) centroid model (= one
   * d-dim vector per cell column, ~k·d doubles) ever reaches the
   * driver, embedded as plan-time literals for the map-side encode.
@@ -74,16 +75,21 @@ object PQ {
     var model: Seq[((Int, Int), Seq[Double])] =
       seedRows.toSeq.map { case (i, s, sv) => ((s, cellOfId(i)), sv) }
     for (_ <- 0 until iters) {
-      val cents = model.map { case ((s, c), cv) => (s, c, cv) }
-        .toDF("sub", "cell", "cv")
-      val assigned = subs.join(broadcast(cents), "sub")
-        // nearest by L2 ⇔ max of (sv·cv − |cv|²/2) — dot is codegen'd
-        .withColumn("sc", VectorExpressions.dot(col("sv"), col("cv")) -
-          VectorExpressions.dot(col("cv"), col("cv")) / 2)
-        .groupBy(col("id"), col("sub"))
-        .agg(max(struct(col("sc"), (-col("cell")).as("nc"))).as("b"),
-          first(col("sv")).as("sv"))
-        .select(col("sub"), (-col("b.nc")).as("cell"), col("sv"))
+      // map-side argmax against LITERAL centroids (the same shape as
+      // `encode`): nearest by L2 ⇔ max of (sv·cv − |cv|²/2), chained
+      // per subspace — no broadcast join, no (id, sub) shuffle; the
+      // mean aggregation below is each iteration's only exchange
+      val byKey = model.toMap
+      val cellCol = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
+        val best = greatest((0 until k).flatMap(c => byKey.get((s, c)).map { cv =>
+          struct(
+            (VectorExpressions.dot(col("sv"), typedlit(cv)) -
+              lit(cv.map(x => x * x).sum / 2)).as("sc"),
+            lit(-c).as("nc"))
+        }): _*)
+        when(col("sub") === s, -best.getField("nc")).otherwise(acc)
+      }
+      val assigned = subs.select(col("sub"), cellCol.as("cell"), col("sv"))
       model = assigned
         .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("sub"), col("cell"), col("dim")).agg(avg(col("x")).as("mu"))

@@ -36,6 +36,18 @@ class PQSpec extends SparkSpec {
     assert(codes.distinct.length > 8)
   }
 
+  test("one Lloyd round is enough once re-rank verifies exactly (c27 uses iters=1)") {
+    val queries = vecs.filter(col("vec_id") < 10)
+    val model = PQ.train(vecs, col("vec_id"), col("embedding"), m = 4, k = 8, iters = 1)
+    val encoded = PQ.encode(vecs, col("vec_id"), col("embedding"), model)
+    val pq = PQ.adcTopK(encoded, vecs, queries, col("vec_id"), col("embedding"),
+        model, k = 5, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val bf = Similarity.bruteForceTopK(vecs, queries, col("vec_id"), col("embedding"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq.count(bf) >= (0.8 * bf.size).toInt, s"recall ${pq.count(bf)}/${bf.size}")
+  }
+
   test("adcTopK: recall@5 vs brute force >= 0.8 with rerank, scores exact") {
     val queries = vecs.filter(col("vec_id") < 10)
     val model = PQ.train(vecs, col("vec_id"), col("embedding"), m = 4, k = 8, iters = 2)
