@@ -52,8 +52,9 @@ object LangModel {
       .join(c2, substring(col("tri"), 1, 2) === col("pre"))
       .select(col("tri"),
         round(log((col("c3") + 0.5) / (col("c2") + 0.5 * vocab)), 8).as("logp"))
-    // unseen trigram: zero count against an unseen prefix
-    val unk = BigDecimal(math.log(0.5 / (0.5 * vocab)))
+    // unseen trigram: zero count against an unseen prefix (empty
+    // corpus → vocab 0 → treat as 1 so the floor stays finite)
+    val unk = BigDecimal(math.log(0.5 / (0.5 * math.max(vocab, 1.0))))
       .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
     Model(table, unk)
   }

@@ -72,6 +72,10 @@ object PQ {
         s => slice(col("v"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
       .as[(Long, Int, Seq[Double])].collect()
     val cellOfId = seedRows.map(_._1).distinct.sorted.zipWithIndex.toMap
+    // corpus smaller than k: shrink the codebook to the seeds that
+    // exist (duplicate centroids would only waste code space)
+    val kEff = cellOfId.size
+    require(kEff > 0, "PQ.train: empty corpus — nothing to build a codebook from")
     var model: Seq[((Int, Int), Seq[Double])] =
       seedRows.toSeq.map { case (i, s, sv) => ((s, cellOfId(i)), sv) }
     for (_ <- 0 until iters) {
@@ -81,7 +85,7 @@ object PQ {
       // mean aggregation below is each iteration's only exchange
       val byKey = model.toMap
       val cellCol = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
-        val best = greatest((0 until k).flatMap(c => byKey.get((s, c)).map { cv =>
+        val best = greatest((0 until kEff).flatMap(c => byKey.get((s, c)).map { cv =>
           struct(
             (VectorExpressions.dot(col("sv"), typedlit(cv)) -
               lit(cv.map(x => x * x).sum / 2)).as("sc"),
@@ -104,7 +108,7 @@ object PQ {
     // from `model` — refill from the seed order to keep the codebook
     // total (codes must always have k valid targets)
     val seedFill = byKey.values.head
-    Model(m, k, subDim, Seq.tabulate(m)(s => Seq.tabulate(k)(c =>
+    Model(m, kEff, subDim, Seq.tabulate(m)(s => Seq.tabulate(kEff)(c =>
       byKey.getOrElse((s, c), seedFill))))
   }
 

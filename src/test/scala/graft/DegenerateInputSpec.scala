@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Degenerate-input behavior of the round-3 operators: empty and
+  * near-empty corpora must produce empty/identity results or a
+  * clear error — never a crash mid-plan or a silent wrong answer. */
+class DegenerateInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val noEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+    .toDF("user_id", "ts", "event_type")
+
+  test("Funnel.steps on empty events: every stage counts zero") {
+    val out = Funnel.steps(noEvents, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L), (2L, 0L)))
+  }
+
+  test("Funnel.retentionCohorts on empty events: empty grid") {
+    assert(Funnel.retentionCohorts(noEvents, col("user_id"), col("ts")).count() == 0)
+  }
+
+  test("Packing on empty and single-row inputs") {
+    assert(Packing.packByBudget(noDocs, col("doc_id"), lit(1L), 10L).count() == 0)
+    val one = Packing.packByBudget(Seq((5L, "x")).toDF("doc_id", "text"),
+        col("doc_id"), lit(7L), 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(one.toSeq == Seq((5L, 0L)))
+  }
+
+  test("Sketches on empty input: no group rows, no phantom '*' estimates") {
+    val d = Sketches.distinctByGroup(noDocs, col("text"), col("doc_id"))
+      .collect()
+    // the '*' row may exist but must not claim a positive count
+    assert(d.forall(r => r.isNullAt(1) || r.getLong(1) == 0L), d.mkString(","))
+    val o = Sketches.setOverlap(noDocs, noDocs, col("doc_id")).head()
+    assert((0 to 3).forall(i => o.isNullAt(i) || o.getLong(i) == 0L), o.toString)
+  }
+
+  test("LangModel on an empty corpus: scoring yields no rows, no crash") {
+    val model = LangModel.train(noDocs, col("text"))
+    assert(LangModel.score(noDocs, col("doc_id"), col("text"), model).count() == 0)
+  }
+
+  test("Snapshot.diff with one empty side classifies everything") {
+    val t1 = Seq((1L, "a")).toDF("k", "v")
+    val empty = t1.limit(0)
+    val added = Snapshot.diff(empty, t1, Seq("k"), Seq("v")).collect()
+    assert(added.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "added")))
+    val removed = Snapshot.diff(t1, empty, Seq("k"), Seq("v")).collect()
+    assert(removed.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "removed")))
+  }
+
+  test("PQ.train on a corpus smaller than k shrinks the codebook, never crashes") {
+    val tiny = (0 until 3).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => (d + i + 1).toFloat))).toDF("vec_id", "embedding")
+    val model = PQ.train(tiny, col("vec_id"), col("embedding"), m = 2, k = 16, iters = 1)
+    assert(model.k <= 3 && model.centroids.forall(_.length == model.k))
+    val codes = PQ.encode(tiny, col("vec_id"), col("embedding"), model)
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(_.forall(c => c >= 0 && c < model.k)))
+  }
+}
