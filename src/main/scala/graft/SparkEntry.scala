@@ -669,6 +669,21 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C31 ANN via IVFADC: coarse cells restrict which PQ codes each
+    * query ADC-scans (nprobe/nCells of the corpus), exact re-rank on
+    * top — the full 100 TB layout: 32× smaller index × 4/16 of it
+    * scanned per query (rows-only; recall + all-cells≡full-ADC
+    * equivalence pinned in PQSpec). */
+  private def c31(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = operators.PQ.train(e, col("vec_id"), col("embedding"), iters = 1)
+    val coarse = operators.PQ.trainCoarse(e, col("vec_id"), col("embedding"))
+    operators.PQ.ivfAdcTopK(e, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), model, coarse, k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** C17 deterministic sampling/split: reproducible 25% holdout via
     * lexicographic md5 threshold (never rand()), plus a 40% stratified
     * keep for en docs / 10% for the rest — all pure map-side. */
@@ -921,7 +936,8 @@ object SparkEntry {
     "c27_ann_pq" -> (c27 _),
     "c28_lm_score" -> (c28 _),
     "c29_decontaminate_bloom" -> (c29 _),
-    "c30_shard_pack" -> (c30 _))
+    "c30_shard_pack" -> (c30 _),
+    "c31_ann_ivfpq" -> (c31 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(

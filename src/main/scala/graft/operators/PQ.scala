@@ -57,27 +57,27 @@ object PQ {
             m: Int = 8, k: Int = 16, iters: Int = 2): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val d = corpus.select(size(vec.cast("array<double>"))).as[Int].head()
+    // ONE collect serves three needs: the dimensionality, the seed
+    // codebooks (sliced driver-side), and the corpus-smaller-than-k
+    // shrink — no separate dims job, no reliance on explode order
+    val seeds = corpus
+      .select(id.cast("long").as("id"), unit(vec).as("v")).orderBy(col("id")).limit(k)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    require(seeds.nonEmpty, "PQ.train: empty corpus — nothing to build a codebook from")
+    val d = seeds.head._2.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val subDim = d / m
     val subs = corpus.select(id.as("id"), unit(vec).as("v"))
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("v"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
 
-    // seed: subvector s of the j-th lowest-id vector → cell j of
-    // codebook s (collected as keyed rows — no reliance on row order)
-    val seedRows = corpus
-      .select(id.cast("long").as("id"), unit(vec).as("v")).orderBy(col("id")).limit(k)
-      .select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col("v"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
-      .as[(Long, Int, Seq[Double])].collect()
-    val cellOfId = seedRows.map(_._1).distinct.sorted.zipWithIndex.toMap
     // corpus smaller than k: shrink the codebook to the seeds that
     // exist (duplicate centroids would only waste code space)
-    val kEff = cellOfId.size
-    require(kEff > 0, "PQ.train: empty corpus — nothing to build a codebook from")
-    var model: Seq[((Int, Int), Seq[Double])] =
-      seedRows.toSeq.map { case (i, s, sv) => ((s, cellOfId(i)), sv) }
+    val kEff = seeds.length
+    var model: Seq[((Int, Int), Seq[Double])] = for {
+      (cell, (_, v)) <- seeds.zipWithIndex.map(_.swap).toSeq
+      s <- 0 until m
+    } yield ((s, cell), v.slice(s * subDim, (s + 1) * subDim))
     for (_ <- 0 until iters) {
       // map-side argmax against LITERAL centroids (the same shape as
       // `encode`): nearest by L2 ⇔ max of (sv·cv − |cv|²/2), chained
@@ -112,11 +112,10 @@ object PQ {
       byKey.getOrElse((s, c), seedFill))))
   }
 
-  /** Append `codes array<int>` (length m): per subspace, the cell id
-    * of the nearest codebook centroid — pure map-side against the
-    * literal model. */
-  def encode(corpus: DataFrame, id: Column, vec: Column, model: Model): DataFrame = {
-    val codes = array((0 until model.m).map { s =>
+  /** The m-code column for `vec` under `model` (map-side argmax per
+    * subspace against literal centroids). */
+  private def codesCol(vec: Column, model: Model): Column =
+    array((0 until model.m).map { s =>
       val sv = slice(unit(vec), s * model.subDim + 1, model.subDim)
       val best = greatest(model.centroids(s).zipWithIndex.map { case (cv, c) =>
         struct(
@@ -125,7 +124,87 @@ object PQ {
       }: _*)
       (-best.getField("nc")).cast("int")
     }: _*)
-    corpus.select(id.as("vec_id"), codes.as("codes"))
+
+  /** Append `codes array<int>` (length m): per subspace, the cell id
+    * of the nearest codebook centroid — pure map-side against the
+    * literal model. */
+  def encode(corpus: DataFrame, id: Column, vec: Column, model: Model): DataFrame =
+    corpus.select(id.as("vec_id"), codesCol(vec, model).as("codes"))
+
+  /** Coarse quantizer for IVFADC: `nCells` full-dimension centroids
+    * via the same literal-argmax Lloyd as the subspace training (one
+    * mean shuffle per iteration; only the nCells×d model reaches the
+    * driver). Seeds = the nCells lowest-id vectors. */
+  def trainCoarse(corpus: DataFrame, id: Column, vec: Column,
+                  nCells: Int = 16, iters: Int = 1): Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(id.cast("long").as("id"), unit(vec).as("v"))
+    var cents: Seq[Seq[Double]] = v.orderBy(col("id")).limit(nCells)
+      .select(col("v")).as[Seq[Double]].collect().toSeq
+    require(cents.nonEmpty, "PQ.trainCoarse: empty corpus")
+    def cellOf(cs: Seq[Seq[Double]]): Column = {
+      val best = greatest(cs.zipWithIndex.map { case (cv, c) =>
+        struct((VectorExpressions.dot(col("v"), typedlit(cv)) -
+          lit(cv.map(x => x * x).sum / 2)).as("sc"), lit(-c).as("nc"))
+      }: _*)
+      -best.getField("nc")
+    }
+    for (_ <- 0 until iters) {
+      val byCell = v.select(cellOf(cents).as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("mu"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), e => e.getField("mu")).as("cv"))
+        .as[(Int, Seq[Double])].collect().toMap
+      cents = cents.indices.map(c => byCell.getOrElse(c, cents(c)))
+    }
+    cents
+  }
+
+  /** IVFADC search (the full Jégou et al. layout, non-residual
+    * variant): every vector carries (cell, codes) — both computed
+    * map-side in one pass — and a query ADC-scans ONLY its `nprobe`
+    * nearest cells' codes before the exact re-rank. The cell
+    * restriction multiplies PQ's 32× memory saving by an
+    * nprobe/nCells scan saving; the only shuffles are the per-query
+    * rank and the rerank join (cell probing is a broadcast join). */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+                 model: Model, coarse: Seq[Seq[Double]], k: Int,
+                 nprobe: Int = 4, rerank: Int = 32): DataFrame = {
+    // (vec_id, cell, codes) — one map-side pass over the corpus
+    val cellCol = {
+      val best = greatest(coarse.zipWithIndex.map { case (cv, c) =>
+        struct((VectorExpressions.dot(unit(vec), typedlit(cv)) -
+          lit(cv.map(x => x * x).sum / 2)).as("sc"), lit(-c).as("nc"))
+      }: _*)
+      -best.getField("nc")
+    }
+    val index = corpus.select(id.as("vec_id"),
+      codesCol(vec, model).as("codes"), cellCol.as("cell"))
+    // per-query probe list: nprobe nearest coarse cells, map-side
+    val cellDots = array(coarse.zipWithIndex.map { case (cv, c) =>
+      struct(VectorExpressions.dot(unit(vec), typedlit(cv)).as("d"), lit(c).as("c"))
+    }: _*)
+    val tbl = array((0 until model.m).map { s =>
+      val qs = slice(unit(vec), s * model.subDim + 1, model.subDim)
+      array(model.centroids(s).map(cv =>
+        VectorExpressions.dot(qs, typedlit(cv))): _*)
+    }: _*)
+    val q = queries.select(id.as("query_id"), tbl.as("tbl"),
+        slice(reverse(array_sort(cellDots)), 1, nprobe).as("probes"))
+      .select(col("query_id"), col("tbl"), explode(col("probes")).as("p"))
+      .select(col("query_id"), col("tbl"), col("p.c").as("cell"))
+    val approx = index.join(broadcast(q), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("tbl"), (c, t) => element_at(t, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    rerankExact(approx, corpus, queries, id, vec, k)
   }
 
   /** ADC top-k: approximate-cosine scan over codes, exact re-rank of
@@ -151,13 +230,20 @@ object PQ {
         Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))))
       .filter(col("arank") <= rerank)
       .select(col("query_id"), col("vec_id"))
-    // exact re-rank: candidates join back to true vectors (model-sized
-    // per query), scores are exact rounded cosine like C6
+    rerankExact(approx, corpus, queries, id, vec, k)
+  }
+
+  /** Exact re-rank: (query_id, vec_id) candidates join back to true
+    * vectors (model-sized per query), scores are exact rounded
+    * cosine like C6. */
+  private def rerankExact(candidates: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, id: Column, vec: Column,
+                          k: Int): DataFrame = {
     val full = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
       .withColumn("nrm", VectorExpressions.norm(col("v")))
     val qfull = queries.select(id.as("query_id"), vec.cast("array<double>").as("qv"))
       .withColumn("qn", VectorExpressions.norm(col("qv")))
-    approx
+    candidates
       .join(full, "vec_id")
       .join(broadcast(qfull), "query_id")
       .withColumn("cosine",

@@ -48,6 +48,32 @@ class PQSpec extends SparkSpec {
     assert(pq.count(bf) >= (0.8 * bf.size).toInt, s"recall ${pq.count(bf)}/${bf.size}")
   }
 
+  test("ivfAdcTopK: cell-restricted scan still recalls >= 0.7 at nprobe=4/8") {
+    val queries = vecs.filter(col("vec_id") < 10)
+    val model = PQ.train(vecs, col("vec_id"), col("embedding"), m = 4, k = 8, iters = 1)
+    val coarse = PQ.trainCoarse(vecs, col("vec_id"), col("embedding"), nCells = 8, iters = 1)
+    val ivf = PQ.ivfAdcTopK(vecs, queries, col("vec_id"), col("embedding"),
+        model, coarse, k = 5, nprobe = 4, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val bf = Similarity.bruteForceTopK(vecs, queries, col("vec_id"), col("embedding"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val bfSet = bf.map(t => (t._1, t._2)).toSet
+    val hit = ivf.map(t => (t._1, t._2)).count(bfSet)
+    assert(hit >= (0.7 * bfSet.size).toInt, s"recall $hit/${bfSet.size}")
+    // overlapping pairs report the exact brute-force cosine
+    val bfScore = bf.map(t => (t._1, t._2) -> t._3).toMap
+    ivf.foreach { case (q, v, s) =>
+      bfScore.get((q, v)).foreach(exp => assert(s == exp)) }
+    // probing all cells must recover the full-ADC result
+    val all = PQ.ivfAdcTopK(vecs, queries, col("vec_id"), col("embedding"),
+        model, coarse, k = 5, nprobe = 8, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val adc = PQ.adcTopK(PQ.encode(vecs, col("vec_id"), col("embedding"), model),
+        vecs, queries, col("vec_id"), col("embedding"), model, k = 5, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(all == adc)
+  }
+
   test("adcTopK: recall@5 vs brute force >= 0.8 with rerank, scores exact") {
     val queries = vecs.filter(col("vec_id") < 10)
     val model = PQ.train(vecs, col("vec_id"), col("embedding"), m = 4, k = 8, iters = 2)
