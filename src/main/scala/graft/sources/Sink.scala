@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Parquet sink helpers (SURVEY E4): the write-side of the scale
@@ -78,4 +78,45 @@ object Sink {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-order (Morton) value over numeric columns, each first
+    * normalized into `bits` buckets by its observed min/max (one
+    * tiny driver-side agg — the same layout decision Delta/Iceberg
+    * OPTIMIZE ZORDER makes at write time). Bit interleaving is plain
+    * shift/and/or Catalyst expressions — fully codegen'd. */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    require(bits * cols.size <= 62, "z-value must fit a long")
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val maxBucket = (1L << bits) - 1
+    val bucketed = cols.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getDouble(2 * i)
+      val mx = stats.getDouble(2 * i + 1)
+      val span = math.max(mx - mn, 1e-12)
+      least(greatest(((col(c).cast("double") - mn) / span * maxBucket).cast("long"),
+        lit(0L)), lit(maxBucket))
+    }
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      bucketed.zipWithIndex.foldLeft(acc) { case (a, (bc, i)) =>
+        a.bitwiseOR(shiftleft(shiftright(bc, b).bitwiseAND(lit(1L)), b * cols.size + i))
+      }
+    }
+  }
+
+  /** Write `df` clustered along a Z-curve over `zcols` (SURVEY E12):
+    * range-repartition + sort by the z-value, so every output file
+    * covers a small rectangle in ALL `zcols` dimensions at once —
+    * parquet min/max row-group stats then skip files for predicates
+    * on ANY of the columns, where a linear sort only helps its
+    * leading column. The z column never reaches the files. */
+  def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String],
+                    nFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    df.withColumn("__z", zValue(df, zcols))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
 }
