@@ -19,7 +19,11 @@ object Bench {
     // below is steady-state engine cost, not "who ran first pays the
     // operator family's cold codegen compile".
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // local profiling with a name filter warms only the filtered set
+    // (the driver passes no args → full warmup, unchanged)
+    val warmSet = if (args.isEmpty) SparkEntry.queries
+                  else args.toSeq.map(n => n -> SparkEntry.queries(n)).toMap
+    warmSet.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

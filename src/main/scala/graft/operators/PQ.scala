@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.plans.VectorExpressions
+import graft.plans.{PQExpressions, VectorExpressions}
 
 /** Product-quantization ANN (SURVEY C27) — compressed-domain
   * similarity search in the IVFADC family (Jégou, Douze, Schmid,
@@ -44,11 +44,10 @@ object PQ {
   }
 
   /** L2-normalized d-dim view of `vec` (PQ operates on the unit
-    * sphere so ADC dots approximate cosine directly). */
-  private def unit(vec: Column): Column = {
-    val v = vec.cast("array<double>")
-    transform(v, x => x / VectorExpressions.norm(v))
-  }
+    * sphere so ADC dots approximate cosine directly) — the native
+    * O(d) expression; the HOF form (`transform(v, x => x/norm(v))`)
+    * re-computes the norm per element when evaluated interpreted. */
+  private def unit(vec: Column): Column = PQExpressions.unitVec(vec)
 
   /** Train the m×k subspace codebooks with `iters` Lloyd rounds,
     * seeded deterministically from the `k` lowest-id vectors'
@@ -67,10 +66,6 @@ object PQ {
     val d = seeds.head._2.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val subDim = d / m
-    val subs = corpus.select(id.as("id"), unit(vec).as("v"))
-      .select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col("v"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
-
     // corpus smaller than k: shrink the codebook to the seeds that
     // exist (duplicate centroids would only waste code space)
     val kEff = seeds.length
@@ -79,21 +74,25 @@ object PQ {
       s <- 0 until m
     } yield ((s, cell), v.slice(s * subDim, (s + 1) * subDim))
     for (_ <- 0 until iters) {
-      // map-side argmax against LITERAL centroids (the same shape as
-      // `encode`): nearest by L2 ⇔ max of (sv·cv − |cv|²/2), chained
-      // per subspace — no broadcast join, no (id, sub) shuffle; the
-      // mean aggregation below is each iteration's only exchange
+      // map-side argmax against the native codebook expression (the
+      // same scoring as `encode`): nearest by L2 ⇔ max of
+      // (sv·cv − |cv|²/2), the whole m×k codebook riding as one plan
+      // reference object — no broadcast join, no (id, sub) shuffle;
+      // the mean aggregation below is each iteration's only exchange.
+      // A cell with no members this round is dead (empty seq — the
+      // native argmax skips it, same as the old flatMap skip).
       val byKey = model.toMap
-      val cellCol = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
-        val best = greatest((0 until kEff).flatMap(c => byKey.get((s, c)).map { cv =>
-          struct(
-            (VectorExpressions.dot(col("sv"), typedlit(cv)) -
-              lit(cv.map(x => x * x).sum / 2)).as("sc"),
-            lit(-c).as("nc"))
-        }): _*)
-        when(col("sub") === s, -best.getField("nc")).otherwise(acc)
-      }
-      val assigned = subs.select(col("sub"), cellCol.as("cell"), col("sv"))
+      val c3 = Seq.tabulate(m)(s => Seq.tabulate(kEff)(c =>
+        byKey.getOrElse((s, c), Seq.empty[Double])))
+      // codes computed ONCE per row (one native call), then exploded
+      // to (sub, cell, subvector) for the mean update
+      val assigned = corpus.select(unit(vec).as("v"))
+        .select(col("v"),
+          PQExpressions.nearestCodes(col("v"), c3, normalize = false).as("codes"))
+        .select(posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
+          struct(element_at(col("codes"), s + 1).as("cell"),
+            slice(col("v"), s * subDim + 1, lit(subDim)).as("sv")))).as(Seq("sub", "sc")))
+        .select(col("sub"), col("sc.cell").as("cell"), col("sc.sv").as("sv"))
       model = assigned
         .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("sub"), col("cell"), col("dim")).agg(avg(col("x")).as("mu"))
@@ -112,24 +111,12 @@ object PQ {
       byKey.getOrElse((s, c), seedFill))))
   }
 
-  /** The m-code column for `vec` under `model` (map-side argmax per
-    * subspace against literal centroids). */
-  private def codesCol(vec: Column, model: Model): Column =
-    array((0 until model.m).map { s =>
-      val sv = slice(unit(vec), s * model.subDim + 1, model.subDim)
-      val best = greatest(model.centroids(s).zipWithIndex.map { case (cv, c) =>
-        struct(
-          (VectorExpressions.dot(sv, typedlit(cv)) - lit(cv.map(x => x * x).sum / 2)).as("sc"),
-          lit(-c).as("nc"))
-      }: _*)
-      (-best.getField("nc")).cast("int")
-    }: _*)
-
   /** Append `codes array<int>` (length m): per subspace, the cell id
-    * of the nearest codebook centroid — pure map-side against the
-    * literal model. */
+    * of the nearest codebook centroid — pure map-side, one native
+    * argmax call per row against the plan-constant model. */
   def encode(corpus: DataFrame, id: Column, vec: Column, model: Model): DataFrame =
-    corpus.select(id.as("vec_id"), codesCol(vec, model).as("codes"))
+    corpus.select(id.as("vec_id"),
+      PQExpressions.nearestCodes(vec, model.centroids).as("codes"))
 
   /** Coarse quantizer for IVFADC: `nCells` full-dimension centroids
     * via the same literal-argmax Lloyd as the subspace training (one
@@ -143,13 +130,8 @@ object PQ {
     var cents: Seq[Seq[Double]] = v.orderBy(col("id")).limit(nCells)
       .select(col("v")).as[Seq[Double]].collect().toSeq
     require(cents.nonEmpty, "PQ.trainCoarse: empty corpus")
-    def cellOf(cs: Seq[Seq[Double]]): Column = {
-      val best = greatest(cs.zipWithIndex.map { case (cv, c) =>
-        struct((VectorExpressions.dot(col("v"), typedlit(cv)) -
-          lit(cv.map(x => x * x).sum / 2)).as("sc"), lit(-c).as("nc"))
-      }: _*)
-      -best.getField("nc")
-    }
+    def cellOf(cs: Seq[Seq[Double]]): Column =
+      PQExpressions.nearestCell(col("v"), cs, normalize = false)
     for (_ <- 0 until iters) {
       val byCell = v.select(cellOf(cents).as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("mu"))
@@ -172,26 +154,18 @@ object PQ {
   def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
                  model: Model, coarse: Seq[Seq[Double]], k: Int,
                  nprobe: Int = 4, rerank: Int = 32): DataFrame = {
-    // (vec_id, cell, codes) — one map-side pass over the corpus
-    val cellCol = {
-      val best = greatest(coarse.zipWithIndex.map { case (cv, c) =>
-        struct((VectorExpressions.dot(unit(vec), typedlit(cv)) -
-          lit(cv.map(x => x * x).sum / 2)).as("sc"), lit(-c).as("nc"))
-      }: _*)
-      -best.getField("nc")
-    }
+    // (vec_id, cell, codes) — one map-side pass over the corpus, two
+    // native calls per row
     val index = corpus.select(id.as("vec_id"),
-      codesCol(vec, model).as("codes"), cellCol.as("cell"))
+      PQExpressions.nearestCodes(vec, model.centroids).as("codes"),
+      PQExpressions.nearestCell(vec, coarse).as("cell"))
     // per-query probe list: nprobe nearest coarse cells, map-side
-    val cellDots = array(coarse.zipWithIndex.map { case (cv, c) =>
-      struct(VectorExpressions.dot(unit(vec), typedlit(cv)).as("d"), lit(c).as("c"))
-    }: _*)
-    val tbl = array((0 until model.m).map { s =>
-      val qs = slice(unit(vec), s * model.subDim + 1, model.subDim)
-      array(model.centroids(s).map(cv =>
-        VectorExpressions.dot(qs, typedlit(cv))): _*)
-    }: _*)
-    val q = queries.select(id.as("query_id"), tbl.as("tbl"),
+    val cellDots = transform(sequence(lit(0), lit(coarse.length - 1)), c =>
+      struct(element_at(col("cdots"), c + 1).as("d"), c.cast("int").as("c")))
+    val q = queries.select(id.as("query_id"),
+        PQExpressions.adcTable(vec, model.centroids).as("tbl"),
+        PQExpressions.centroidDots(vec, coarse).as("cdots"))
+      .select(col("query_id"), col("tbl"),
         slice(reverse(array_sort(cellDots)), 1, nprobe).as("probes"))
       .select(col("query_id"), col("tbl"), explode(col("probes")).as("p"))
       .select(col("query_id"), col("tbl"), col("p.c").as("cell"))
@@ -214,13 +188,8 @@ object PQ {
   def adcTopK(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
               id: Column, vec: Column, model: Model, k: Int,
               rerank: Int = 32): DataFrame = {
-    // per-query m×k ADC table: tbl(sub)(cell) = q_sub · centroid
-    val tbl = array((0 until model.m).map { s =>
-      val qs = slice(unit(vec), s * model.subDim + 1, model.subDim)
-      array(model.centroids(s).map(cv =>
-        VectorExpressions.dot(qs, typedlit(cv))): _*)
-    }: _*)
-    val q = queries.select(id.as("query_id"), tbl.as("tbl"))
+    val q = queries.select(id.as("query_id"),
+      PQExpressions.adcTable(vec, model.centroids).as("tbl"))
     val approx = encoded.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", aggregate(
