@@ -19,6 +19,12 @@ object Bench {
     // below is steady-state engine cost, not "who ran first pays the
     // operator family's cold codegen compile".
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    // fail fast on a mistyped filter name — BEFORE the multi-minute
+    // warmup, with the unknown names spelled out
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — known: " +
+        SparkEntry.queries.keySet.toSeq.sorted.mkString(", "))
     // local profiling with a name filter warms only the filtered set
     // (the driver passes no args → full warmup, unchanged)
     val warmSet = if (args.isEmpty) SparkEntry.queries
@@ -31,20 +37,32 @@ object Bench {
     // with Map iteration order, adding one query reshuffles who pays
     // the shared cold codegen/JIT of each operator family
     // optional args = query-name filter (local profiling; driver passes none)
+    // Noise robustness: the box this runs on carries unpredictable
+    // external load (round-4 record: a 1.2 s query measured at 16.8 s
+    // inside a load window). Each query therefore runs REPS measured
+    // repetitions and records the MIN — the warmup above already
+    // targets steady state, so the min IS the steady-state engine
+    // cost, and one noisy minute can no longer corrupt a round's
+    // record. A rep that THROWS records the -1.0 sentinel; a query
+    // whose every rep fails reports -1.0 — a broken query must never
+    // masquerade as a fast one.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = (if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
                    else args.toSeq.map(n => n -> SparkEntry.queries(n)))
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink: computes every output column (count() would let
       // Catalyst prune the projections) without any write cost.
-      // A query that THROWS records the -1.0 sentinel — a broken
-      // query must never masquerade as a fast one.
-      name -> (try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0
-      })
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0
+        }
+      }
+      val ok = times.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -188,61 +188,37 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the clustered scale path beside LSH.
     *
-    * Coarse quantizer: `k` centroids seeded deterministically from the
-    * `k` lowest-id vectors and refined with `iters` Lloyd iterations,
-    * all in DataFrames: assignment is a broadcast cross of the (tiny)
-    * centroid table scored with the native dot; the update step
-    * explodes vector dims and mean-aggregates per (cell, dim) — one
-    * shuffle per iteration, never a driver-side collect of vectors
-    * (only the k×d centroid matrix ever reaches the driver, which is
-    * exactly the IVF model size).
+    * Coarse quantizer: `PQ.trainCoarse` — the SAME quantizer C31's
+    * IVFADC uses (one code path for both indexes). Lloyd assignment
+    * is a MAP-SIDE native argmax against the plan-literal codebook
+    * (`PQExpressions.nearestCell`): no centroid cross-join, no row
+    * fan-out, no per-iteration vec_id shuffle — each iteration's only
+    * exchange is the (cell, dim) mean aggregation, and only the
+    * nCells×d centroid matrix (= the IVF model) ever reaches the
+    * driver. The final index assignment is one projection over the
+    * corpus scan — zero exchanges until the per-query rank.
     *
-    * Search: score the query against centroids, take the `nprobe`
-    * nearest cells, rank only those cells' vectors by exact rounded
-    * cosine. The cell-restricted join is the only per-query shuffle;
-    * recall tunes with nprobe like any IVF index. */
+    * Search: pick each query's `nprobe` nearest cells map-side
+    * (centroid dots against the same literal codebook, sorted in an
+    * array — no window, no shuffle), broadcast the probe list, and
+    * rank only those cells' vectors by exact rounded cosine. The
+    * per-query rank is the plan's ONLY hash exchange (PlanSpec pins
+    * that); recall tunes with nprobe like any IVF index. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
               k: Int, nCells: Int = 16, nprobe: Int = 4, iters: Int = 2,
               dims: Int = 64): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val v = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
-
-    def assign(cents: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cents))
-        .withColumn("d", VectorExpressions.dot(col("v"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("d"), (-col("cell")).as("nc"))).as("b"))
-        .select(col("vec_id"), (-col("b.nc")).as("cell"))
-
-    // seed cells keyed by the vector id itself — contiguity is never
-    // needed, and a rank would force a global single-partition window
-    var cents = v.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-    for (_ <- 0 until iters) {
-      val assigned = assign(cents).join(v, "vec_id")
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("cv"))
-      // materialize the k×d model between iterations (the ONLY thing
-      // that ever reaches the driver) so plan lineage stays flat —
-      // the same structure MLlib's KMeans uses
-      cents = means.as[(Long, Seq[Double])].collect().toSeq.toDF("cell", "cv")
-    }
-    val index = assign(cents).join(v, "vec_id")
-      .withColumn("vn", VectorExpressions.norm(col("v")))
-
-    val q = queries.select(id.as("query_id"), vec.cast("array<double>").as("qv"))
-      .withColumn("qn", VectorExpressions.norm(col("qv")))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d", VectorExpressions.dot(col("qv"), col("cv")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell"))))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val cents = PQ.trainCoarse(corpus, id, vec, nCells, iters)
+    val index = ivfAssign(corpus, id, vec, cents)
+    // probe list: struct(-dot, cell) sorted ascending = (dot desc,
+    // cell asc) — deterministic, computed inside one projection
+    val cellDots = transform(sequence(lit(0), lit(cents.length - 1)), c =>
+      struct((-element_at(col("cdots"), c + 1)).as("nd"), c.cast("int").as("c")))
+    val probes = queries.select(id.as("query_id"),
+        vec.cast("array<double>").as("qv"),
+        graft.plans.PQExpressions.centroidDots(vec, cents).as("cdots"))
+      .select(col("query_id"), col("qv"), VectorExpressions.norm(col("qv")).as("qn"),
+        explode(slice(array_sort(cellDots), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("qn"), col("p.c").as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     index.join(broadcast(probes), Seq("cell"))
@@ -253,6 +229,16 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
   }
+
+  /** (vec_id, v, vn, cell) — the IVF index assignment: one map-side
+    * projection (native argmax against the literal centroids), no
+    * exchange anywhere in its plan (PlanSpec asserts). Zero-norm
+    * vectors get a null cell and fall out of the probe equi-join. */
+  private[graft] def ivfAssign(corpus: DataFrame, id: Column, vec: Column,
+                               cents: Seq[Seq[Double]]): DataFrame =
+    corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .withColumn("cell", graft.plans.PQExpressions.nearestCell(col("v"), cents))
+      .withColumn("vn", VectorExpressions.norm(col("v")))
 
   /** ANN via L hash tables of `planes`-bit signatures: candidates
     * share a (table, signature) bucket with the query; exact rounded

@@ -30,6 +30,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Scoring matches the declarative form bit-for-bit: nearest-by-L2 ⇔
   * max of (u_sub·c − |c|²/2) over cells, ties to the lowest cell id,
   * doubles accumulated left-to-right.
+  *
+  * ONE deliberate ANSI divergence: a zero-norm input under
+  * `normalize=true`. The declarative form fails fast with an ANSI
+  * DIVIDE_BY_ZERO at normalization; native math would instead produce
+  * NaN scores, a -1 argmax, and a deferred element_at crash far from
+  * the cause. These expressions return NULL for a zero-norm vector —
+  * the standard SQL "undefined input → NULL" contract — so downstream
+  * ranking simply never sees the row (desc ordering puts nulls last).
   */
 object PQNative {
 
@@ -51,6 +59,8 @@ object PQNative {
     val dim: Int = m * subDim
   }
 
+  /** Primitive copy, unit-normalized when asked; NULL (not NaN) for a
+    * zero-norm vector — see the object docstring's ANSI note. */
   private def unitOf(v: ArrayData, n: Int, normalize: Boolean): Array[Double] = {
     val u = new Array[Double](n)
     var i = 0
@@ -58,16 +68,19 @@ object PQNative {
     if (normalize) {
       var s = 0.0; i = 0
       while (i < n) { s += u(i) * u(i); i += 1 }
+      if (s == 0.0) return null
       val nrm = math.sqrt(s); i = 0
       while (i < n) { u(i) = u(i) / nrm; i += 1 }
     }
     u
   }
 
-  /** argmax cell per subspace → m int codes; null on dim mismatch. */
+  /** argmax cell per subspace → m int codes; null on dim mismatch or
+    * zero-norm input. */
   def codes(v: ArrayData, model: CompiledModel, normalize: Boolean): UnsafeArrayData = {
     if (v.numElements() != model.dim) return null
     val u = unitOf(v, model.dim, normalize)
+    if (u == null) return null
     val out = new Array[Int](model.m)
     var s = 0
     while (s < model.m) {
@@ -92,11 +105,12 @@ object PQNative {
   }
 
   /** ADC table: tbl(sub)(cell) = u_sub · centroid; null on dim
-    * mismatch (dead cells score 0 — tables are only built from full
-    * codebooks). */
+    * mismatch or zero-norm input (dead cells score 0 — tables are
+    * only built from full codebooks). */
   def adcTable(v: ArrayData, model: CompiledModel, normalize: Boolean): ArrayData = {
     if (v.numElements() != model.dim) return null
     val u = unitOf(v, model.dim, normalize)
+    if (u == null) return null
     val rows = new Array[ArrayData](model.m)
     var s = 0
     while (s < model.m) {
@@ -119,9 +133,12 @@ object PQNative {
   }
 
   /** unit-normalized copy (x_i / ‖x‖, left-to-right accumulation —
-    * identical doubles to the declarative `x / sqrt(dot(v,v))`). */
-  def unit(v: ArrayData): UnsafeArrayData =
-    UnsafeArrayData.fromPrimitiveArray(unitOf(v, v.numElements(), normalize = true))
+    * identical doubles to the declarative `x / sqrt(dot(v,v))`);
+    * null for a zero-norm vector. */
+  def unit(v: ArrayData): UnsafeArrayData = {
+    val u = unitOf(v, v.numElements(), normalize = true)
+    if (u == null) null else UnsafeArrayData.fromPrimitiveArray(u)
+  }
 }
 
 /** Base for the model-carrying unary expressions: the codebook is a
@@ -171,13 +188,18 @@ case class AdcTableExpr(child: Expression, centroids: Seq[Seq[Seq[Double]]],
     copy(child = newChild)
 }
 
-/** `array<double>`: the unit-normalized vector, one O(d) pass. */
+/** `array<double>`: the unit-normalized vector, one O(d) pass; NULL
+  * for a zero-norm input (see PQNative's ANSI note). */
 case class UnitVector(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true // zero-norm input → null
   override def prettyName: String = "graft_unit_vector"
   override def nullSafeEval(a: Any): Any = PQNative.unit(a.asInstanceOf[ArrayData])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v => s"graft.plans.PQNative.unit($v)")
+    nullSafeCodeGen(ctx, ev, v => s"""
+       |${ev.value} = graft.plans.PQNative.unit($v);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
   override protected def withNewChildInternal(newChild: Expression): UnitVector =
     copy(child = newChild)
 }

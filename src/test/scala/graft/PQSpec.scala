@@ -74,6 +74,27 @@ class PQSpec extends SparkSpec {
     assert(all == adc)
   }
 
+  test("zero-norm vectors: native expressions return null, never -1 codes") {
+    import graft.plans.PQExpressions
+    val model = PQ.train(vecs, col("vec_id"), col("embedding"), m = 4, k = 8, iters = 1)
+    val zeroed = Seq((9999L, Seq.fill(16)(0.0f))).toDF("vec_id", "embedding")
+    val probe = zeroed.select(
+      PQExpressions.unitVec(col("embedding")).as("u"),
+      PQExpressions.nearestCodes(col("embedding"), model.centroids).as("codes"),
+      PQExpressions.adcTable(col("embedding"), model.centroids).as("tbl")).head()
+    assert(probe.isNullAt(0) && probe.isNullAt(1) && probe.isNullAt(2))
+    // and the end-to-end path simply drops the zero row instead of
+    // crashing at element_at (the pre-fix failure mode): the old HOF
+    // form raised ANSI DIVIDE_BY_ZERO at normalization; the native
+    // form's documented contract is NULL → ranked last → absent
+    val corpus = vecs.unionByName(zeroed)
+    val queries = vecs.filter(col("vec_id") < 5)
+    val encoded = PQ.encode(corpus, col("vec_id"), col("embedding"), model)
+    val res = PQ.adcTopK(encoded, corpus, queries, col("vec_id"), col("embedding"),
+      model, k = 5, rerank = 40).collect()
+    assert(res.nonEmpty && !res.exists(_.getLong(2) == 9999L))
+  }
+
   test("adcTopK: recall@5 vs brute force >= 0.8 with rerank, scores exact") {
     val queries = vecs.filter(col("vec_id") < 10)
     val model = PQ.train(vecs, col("vec_id"), col("embedding"), m = 4, k = 8, iters = 2)

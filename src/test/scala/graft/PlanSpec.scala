@@ -131,6 +131,26 @@ class PlanSpec extends SparkSpec {
     assert(userExchanges >= 1, p)
   }
 
+  test("c16 IVF: assignment is map-side (no Exchange); one hash exchange total") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.operators.PQ.trainCoarse(
+      e, col("vec_id"), col("embedding"), nCells = 8, iters = 1)
+    // the index-assignment stage is a single projection over the scan
+    val pa = graft.operators.Similarity.ivfAssign(
+      e, col("vec_id"), col("embedding"), cents)
+      .queryExecution.executedPlan.toString
+    assert(!pa.contains("Exchange"), pa)
+    assert(pa.contains("graft_pq_codes"), pa) // the native literal argmax
+    // and the whole query's only hash exchange is the per-query rank —
+    // the round-4 shape (crossJoin + groupBy argmax) shuffled the
+    // corpus on vec_id per Lloyd iteration plus once for the index
+    val p = plan("c16_ann_ivf")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c30 shard packing: windows are per-range-partition, never global") {
     val p = plan("c30_shard_pack")
     // a global-order window would show an empty partition spec:
