@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.sources.Sink
+
+/** E12 z-ordered parquet layout: the write-side data-skipping story.
+  *
+  * The claim under test is the whole point of a Z-curve: ONE layout
+  * that prunes scans for selective predicates on EVERY z-column
+  * independently, where a linear sort only ever helps its leading
+  * column. "Prunes" is measured, not inferred: the scan node's
+  * numOutputRows after an action counts rows the parquet reader
+  * actually surfaced, i.e. what survived row-group/page min-max
+  * skipping — NOT the post-filter result (the residual filter runs in
+  * a separate FilterExec above the scan).
+  */
+class ZOrderSpec extends SparkSpec {
+
+  /** rows the parquet reader actually produced (post stats-skipping,
+    * pre residual filter). */
+  private def rowsScanned(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s.metrics("numOutputRows").value }
+      .sum
+  }
+
+  test("z-ordered write prunes row groups for predicates on each column") {
+    // 65536 points on a 256x256 grid — every (x, y) combination once,
+    // so neither column is correlated with the other
+    val n = 1 << 16
+    val grid = spark.range(n)
+      .select((col("id") % 256).as("x"), (col("id") / 256).as("y"))
+    val base = Files.createTempDirectory("graft-zorder").toString
+    Sink.writeZOrdered(grid, s"$base/z", Seq("x", "y"), nFiles = 16)
+
+    // selective predicate on EACH column independently: the z layout
+    // must let parquet stats skip most row groups both times
+    val zx = rowsScanned(spark.read.parquet(s"$base/z").filter(col("x") < 16))
+    val zy = rowsScanned(spark.read.parquet(s"$base/z").filter(col("y") < 16))
+    assert(zx <= n / 4, s"x-predicate scanned $zx of $n rows — no pruning on x")
+    assert(zy <= n / 4, s"y-predicate scanned $zy of $n rows — no pruning on y")
+
+    // results are still exact (layout must never change answers)
+    assert(spark.read.parquet(s"$base/z").filter(col("x") < 16).count() == 16L * 256)
+    assert(spark.read.parquet(s"$base/z").filter(col("y") < 16).count() == 16L * 256)
+    // and the helper column never reaches the files
+    assert(!spark.read.parquet(s"$base/z").columns.contains("__z"))
+
+    // contrast: a linear sort on x cannot prune y — pinning that the
+    // assertion above is measuring layout, not reader magic
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$base/linear")
+    val lx = rowsScanned(spark.read.parquet(s"$base/linear").filter(col("x") < 16))
+    val ly = rowsScanned(spark.read.parquet(s"$base/linear").filter(col("y") < 16))
+    assert(lx <= n / 4, s"sanity: linear layout should prune its own sort column, scanned $lx")
+    assert(ly > n / 2, s"contrast broken: linear layout pruned y ($ly of $n) — metric is vacuous")
+  }
+
+  test("zValue interleaves bits: locality beats either column alone") {
+    // neighbors in (x, y) must be near each other in z — the property
+    // that makes each output file a small rectangle in all dimensions
+    val pts = spark.range(1 << 10)
+      .select((col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+    val z = pts.select(col("x"), col("y"), Sink.zValue(pts, Seq("x", "y"), bits = 5).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // adjacent cells differ in few low bits → bounded z distance
+    assert(math.abs(z((3L, 4L)) - z((4L, 4L))) < (1L << 6))
+    assert(math.abs(z((3L, 4L)) - z((3L, 5L))) < (1L << 6))
+    // and distinct points get distinct z (bijective on the grid)
+    assert(z.values.toSet.size == z.size)
+  }
+}
