@@ -51,6 +51,19 @@ object Similarity {
 
   private def clamp1(c: Column): Column = least(greatest(c, lit(-1.0)), lit(1.0))
 
+  /** Adaptive cell count for `cosinePairsBucketed`:
+    * k = ⌈√(n/targetCellSize)⌉, clamped to [16, 1024]. With k = √(n/t)
+    * the per-cell pair fan-out (n/k)² is t·n — LINEAR in the corpus
+    * with coefficient t — instead of the quadratic blow-up a fixed k
+    * suffers at 100× scale. The 1024 cap bounds the two driver-side
+    * k-sized artifacts (the k×d literal codebook and the O(k²·d)
+    * centroid-angle table); a corpus that saturates it should shard on
+    * a blocking column first. */
+  private[graft] def autoCells(n: Long, targetCellSize: Int): Int = {
+    require(targetCellSize >= 1, s"autoCells: targetCellSize must be >= 1, got $targetCellSize")
+    math.min(1024, math.max(16, math.ceil(math.sqrt(n.toDouble / targetCellSize)).toInt))
+  }
+
   /** EXACT threshold-pair dedup without the all-pairs join — the
     * 100 TB-shaped C5.
     *
@@ -76,56 +89,57 @@ object Similarity {
     * jitter in the Lloyd means can shift candidates, never results.
     *
     * Scale: the only heavy exchange is the pair join's shuffle on the
-    * cell id (AQE splits skewed cells); raise `nCells` with corpus
-    * size (≈ √(n/target-cell-size)) to keep within-cell fan-out flat. */
+    * cell id (AQE splits skewed cells). `nCells = 0` (the default) is
+    * ADAPTIVE: k = ⌈√(n/targetCellSize)⌉ from a count-only scan, so
+    * within-cell pair fan-out stays ≈ targetCellSize·n (linear, not
+    * quadratic) as the corpus grows — see `autoCells` for the clamp.
+    *
+    * Quantizer: `PQ.trainCoarse` — the SAME Lloyd code path as IVF
+    * (C16) and IVFADC (C31); assignment here is one map-side
+    * projection (native `centroidDots` against the plan-reference
+    * codebook — O(1) expression nodes however large k gets), argmax +
+    * member angle via an in-projection array sort. Zero-norm vectors
+    * get a null cell and never pair (same contract as the IVF index;
+    * cosine with the zero vector is undefined). */
   def cosinePairsBucketed(vecs: DataFrame, id: Column, vec: Column, threshold: Double,
-                          nCells: Int = 16, iters: Int = 1): DataFrame = {
-    require(nCells >= 2, "cosinePairsBucketed: need nCells >= 2 " +
+                          nCells: Int = 0, iters: Int = 1,
+                          targetCellSize: Int = 64): DataFrame = {
+    require(nCells == 0 || nCells >= 2, "cosinePairsBucketed: need nCells >= 2, or 0 = adaptive " +
       "(one cell would degenerate to the all-pairs join this operator exists to avoid)")
     val spark = vecs.sparkSession
     import spark.implicits._
     val v = vecs.select(id.as("id"), vec.cast("array<double>").as("v"))
       .withColumn("nrm", VectorExpressions.norm(col("v")))
 
+    // one count-only scan (no columns read): sizes the adaptive k and
+    // catches the degenerate 0/1-vector corpus, where the all-pairs
+    // form is exact and trivially cheap (at most the empty pair set)
+    val n = v.count()
+    if (n < 2) return cosinePairs(vecs, id, vec, threshold)
+    val k = if (nCells > 0) nCells else autoCells(n, targetCellSize)
+
     def l2(a: Seq[Double]): Double = math.sqrt(a.map(x => x * x).sum)
-    // map-side arg-max assignment against literal centroids
-    def assigned(cents: Seq[(Long, Seq[Double])]): DataFrame = {
-      val best = greatest(cents.map { case (cellId, cv) =>
-        struct(
-          clamp1(VectorExpressions.dot(col("v"), typedlit(cv)) / (col("nrm") * lit(l2(cv))))
-            .as("cos"),
-          lit(-cellId).as("nc"))
-      }: _*)
-      v.select(col("id"), col("v"), col("nrm"), best.as("b"))
-        .select(col("id"), col("v"), col("nrm"),
-          (-col("b.nc")).as("cell"), acos(col("b.cos")).as("ang"))
-    }
+    val cents = PQ.trainCoarse(vecs, id, vec, k, iters)
+    val cnorms = cents.map(l2)
 
-    // deterministic seeds: the nCells lowest-id vectors (k×d collect)
-    var cents: Seq[(Long, Seq[Double])] = v.orderBy(col("id")).limit(nCells)
-      .select(col("id"), col("v")).as[(Long, Seq[Double])].collect().toSeq
-    // degenerate CORPUS (0/1 vectors → ≤ 1 seed): at most the empty
-    // pair set — the all-pairs form is exact and trivially cheap
-    // there. nCells itself is validated up front so a misconfigured
-    // cell count on a big corpus can never silently dispatch here.
-    if (cents.length < 2) return cosinePairs(vecs, id, vec, threshold)
-    for (_ <- 0 until iters) {
-      cents = assigned(cents)
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("cv"))
-        .as[(Long, Seq[Double])].collect().toSeq
-    }
+    // assignment + radius angle in ONE projection: cos to every
+    // centroid from a single native call, argmax by array sort
+    // (ascending on (-cos, cell) = cos desc, lowest cell on ties)
+    val cellCos = transform(sequence(lit(0), lit(cents.length - 1)), c =>
+      struct((-element_at(col("cdots"), c + 1) / element_at(typedlit(cnorms), c + 1)).as("nc"),
+        c.cast("int").as("c")))
+    val asg = v
+      .withColumn("cdots", graft.plans.PQExpressions.centroidDots(col("v"), cents))
+      .withColumn("b", element_at(array_sort(cellCos), 1))
+      .select(col("id"), col("v"), col("nrm"),
+        col("b.c").as("cell"), acos(clamp1(-col("b.nc"))).as("ang"))
 
-    val asg = assigned(cents)
     val radii = asg.groupBy(col("cell")).agg(max(col("ang")).as("r"))
     // candidate cell pairs: centroid angles are driver-side constants;
     // 1e-6 slack absorbs double rounding in the triangle bound
     val thetaMax = math.acos(math.max(-1.0, threshold - 1e-6))
     val centAngles = (for {
-      (ca, va) <- cents; (cb, vb) <- cents if ca <= cb
+      (va, ca) <- cents.zipWithIndex; (vb, cb) <- cents.zipWithIndex if ca <= cb
     } yield {
       val cos = va.lazyZip(vb).map(_ * _).sum / (l2(va) * l2(vb))
       (ca, cb, math.acos(math.max(-1.0, math.min(1.0, cos))))

@@ -36,6 +36,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("autoCells: clamp floor, √ growth, cap") {
+    assert(Similarity.autoCells(500, 64) == 16) // floor
+    assert(Similarity.autoCells(1L << 20, 64) == 128) // ⌈√(2²⁰/64)⌉
+    assert(Similarity.autoCells(4L << 20, 64) == 256) // 4× corpus → 2× cells
+    assert(Similarity.autoCells(Long.MaxValue, 64) == 1024) // cap
+  }
+
+  test("adaptive nCells stays exact at two corpus sizes picking different auto-k") {
+    for ((n, wantK) <- Seq((400, 20), (900, 30))) {
+      // targetCellSize=1 so small corpora already clear the 16-cell floor
+      assert(Similarity.autoCells(n, 1) == wantK)
+      val vs = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)),
+          j => cos(col("id") * 31 + j * 7)).as("embedding"))
+      val want = Similarity.cosinePairs(vs, col("vec_id"), col("embedding"), 0.9)
+        .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
+      val got = Similarity.cosinePairsBucketed(vs, col("vec_id"), col("embedding"), 0.9,
+          targetCellSize = 1)
+        .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
+      assert(want.nonEmpty, s"vacuous oracle at n=$n")
+      assert(got == want, s"n=$n, auto-k=$wantK")
+    }
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tie-break, excludes self") {
     val got = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
         col("vec_id"), col("embedding"), 3)
