@@ -122,8 +122,8 @@ object Upsert {
     * mistaken for, or collide with, a real partition directory). The
     * rename pair is not one atomic operation: a reader racing the
     * swap can briefly miss one partition — serialize writers against
-    * readers (or use a MERGE-capable table format) where that window
-    * matters. */
+    * readers where that window matters, or use `sources.Versioned`
+    * (E13), whose marker-committed snapshots have no such window. */
   def mergeWritePartitioned(incoming: DataFrame, keys: Seq[String], version: Seq[Column],
                             path: String, partCol: String): Unit = {
     val spark = incoming.sparkSession

@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import graft.operators.Upsert
+
+/** Reader-race-safe versioned table (SURVEY E13).
+  *
+  * The in-place merge writers (`Upsert.mergeWrite*`) are crash-safe
+  * but not READER-safe: their rename pair is two FS operations, so a
+  * reader racing the swap can briefly see a missing directory
+  * (documented at Upsert.scala). This layout closes that window the
+  * way modern table formats do — every write publishes a NEW immutable
+  * snapshot directory and readers resolve the newest COMMITTED one:
+  *
+  *   path/v00041/part-*.parquet  + _graft_committed   ← current
+  *   path/v00042/part-*.parquet                       ← in-flight
+  *                                                      (invisible)
+  *
+  * Protocol: data files land first; the empty marker file is CREATED
+  * (a single atomic FS op) last. "Newest directory containing the
+  * marker" is therefore always a complete snapshot, and NOTHING on the
+  * publish path is ever renamed or deleted — there is no intermediate
+  * state in which a reader can fail or see partial data, on any
+  * Hadoop filesystem (a pointer-file design would need atomic
+  * overwrite-rename, which `AbstractFileSystem.renameInternal`
+  * implements as delete-then-rename — a visible hole).
+  *
+  * GC after publish keeps the `keep` newest older committed snapshots
+  * alive for in-flight readers (size `keep` to reader latency ×
+  * write cadence, exactly like Iceberg's expire-snapshots contract)
+  * and removes uncommitted dirs from crashed writers — those can
+  * never commit under the single-writer contract the merge writers
+  * already carry. Readers need no coordination at all.
+  */
+object Versioned {
+
+  /** Underscore-prefixed: invisible to Spark's file discovery. */
+  private val Marker = "_graft_committed"
+
+  private def fsOf(spark: SparkSession, root: Path): FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dirName(v: Long): String = f"v$v%05d"
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.length >= 6 && name.head == 'v' && name.tail.forall(_.isDigit))
+      Some(name.tail.toLong)
+    else None
+
+  /** (version, dir, committed) ascending by version. */
+  private def listVersions(fs: FileSystem, root: Path): Seq[(Long, Path, Boolean)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(st => versionOf(st.getPath.getName).map(v =>
+        (v, st.getPath, fs.exists(new Path(st.getPath, Marker)))))
+      .sortBy(_._1)
+
+  /** Newest committed (version, directory), if the table exists. */
+  def currentSnapshot(spark: SparkSession, path: String): Option[(Long, String)] = {
+    val root = new Path(path)
+    listVersions(fsOf(spark, root), root)
+      .filter(_._3).lastOption.map { case (v, p, _) => (v, p.toString) }
+  }
+
+  /** The current snapshot as a DataFrame. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (_, dir) = currentSnapshot(spark, path).getOrElse(
+      sys.error(s"Versioned.read: no committed snapshot under $path"))
+    spark.read.parquet(dir)
+  }
+
+  /** Publish `df` as the next snapshot; returns its version. */
+  def write(df: DataFrame, path: String, keep: Int = 1): Long = {
+    require(keep >= 1,
+      "Versioned.write: keep >= 1 — the previous snapshot must outlive in-flight readers")
+    val spark = df.sparkSession
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val seen = listVersions(fs, root)
+    // max over ALL dirs (committed or not): a crashed writer's dir is
+    // never reused, so a half-written leftover can't be resurrected
+    val next = seen.lastOption.map(_._1 + 1).getOrElse(1L)
+    val dir = new Path(root, dirName(next))
+    df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    fs.create(new Path(dir, Marker), false).close() // the atomic publish
+    val retain = seen.filter(_._3).map(_._1).sorted.reverse.take(keep).toSet + next
+    seen.foreach { case (v, p, _) => if (!retain.contains(v)) fs.delete(p, true) }
+    next
+  }
+
+  /** Merge `incoming` into the current snapshot (newest row per key
+    * wins — same idempotent semantics as `Upsert.mergeWrite`, same
+    * O(table) batch cost) and publish the result as a new snapshot.
+    * Returns the published version. */
+  def mergeWrite(incoming: DataFrame, keys: Seq[String], version: Seq[Column],
+                 path: String, keep: Int = 1): Long = {
+    val spark = incoming.sparkSession
+    val existing = currentSnapshot(spark, path) match {
+      case Some((_, dir)) => spark.read.parquet(dir)
+      case None           => incoming.limit(0)
+    }
+    write(Upsert.merge(existing, incoming, keys, version), path, keep)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.operators.Upsert
+import graft.sources.Versioned
+
+/** E13 versioned snapshot table: the reader-race gap of the in-place
+  * swap writers, closed. The key test walks a reader through EVERY
+  * intermediate state of a publish and demands a complete old or new
+  * snapshot each time — never a missing path, never partial data.
+  */
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl(rows: (Long, String, Long)*) =
+    rows.toDF("k", "payload", "ver")
+
+  test("mergeWrite: keep-latest semantics, idempotent replay") {
+    val base = Files.createTempDirectory("graft-versioned").toString + "/t"
+    Versioned.mergeWrite(tbl((1L, "a", 1L), (2L, "b", 1L)), Seq("k"), Seq(col("ver")), base)
+    Versioned.mergeWrite(tbl((2L, "B", 2L), (3L, "c", 2L)), Seq("k"), Seq(col("ver")), base)
+    val want = Set((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 2L))
+    def got() = Versioned.read(spark, base).as[(Long, String, Long)].collect().toSet
+    assert(got() == want)
+    // replaying the same batch publishes a new version with identical rows
+    val v = Versioned.mergeWrite(tbl((2L, "B", 2L), (3L, "c", 2L)), Seq("k"), Seq(col("ver")), base)
+    assert(got() == want)
+    assert(v == 3L)
+  }
+
+  test("a reader sees a complete snapshot at every intermediate publish state") {
+    val base = Files.createTempDirectory("graft-versioned").toString + "/t"
+    val old = tbl((1L, "a", 1L), (2L, "b", 1L))
+    Versioned.write(old, base)
+    val wantOld = old.as[(Long, String, Long)].collect().toSet
+
+    def readNow() = Versioned.read(spark, base).as[(Long, String, Long)].collect().toSet
+
+    // state 1: next version's data files fully written, marker absent
+    // (= a writer mid-publish, or a crashed one) → reader gets OLD
+    val merged = Upsert.merge(old, tbl((2L, "B", 2L)), Seq("k"), Seq(col("ver")))
+    merged.write.parquet(s"$base/v00002")
+    assert(readNow() == wantOld, "mid-publish reader must see the old snapshot")
+
+    // state 2: marker created (the atomic publish) → reader gets NEW
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(s"$base/v00002/_graft_committed"), false).close()
+    val wantNew = Set((1L, "a", 1L), (2L, "B", 2L))
+    assert(readNow() == wantNew, "post-publish reader must see the new snapshot")
+
+    // state 3: after the NEXT write's GC, a reader that resolved the
+    // previous snapshot before GC can still finish reading it (keep=1)
+    val v2Dir = Versioned.currentSnapshot(spark, base).get._2
+    Versioned.write(tbl((9L, "z", 9L)), base, keep = 1)
+    assert(spark.read.parquet(v2Dir).as[(Long, String, Long)].collect().toSet == wantNew,
+      "previous snapshot must survive one more write for in-flight readers")
+    // ... but the one before it is gone, and v1 was never resurrected
+    assert(!fs.exists(new Path(s"$base/v00001")))
+  }
+
+  test("crashed-writer leftovers: never visible, never reused, cleaned by the next write") {
+    val base = Files.createTempDirectory("graft-versioned").toString + "/t"
+    Versioned.write(tbl((1L, "a", 1L)), base)
+    // a writer died after writing data, before the marker
+    tbl((6L, "dead", 6L)).write.parquet(s"$base/v00002")
+    assert(Versioned.currentSnapshot(spark, base).get._1 == 1L)
+    // next write must skip the dead dir's version, then GC it
+    val v = Versioned.write(tbl((2L, "b", 2L)), base)
+    assert(v == 3L, "crashed dir's version must never be reused")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$base/v00002")), "dead uncommitted dir must be GC'd")
+    assert(Versioned.read(spark, base).as[(Long, String, Long)].collect().toSet ==
+      Set((2L, "b", 2L)))
+  }
+
+  test("keep=2 retains two older committed snapshots") {
+    val base = Files.createTempDirectory("graft-versioned").toString + "/t"
+    for (i <- 1 to 4) Versioned.write(tbl((i.toLong, s"r$i", i.toLong)), base, keep = 2)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$base/v00001")))
+    for (i <- 2 to 4) assert(fs.exists(new Path(f"$base/v$i%05d")), s"v$i should be retained")
+  }
+}
