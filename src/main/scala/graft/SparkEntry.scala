@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{HtmlFunctions, TextFunctions}
-import graft.operators.{Cleanup, Dedup, Jaccard, MinHash, Sessionize, Shingles, SimHash, Similarity, Upsert}
+import graft.operators.{Cleanup, Dedup, Jaccard, MinHash, Quality, Sessionize, Shingles, SimHash, Similarity, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -798,24 +798,13 @@ object SparkEntry {
 
   /** C9 quality scoring: length/punct/stopword/word-length components
     * (each rounded per SURVEY §4.3) + a fixed linear score. Pure
-    * map-side; identical double arithmetic on the oracle side. */
-  private def c9(s: SparkSession, dir: String): DataFrame = {
-    val en = TextFunctions.LangStopwords.toMap.apply("en")
-    val wc = TextFunctions.wordCount(col("text"))
-    val punct = TextFunctions.punctRatio(col("text"))
-    val stop = TextFunctions.stopwordRatio(col("text"), en)
-    val mwl = TextFunctions.meanWordLength(col("text"))
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      wc.cast("long").as("word_count"),
-      punct.as("punct_ratio"),
-      stop.as("stopword_ratio"),
-      mwl.as("mean_word_len"),
-      round(least(wc / 200.0, lit(1.0)) * 0.4 +
-        (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.3 +
-        least(stop * 4.0, lit(1.0)) * 0.3, 6).as("quality_score"))
+    * map-side (`Quality.scored` — the same code path the D7 streaming
+    * gate runs); identical double arithmetic on the oracle side. */
+  private def c9(s: SparkSession, dir: String): DataFrame =
+    Quality.scored(t(s, dir, "documents"), col("text"))
+      .select(col("doc_id"), col("word_count"), col("punct_ratio"),
+        col("stopword_ratio"), col("mean_word_len"), col("quality_score"))
       .orderBy(col("doc_id"))
-  }
 
   /** C10 token counting: whitespace tokens + BPE-ish pre-tokenizer
     * (letter runs / digit runs / single punctuation). */
@@ -835,19 +824,16 @@ object SparkEntry {
 
   /** C13 PII/URL scrubbing: deterministic contact info is planted per
     * doc, then redacted with typed tokens; per-kind counts emitted.
-    * Pure map-side codegen regexps. */
+    * Pure map-side codegen regexps (`Quality.scrubbed` — the same
+    * code path the D7 streaming gate runs). */
   private def c13(s: SparkSession, dir: String): DataFrame = {
     val planted = concat(col("text"),
       lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
       lit(" see https://example.com/d/"), col("doc_id"))
-    val (emails, urls, phones) = TextFunctions.piiCounts(planted)
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextFunctions.scrub(planted).as("scrubbed"),
-      emails.cast("long").as("n_emails"),
-      urls.cast("long").as("n_urls"),
-      phones.cast("long").as("n_phones"))
+    Quality.scrubbed(t(s, dir, "documents"), planted)
+      .select(col("doc_id"), col("scrubbed"), col("n_emails"),
+        col("n_urls"), col("n_phones"))
       .orderBy(col("doc_id"))
   }
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -258,6 +258,21 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** D7: in-flight LLM-data gate — the streaming twin of C9 (quality
+    * scoring) and C13 (PII scrub). `Quality.scored`/`Quality.scrubbed`
+    * are pure map-side codegen projections, so the SAME code path the
+    * batch queries run applies to a streaming DataFrame unchanged: no
+    * state, no watermark, no shuffle — it composes in front of any
+    * sink here (e.g. the D6 upsert sink) and never buffers or
+    * reorders rows. Docs scoring below `minScore` are dropped and PII
+    * is scrubbed from the survivors — the filter a training-data
+    * pipeline runs BEFORE landing data, rather than as a weekly batch
+    * sweep. StreamingSpec pins row-identity with the batch operators
+    * on the same input. */
+  def qualityGate(docs: DataFrame, text: Column, minScore: Double = 0.0): DataFrame =
+    graft.operators.Quality.scrubbed(graft.operators.Quality.scored(docs, text), text)
+      .filter(col("quality_score") >= minScore)
 
   /** D6: continuous keyed upsert sink — the streaming form of the
     * reference's batched `ON CONFLICT DO UPDATE` loader

@@ -167,4 +167,41 @@ class StreamingSpec extends SparkSpec {
       assert(spark.sql("SELECT * FROM d2_out WHERE user_id = 1").count() == 1)
     } finally q.stop()
   }
+
+  case class Doc(doc_id: Long, text: String)
+
+  test("D7 qualityGate: rows identical to the batch C9+C13 operators on the same input") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      Doc(1L, "the quick brown fox jumps over the lazy dog and then it sleeps all day"),
+      Doc(2L, "!!! ??? ... ;;; ### $$$ %%%"), // punct-heavy: must fail the gate
+      Doc(3L, "email me at a.b@example.org or visit https://x.test/page now, " +
+        "it is the best of all the sites that we have"),
+      Doc(4L, ""))
+    val cutoff = 0.3
+
+    val input = MemoryStream[Doc](spark)(Encoders.product[Doc])
+    val q = EventStream.qualityGate(input.toDF(), col("text"), minScore = cutoff)
+      .writeStream.format("memory").queryName("d7_out")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      spark.table("d7_out").collect().map(_.toSeq).toSet
+    } finally q.stop()
+
+    // the batch side: the same operators (C9's scorer, C13's scrubber)
+    // over a static frame of the same rows
+    val batch = graft.operators.Quality.scrubbed(
+        graft.operators.Quality.scored(spark.createDataFrame(docs), col("text")), col("text"))
+      .filter(col("quality_score") >= cutoff)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size < docs.size, "gate must drop some rows, keep others")
+    // the scrub is visibly applied in-flight
+    val d3 = spark.table("d7_out").filter(col("doc_id") === 3L)
+      .select(col("scrubbed"), col("n_emails"), col("n_urls")).collect().head
+    assert(!d3.getString(0).contains("a.b@example.org") && !d3.getString(0).contains("https://"))
+    assert(d3.getLong(1) == 1L && d3.getLong(2) == 1L)
+  }
 }
