@@ -629,11 +629,26 @@ object SparkEntry {
   }
 
   /** C16 ANN IVF: clustered coarse-quantizer path (rows-only — the
-    * Lloyd means are float-order sensitive, so no portable oracle). */
+    * Lloyd means are float-order sensitive, so no portable oracle for
+    * the RESTRICTED probe; see c16b for the oracle-checked mode). */
   private def c16(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
         col("vec_id"), col("embedding"), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** C16b ANN IVF with EXHAUSTIVE probe (nprobe = nCells — FAISS's
+    * exact mode): every cell is scanned, so the result must equal
+    * brute force regardless of clustering quality. That makes the
+    * whole IVF machinery — quantizer training, map-side assignment,
+    * probe selection, exact ranking — DuckDB-checkable end-to-end;
+    * the restricted-probe form stays c16 (recall pinned by spec). */
+  private def c16b(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), k = 5, nCells = 16, nprobe = 16)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -888,6 +903,7 @@ object SparkEntry {
     "c6_ann_bruteforce" -> (c6 _),
     "c7_ann_lsh" -> (c7 _),
     "c16_ann_ivf" -> (c16 _),
+    "c16b_ann_ivf_exhaustive" -> (c16b _),
     "c17_sample_split" -> (c17 _),
     "c8_lang_id" -> (c8 _),
     "c9_quality_score" -> (c9 _),
@@ -1200,6 +1216,21 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // exhaustive-probe IVF ≡ brute force: same scoring SQL, k = 5
+    "c16b_ann_ivf_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS cosine
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
     "c8_lang_id" ->
       """WITH aug AS (
         |  SELECT doc_id, lower(text) || repeat(CASE lang

@@ -36,14 +36,20 @@ class ZOrderSpec extends SparkSpec {
     val grid = spark.range(n)
       .select((col("id") % 256).as("x"), (col("id") / 256).as("y"))
     val base = Files.createTempDirectory("graft-zorder").toString
-    Sink.writeZOrdered(grid, s"$base/z", Seq("x", "y"), nFiles = 16)
+    Sink.writeZOrdered(grid, s"$base/z", Seq("x", "y"), nFiles = 64)
 
     // selective predicate on EACH column independently: the z layout
-    // must let parquet stats skip most row groups both times
+    // must let parquet stats skip most row groups both times.
+    // Threshold math: 64 files ≈ the top-6 z bits (y,x,y,x,y,x); x<16
+    // zeroes three of the x bits → 8/64 blocks = n/8 ideal. Range
+    // boundaries come from SAMPLING (seeded by RDD id — run-order
+    // dependent), so each of the 8 selected blocks can straddle one
+    // boundary: worst case 16 files = n/4. Assert n/3: above the
+    // worst case, far below the linear layout's no-pruning ~n.
     val zx = rowsScanned(spark.read.parquet(s"$base/z").filter(col("x") < 16))
     val zy = rowsScanned(spark.read.parquet(s"$base/z").filter(col("y") < 16))
-    assert(zx <= n / 4, s"x-predicate scanned $zx of $n rows — no pruning on x")
-    assert(zy <= n / 4, s"y-predicate scanned $zy of $n rows — no pruning on y")
+    assert(zx <= n / 3, s"x-predicate scanned $zx of $n rows — no pruning on x")
+    assert(zy <= n / 3, s"y-predicate scanned $zy of $n rows — no pruning on y")
 
     // results are still exact (layout must never change answers)
     assert(spark.read.parquet(s"$base/z").filter(col("x") < 16).count() == 16L * 256)
@@ -53,11 +59,11 @@ class ZOrderSpec extends SparkSpec {
 
     // contrast: a linear sort on x cannot prune y — pinning that the
     // assertion above is measuring layout, not reader magic
-    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+    grid.repartitionByRange(64, col("x")).sortWithinPartitions(col("x"))
       .write.parquet(s"$base/linear")
     val lx = rowsScanned(spark.read.parquet(s"$base/linear").filter(col("x") < 16))
     val ly = rowsScanned(spark.read.parquet(s"$base/linear").filter(col("y") < 16))
-    assert(lx <= n / 4, s"sanity: linear layout should prune its own sort column, scanned $lx")
+    assert(lx <= n / 3, s"sanity: linear layout should prune its own sort column, scanned $lx")
     assert(ly > n / 2, s"contrast broken: linear layout pruned y ($ly of $n) — metric is vacuous")
   }
 
