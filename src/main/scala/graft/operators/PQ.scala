@@ -59,10 +59,15 @@ object PQ {
     // ONE collect serves three needs: the dimensionality, the seed
     // codebooks (sliced driver-side), and the corpus-smaller-than-k
     // shrink — no separate dims job, no reliance on explode order
+    // filter AFTER unit(): a zero-norm row would otherwise collect as
+    // a null seed and NPE at `.head._2.length` (zero-norm vectors are
+    // also mean-invisible below — their null v explodes to no rows)
     val seeds = corpus
-      .select(id.cast("long").as("id"), unit(vec).as("v")).orderBy(col("id")).limit(k)
+      .select(id.cast("long").as("id"), unit(vec).as("v"))
+      .filter(col("v").isNotNull).orderBy(col("id")).limit(k)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    require(seeds.nonEmpty, "PQ.train: empty corpus — nothing to build a codebook from")
+    require(seeds.nonEmpty,
+      "PQ.train: empty corpus (or all vectors zero-norm) — nothing to build a codebook from")
     val d = seeds.head._2.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val subDim = d / m
@@ -126,10 +131,16 @@ object PQ {
                   nCells: Int = 16, iters: Int = 1): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // unitVec null-propagates zero-norm vectors: drop them here so a
+    // zero-norm row among the nCells lowest ids can't become a NULL
+    // seed (callers take l2 of every centroid — a driver-side NPE)
+    // and can't vote in the means. Such rows are unindexable anyway
+    // (null cell in ivfAssign, gated out of the pair operators).
     val v = corpus.select(id.cast("long").as("id"), unit(vec).as("v"))
+      .filter(col("v").isNotNull)
     var cents: Seq[Seq[Double]] = v.orderBy(col("id")).limit(nCells)
       .select(col("v")).as[Seq[Double]].collect().toSeq
-    require(cents.nonEmpty, "PQ.trainCoarse: empty corpus")
+    require(cents.nonEmpty, "PQ.trainCoarse: empty corpus (or all vectors zero-norm)")
     def cellOf(cs: Seq[Seq[Double]]): Column =
       PQExpressions.nearestCell(col("v"), cs, normalize = false)
     for (_ <- 0 until iters) {

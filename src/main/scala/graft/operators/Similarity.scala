@@ -39,10 +39,17 @@ object Similarity {
     * on the (zero-copy) joined row and only MATERIALIZES qualifying
     * pairs. This all-pairs form is the EXACTNESS ORACLE (specs diff
     * `cosinePairsBucketed` against it) — the shipped C5 query runs
-    * the bucketed plan, which never builds the O(n²) loop. */
+    * the bucketed plan, which never builds the O(n²) loop.
+    *
+    * Zero-norm vectors never pair: cosine with the zero vector is
+    * undefined, and without the explicit gate its 0/0 = NaN would
+    * satisfy `>= threshold` under Spark's NaN-is-greatest ordering —
+    * a spurious pair with EVERY vector. Same contract as the
+    * bucketed form and the IVF index. */
   def cosinePairs(vecs: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
     val v = vecs.select(id.as("id"), vec.cast("array<double>").as("v"))
       .withColumn("nrm", VectorExpressions.norm(col("v")))
+      .filter(col("nrm") > 0)
     val cosine =
       round(VectorExpressions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
     v.as("a").join(v.as("b"), col("a.id") < col("b.id") && cosine >= threshold)
@@ -99,8 +106,12 @@ object Similarity {
     * projection (native `centroidDots` against the plan-reference
     * codebook — O(1) expression nodes however large k gets), argmax +
     * member angle via an in-projection array sort. Zero-norm vectors
-    * get a null cell and never pair (same contract as the IVF index;
-    * cosine with the zero vector is undefined). */
+    * never pair (same contract as `cosinePairs` and the IVF index;
+    * cosine with the zero vector is undefined): they are gated out
+    * EXPLICITLY on `nrm > 0` before assignment — relying on the null
+    * cdots alone is wrong, because the assignment's array_sort puts
+    * the (null, 0) struct FIRST, which would silently park every
+    * zero-norm vector in cell 0 with NaN pair cosines. */
   def cosinePairsBucketed(vecs: DataFrame, id: Column, vec: Column, threshold: Double,
                           nCells: Int = 0, iters: Int = 1,
                           targetCellSize: Int = 64): DataFrame = {
@@ -110,6 +121,7 @@ object Similarity {
     import spark.implicits._
     val v = vecs.select(id.as("id"), vec.cast("array<double>").as("v"))
       .withColumn("nrm", VectorExpressions.norm(col("v")))
+      .filter(col("nrm") > 0)
 
     // one count-only scan (no columns read): sizes the adaptive k and
     // catches the degenerate 0/1-vector corpus, where the all-pairs
@@ -163,13 +175,17 @@ object Similarity {
 
   /** Exact top-k neighbors per query vector (query set should be
     * small — it is broadcast). Returns (query_id, rank, vec_id,
-    * cosine), rank by (cosine desc, vec_id). */
+    * cosine), rank by (cosine desc, vec_id). Zero-norm rows drop out
+    * of BOTH sides (cosine undefined; NaN would rank first under
+    * desc ordering) — the engine-wide zero-norm contract. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      id: Column, vec: Column, k: Int): DataFrame = {
     val c = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("cv"))
       .withColumn("cn", VectorExpressions.norm(col("cv")))
+      .filter(col("cn") > 0)
     val q = queries.select(id.as("query_id"), vec.cast("array<double>").as("qv"))
       .withColumn("qn", VectorExpressions.norm(col("qv")))
+      .filter(col("qn") > 0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     c.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -227,9 +243,14 @@ object Similarity {
     // cell asc) — deterministic, computed inside one projection
     val cellDots = transform(sequence(lit(0), lit(cents.length - 1)), c =>
       struct((-element_at(col("cdots"), c + 1)).as("nd"), c.cast("int").as("c")))
+    // null cdots ⇔ zero-norm (or wrong-dim) query: DROP it, matching
+    // the corpus-side null-cell contract. Without the filter the
+    // (null, c) probe structs sort FIRST and a zero-norm query would
+    // probe cells 0..nprobe-1 and return k arbitrary NaN-cosine rows.
     val probes = queries.select(id.as("query_id"),
         vec.cast("array<double>").as("qv"),
         graft.plans.PQExpressions.centroidDots(vec, cents).as("cdots"))
+      .filter(col("cdots").isNotNull)
       .select(col("query_id"), col("qv"), VectorExpressions.norm(col("qv")).as("qn"),
         explode(slice(array_sort(cellDots), 1, nprobe)).as("p"))
       .select(col("query_id"), col("qv"), col("qn"), col("p.c").as("cell"))
@@ -257,12 +278,16 @@ object Similarity {
   /** ANN via L hash tables of `planes`-bit signatures: candidates
     * share a (table, signature) bucket with the query; exact rounded
     * cosine ranks them. Returns (query_id, rank, vec_id, cosine) with
-    * rank ≤ k. The bucket join is the only shuffle. */
+    * rank ≤ k. The bucket join is the only shuffle. Zero-norm rows
+    * drop out of both sides (engine-wide contract — a zero vector
+    * hashes to the all-zeros signature deterministically, so without
+    * the gate it would collide into real buckets with NaN cosine). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
               k: Int, tables: Int = 4, planes: Int = 6, dims: Int = 64): DataFrame = {
     def bucketed(df: DataFrame, idName: String, vecName: String, nName: String) =
       df.select(id.as(idName), vec.cast("array<double>").as(vecName))
         .withColumn(nName, VectorExpressions.norm(col(vecName)))
+        .filter(col(nName) > 0)
         .select(col(idName), col(vecName), col(nName),
           posexplode(array((0 until tables).map(t =>
             lshSignature(col(vecName), t, planes, dims)): _*)).as(Seq("t", "sig")))

@@ -71,7 +71,13 @@ object Versioned {
   }
 
   /** Publish `df` as the next snapshot; returns its version. */
-  def write(df: DataFrame, path: String, keep: Int = 1): Long = {
+  def write(df: DataFrame, path: String, keep: Int = 1): Long =
+    write(df, path, keep, () => ())
+
+  /** Test seam: `beforeCommit` runs between the data write and the
+    * marker create — specs inject the concurrent-GC race there. */
+  private[graft] def write(df: DataFrame, path: String, keep: Int,
+                           beforeCommit: () => Unit): Long = {
     require(keep >= 1,
       "Versioned.write: keep >= 1 — the previous snapshot must outlive in-flight readers")
     val spark = df.sparkSession
@@ -83,6 +89,18 @@ object Versioned {
     val next = seen.lastOption.map(_._1 + 1).getOrElse(1L)
     val dir = new Path(root, dirName(next))
     df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    beforeCommit()
+    // Commit guard: if the single-writer contract is violated, a
+    // CONCURRENT writer's GC (below) may have deleted this in-flight
+    // dir between the data write and the marker create. Blindly
+    // creating the marker would then re-create the directory holding
+    // ONLY the marker — publishing an empty snapshot that reads as
+    // success. The committer's _SUCCESS witnesses the data files are
+    // still in place; its absence turns the contract violation into
+    // an error instead of silent data loss.
+    require(fs.exists(new Path(dir, "_SUCCESS")),
+      s"Versioned.write: $dir lost its _SUCCESS between data write and commit — " +
+        "is a concurrent writer violating the single-writer contract?")
     fs.create(new Path(dir, Marker), false).close() // the atomic publish
     val retain = seen.filter(_._3).map(_._1).sorted.reverse.take(keep).toSet + next
     seen.foreach { case (v, p, _) => if (!retain.contains(v)) fs.delete(p, true) }

@@ -98,6 +98,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSet == brute.toSet)
   }
 
+  test("zero-norm vectors never pair, never rank, never NPE training") {
+    // id 0 is zero-norm AND among the lowest ids, so it would be
+    // picked as a Lloyd seed (driver NPE via null unit vector) and
+    // parked in cell 0 (NaN pairs) without the explicit gates
+    val zv = Seq((0L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+      .union(vecs.filter(col("vec_id") > 0))
+    for (t <- Seq(0.2, 0.9)) {
+      val all = Similarity.cosinePairs(zv, col("vec_id"), col("embedding"), t)
+        .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
+      val bucketed = Similarity.cosinePairsBucketed(zv, col("vec_id"), col("embedding"), t,
+          nCells = 3, iters = 2)
+        .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
+      assert(!all.exists(r => r._1 == 0L || r._2 == 0L), s"zero-norm paired (all-pairs), t=$t")
+      assert(!all.exists(_._3.isNaN), s"NaN cosine leaked (all-pairs), t=$t")
+      assert(bucketed.toSet == all.toSet, s"bucketed != all-pairs with a zero-norm row, t=$t")
+    }
+    // zero-norm QUERY produces no rows (not k arbitrary NaN rows)
+    val zq = Similarity.ivfTopK(zv, zv.filter(col("vec_id") === 0),
+      col("vec_id"), col("embedding"), k = 3, nCells = 3, nprobe = 3, iters = 2, dims = 8)
+    assert(zq.isEmpty, "zero-norm IVF query returned rows")
+    assert(Similarity.bruteForceTopK(zv, zv.filter(col("vec_id") === 0),
+      col("vec_id"), col("embedding"), 3).isEmpty, "zero-norm brute-force query returned rows")
+    assert(Similarity.lshTopK(zv, zv.filter(col("vec_id") === 0),
+      col("vec_id"), col("embedding"), 3, planes = 2, dims = 8).isEmpty,
+      "zero-norm LSH query returned rows")
+    // zero-norm CORPUS vector is absent from real queries' results
+    val res = Similarity.ivfTopK(zv, zv.filter(col("vec_id") === 2),
+        col("vec_id"), col("embedding"), k = 10, nCells = 3, nprobe = 3, iters = 2, dims = 8)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    assert(res.nonEmpty && !res.map(_._1).contains(0L) && !res.exists(_._2.isNaN))
+  }
+
   test("SortedIntersectSize merges correctly incl. empty and disjoint") {
     val df = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d"), 2),

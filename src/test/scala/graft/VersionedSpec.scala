@@ -76,6 +76,32 @@ class VersionedSpec extends SparkSpec {
       Set((2L, "b", 2L)))
   }
 
+  test("commit fails loudly if the in-flight dir was gutted before the marker (no empty publish)") {
+    val base = Files.createTempDirectory("graft-versioned").toString + "/t"
+    Versioned.write(tbl((1L, "a", 1L)), base)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // inject a contract-violating concurrent writer's GC: delete the
+    // in-flight dir between the data write and the marker create.
+    // Without the _SUCCESS commit guard this would recreate v00002
+    // holding ONLY the marker — an empty snapshot reading as success.
+    val e = intercept[IllegalArgumentException] {
+      Versioned.write(tbl((2L, "b", 2L)), base, keep = 1,
+        beforeCommit = () => { fs.delete(new Path(s"$base/v00002"), true); () })
+    }
+    assert(e.getMessage.contains("_SUCCESS"))
+    // nothing was published: current is still v1, and no empty v2 dir
+    // with a marker exists
+    assert(Versioned.currentSnapshot(spark, base).get._1 == 1L)
+    assert(!fs.exists(new Path(s"$base/v00002/_graft_committed")))
+    assert(Versioned.read(spark, base).as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 1L)))
+    // and a healthy retry (no race) publishes cleanly
+    val v = Versioned.write(tbl((2L, "b", 2L)), base)
+    assert(v >= 2L)
+    assert(Versioned.read(spark, base).as[(Long, String, Long)].collect().toSet ==
+      Set((2L, "b", 2L)))
+  }
+
   test("keep=2 retains two older committed snapshots") {
     val base = Files.createTempDirectory("graft-versioned").toString + "/t"
     for (i <- 1 to 4) Versioned.write(tbl((i.toLong, s"r$i", i.toLong)), base, keep = 2)
