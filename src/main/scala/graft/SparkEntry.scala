@@ -871,6 +871,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C32 duplicated-span stats: per document, its distinct 5-token
+    * spans and how many also occur in another document — corpus-wide
+    * exact substring overlap (Lee et al. 2022's k-gram form; see
+    * operators.Spans). */
+  private def c32(s: SparkSession, dir: String): DataFrame =
+    operators.Spans.dupSpans(t(s, dir, "documents"), col("doc_id"), lower(col("text")), 5)
+      .select(col("id").as("doc_id"), col("n_spans"), col("dup_spans"), col("dup_frac"))
+      .orderBy(col("doc_id"))
+
+  /** C33 stratified √-damped rebalancing: deterministic md5-ranked
+    * sample per (lang, source) stratum with quota min(c, 4⌈√c⌉) —
+    * temperature sampling for over-represented strata (see
+    * operators.Stratified). */
+  private def c33(s: SparkSession, dir: String): DataFrame =
+    operators.Stratified.sampleSqrt(t(s, dir, "documents"), col("doc_id"),
+        concat(col("lang"), lit("/"), col("source")), scale = 4)
+      .select(col("id").as("doc_id"), col("stratum"), col("rk"))
+      .orderBy(col("stratum"), col("rk"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_extract_hashtags" -> (a1 _),
@@ -939,7 +958,9 @@ object SparkEntry {
     "c28_lm_score" -> (c28 _),
     "c29_decontaminate_bloom" -> (c29 _),
     "c30_shard_pack" -> (c30 _),
-    "c31_ann_ivfpq" -> (c31 _))
+    "c31_ann_ivfpq" -> (c31 _),
+    "c32_dup_spans" -> (c32 _),
+    "c33_stratified_sample" -> (c33 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1572,5 +1593,39 @@ object SparkEntry {
         |  lower(trim(regexp_replace(regexp_replace(messy, '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS normalized,
         |  CAST(len(messy) AS BIGINT) AS n_before,
         |  CAST(len(lower(trim(regexp_replace(regexp_replace(messy, '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')))) AS BIGINT) AS n_after
-        |FROM m ORDER BY doc_id""".stripMargin)
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "c32_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-3),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS s
+        |  FROM toks WHERE len(t) >= 5),
+        |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |nd AS (SELECT g, count(*) AS ndocs FROM g GROUP BY 1),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |          CAST(count(CASE WHEN nd.ndocs >= 2 THEN 1 END) AS BIGINT) AS dup_spans
+        |        FROM g JOIN nd USING (g) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(per.n_spans, 0) AS n_spans,
+        |  coalesce(per.dup_spans, 0) AS dup_spans,
+        |  CASE WHEN coalesce(per.n_spans, 0) > 0
+        |       THEN round(CAST(per.dup_spans AS DOUBLE) / per.n_spans, 6)
+        |       ELSE 0.0 END AS dup_frac
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "c33_stratified_sample" ->
+      """WITH rows_ AS (
+        |  SELECT doc_id, lang || '/' || source AS stratum FROM documents),
+        |q AS (SELECT stratum,
+        |        LEAST(count(*), 4 * CAST(ceil(sqrt(count(*))) AS BIGINT)) AS quota
+        |      FROM rows_ GROUP BY 1),
+        |r AS (SELECT doc_id, stratum,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY stratum
+        |          ORDER BY md5('s:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |      FROM rows_)
+        |SELECT r.doc_id, r.stratum, r.rk
+        |FROM r JOIN q USING (stratum) WHERE r.rk <= q.quota
+        |ORDER BY stratum, rk""".stripMargin)
 }

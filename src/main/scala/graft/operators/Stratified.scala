@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stratified corpus rebalancing (SURVEY C33): deterministic
+  * per-stratum down-sampling with a √-damped quota — the
+  * "temperature sampling" used to keep over-represented languages /
+  * sources from drowning the rest of a training mix (the α < 1
+  * exponent of multilingual LM data schedules, fixed at α = 1/2 so
+  * the quota math is sqrt — correctly rounded IEEE in EVERY engine,
+  * unlike pow, which keeps the oracle bit-portable).
+  *
+  * Quota per stratum g with |g| = c: min(c, scale · ⌈√c⌉). Small
+  * strata survive whole; a stratum 100× larger contributes only 10×
+  * the rows. Selection inside a stratum is by md5 rank (the same
+  * engine-portable determinism as C17's split): stable across runs,
+  * partition counts, and engines — re-running the sampler on a grown
+  * corpus keeps a prefix-stable sample per stratum modulo hash order.
+  *
+  * Shape: one tiny count aggregate (rows = strata — broadcast), one
+  * row_number window on the stratum key, one filter. The window sorts
+  * each stratum by md5; at extreme stratum sizes the documented scale
+  * path is a two-phase presample — md5 is UNIFORM over its hex space,
+  * so a map-side `md5 < cutoff` filter with cutoff ≈ safety ×
+  * quota/c keeps the exact-ranked survivor set tiny — followed by
+  * this exact rank over survivors (verify survivors ≥ quota per
+  * stratum, else fall back to the full rank for that stratum). The
+  * exact form below IS the correctness contract either way.
+  */
+object Stratified {
+
+  /** Sampled rows: (id, stratum, rk) with rk = the row's md5 rank
+    * within its stratum, rk ≤ quota(stratum). `scale` multiplies the
+    * ⌈√c⌉ damped quota. */
+  def sampleSqrt(df: DataFrame, id: Column, stratum: Column, scale: Int = 4): DataFrame = {
+    require(scale >= 1, s"Stratified.sampleSqrt: scale must be >= 1, got $scale")
+    val rows = df.select(id.as("id"), stratum.as("stratum"))
+    val quotas = rows.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("stratum"),
+        least(col("c"), lit(scale) * ceil(sqrt(col("c"))).cast("long")).as("quota"))
+    // salt-prefixed md5 rank (C17's determinism pattern); the id
+    // tie-break makes the order total even under md5 collisions
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(md5(concat(lit("s:"), col("id").cast("string"))), col("id"))
+    rows.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq("stratum"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("id"), col("stratum"), col("rk"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Spans, Stratified}
+
+/** C32 duplicated-span stats and C33 stratified sampling. */
+class SpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dupSpans: cross-doc spans counted, within-doc repeats don't self-dup") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // spans {a b c d e, b c d e f}
+      (2L, "x a b c d e"),       // spans {x a b c d, a b c d e}
+      (3L, "z z"),               // too short: no spans
+      (4L, "p q r s t p q r s t p q r s t") // 5 distinct spans, all unique to doc 4
+    ).toDF("doc_id", "text")
+    val got = Spans.dupSpans(docs, col("doc_id"), col("text"), 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 1L, 0.5)))  // shares "a b c d e" with doc 2
+    assert(got(1) == ((2L, 2L, 1L, 0.5)))
+    assert(got(2) == ((3L, 0L, 0L, 0.0)))
+    // repetition INSIDE one document is not duplication across docs
+    assert(got(3) == ((4L, 5L, 0L, 0.0)))
+  }
+
+  test("dupSpans: a span in three docs counts once per doc; frac rounds to 6") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 u1"),
+      (2L, "w1 w2 w3 w4 w5 u2"),
+      (3L, "w1 w2 w3 w4 w5 u3")).toDF("doc_id", "text")
+    val got = Spans.dupSpans(docs, col("doc_id"), col("text"), 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    got.foreach { case (_, n, d, f) =>
+      assert(n == 2L && d == 1L && f == 0.5)
+    }
+  }
+
+  test("sampleSqrt: quota = min(c, scale*ceil(sqrt(c))), md5-rank deterministic") {
+    // stratum "big": 100 rows → quota min(100, 4*10) = 40
+    // stratum "small": 5 rows → quota min(5, 4*3) = 5 (kept whole)
+    val df = (spark.range(100).select(col("id"), lit("big").as("g")) union
+      spark.range(100, 105).select(col("id"), lit("small").as("g")))
+    val got = Stratified.sampleSqrt(df, col("id"), col("g"), scale = 4)
+      .as[(Long, String, Long)].collect()
+    val byStratum = got.groupBy(_._2)
+    assert(byStratum("big").length == 40)
+    assert(byStratum("small").length == 5)
+    // ranks are exactly 1..quota
+    assert(byStratum("big").map(_._3).sorted.toSeq == (1L to 40L))
+    // selection = the 40 lowest by salted md5 (engine-portable order)
+    val wantBig = spark.range(100)
+      .select(col("id"), md5(concat(lit("s:"), col("id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("id")).limit(40).select("id").as[Long].collect().toSet
+    assert(byStratum("big").map(_._1).toSet == wantBig)
+    // deterministic across partition counts
+    val again = Stratified.sampleSqrt(df.repartition(7), col("id"), col("g"), scale = 4)
+      .as[(Long, String, Long)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
+  test("sampleSqrt: sample is md5-prefix-stable as a stratum grows") {
+    val small = spark.range(50).select(col("id"), lit("g").as("g"))
+    val grown = spark.range(200).select(col("id"), lit("g").as("g"))
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      Stratified.sampleSqrt(df, col("id"), col("g"), scale = 2)
+        .orderBy(col("rk")).select("id").as[Long].collect().toSeq
+    val s = ranked(small)  // quota min(50, 2*8) = 16
+    val gr = ranked(grown) // quota min(200, 2*15) = 30
+    assert(s.length == 16 && gr.length == 30)
+    // ids from the original 0..49 keep their relative md5 order in the
+    // grown sample (hash order is data-independent)
+    val oldInGrown = gr.filter(_ < 50)
+    assert(oldInGrown == s.filter(oldInGrown.toSet))
+  }
+}
