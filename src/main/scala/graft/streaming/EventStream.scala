@@ -274,6 +274,30 @@ object EventStream {
     graft.operators.Quality.scrubbed(graft.operators.Quality.scored(docs, text), text)
       .filter(col("quality_score") >= minScore)
 
+  /** D8: streaming mergeable-sketch dashboard — the streaming twin of
+    * C23's HLL distinct counts. Per (tumbling window, group) the HLL
+    * sketch of `key` is aggregated and emitted ALONGSIDE its
+    * estimate: the sketch bytes are the product, not just the number
+    * — closed-window sketches land in a store and roll up by UNION
+    * (day ← hours, fleet ← hosts, corpus ← days) without re-reading
+    * any event, exactly the batch dashboard's mergeable contract made
+    * continuous (StreamingSpec pins stream sketch bytes ≡ batch
+    * sketch bytes on the same rows, and unions them).
+    *
+    * Scale: the sketch partial-aggregates MAP-SIDE in fixed memory
+    * (lgK-bounded), the only shuffle is the (window, group) key, and
+    * streaming state per open window is one sketch blob per group —
+    * never the raw keyset. Watermark semantics are D1's: late rows
+    * beyond `watermark` drop, closed windows emit once (Append). */
+  def sketchCounts(events: DataFrame, group: Column, key: Column,
+                   watermark: String = "2 hours", lgK: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), group.as("grp"))
+      .agg(hll_sketch_agg(key, lit(lgK)).as("sketch"))
+      .select(col("window.start").as("hour"), col("grp"), col("sketch"),
+        hll_sketch_estimate(col("sketch")).as("n_distinct"))
+
   /** D6: continuous keyed upsert sink — the streaming form of the
     * reference's batched `ON CONFLICT DO UPDATE` loader
     * (db_loader.py:117-181): each micro-batch keep-latest-merges into
