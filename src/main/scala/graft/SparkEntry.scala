@@ -890,6 +890,21 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("stratum"), col("rk"))
       .orderBy(col("stratum"), col("rk"))
 
+  /** C34 incremental near-dup ingest gate: docs with id ≥ 400 arrive
+    * as a batch against a signature store of ids < 400 — survivors
+    * are batch docs that near-match (banded candidates + exact
+    * Jaccard ≥ 0.5, C2's match definition) no store doc and no
+    * smaller-id batch doc. Equal to the global keep-first rule
+    * restricted to the batch (see operators.Incremental). */
+  private def c34(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (sb, ss) = operators.Incremental.signatures(
+      docs.filter(col("doc_id") < 400), col("doc_id"), col("text"))
+    val (surv, _, _) = operators.Incremental.gate(sb, ss,
+      docs.filter(col("doc_id") >= 400), col("doc_id"), col("text"), threshold = 0.5)
+    surv.select(col("id").as("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_extract_hashtags" -> (a1 _),
@@ -960,7 +975,8 @@ object SparkEntry {
     "c30_shard_pack" -> (c30 _),
     "c31_ann_ivfpq" -> (c31 _),
     "c32_dup_spans" -> (c32 _),
-    "c33_stratified_sample" -> (c33 _))
+    "c33_stratified_sample" -> (c33 _),
+    "c34_incremental_gate" -> (c34 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1627,5 +1643,38 @@ object SparkEntry {
         |      FROM rows_)
         |SELECT r.doc_id, r.stratum, r.rk
         |FROM r JOIN q USING (stratum) WHERE r.rk <= q.quota
-        |ORDER BY stratum, rk""".stripMargin)
+        |ORDER BY stratum, rk""".stripMargin,
+    // c34 = the global keep-first rule restricted to batch rows (ids
+    // >= 400): drop a batch doc iff ANY smaller-id doc (store or
+    // batch) shares a band and verifies at Jaccard >= 0.5 — the same
+    // banded candidate definition as c2's oracle
+    "c34_incremental_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    list_transform(range(0,4), b -> md5(
+        |      list_min(list_transform(s, x -> md5(CAST(b*2 AS VARCHAR)||':'||x))) || '|' ||
+        |      list_min(list_transform(s, x -> md5(CAST(b*2+1 AS VARCHAR)||':'||x))))) AS bands
+        |  FROM sh),
+        |exploded AS (
+        |  SELECT doc_id, unnest(bands) AS bk, generate_subscripts(bands,1) AS bi FROM sig),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM exploded a JOIN exploded b
+        |    ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |  WHERE b.doc_id >= 400),
+        |dup AS (
+        |  SELECT DISTINCT p.doc_b AS doc_id
+        |  FROM pairs p JOIN sh x ON p.doc_a = x.doc_id JOIN sh y ON p.doc_b = y.doc_id
+        |  WHERE round(len(list_intersect(x.s, y.s))::DOUBLE /
+        |        (len(x.s)+len(y.s)-len(list_intersect(x.s,y.s))), 6) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.plans.ArrayExpressions
+
+/** Incremental near-dup ingest gate (SURVEY C34).
+  *
+  * The batch near-dup operators (C2-C5) re-dedup a whole corpus; an
+  * INGEST pipeline can't afford that per arrival — the operational
+  * shape at corpus scale is a persistent SIGNATURE STORE and an
+  * O(batch) gate: each incoming batch is checked against the store
+  * (and itself), survivors flow on, and the batch's signatures are
+  * appended for the next arrival. Generalizes the reference's
+  * incremental mode + content-hash dedup (pasta-pipeline
+  * `dags/pipelines/dag.py:52-61`, `duplicate_remover.py:74` — "only
+  * process what's new, drop what's already seen") from exact hashes
+  * to near-duplicates.
+  *
+  * Semantics (provably batch-order-independent): a doc is dropped iff
+  * it near-matches (exact Jaccard ≥ t on minhash-banded candidates —
+  * C2's match definition) ANY previously-seen doc or a smaller-id doc
+  * in its own batch. The store keeps every SEEN doc's signature —
+  * kept and dropped alike — which is what makes sequential gating
+  * EQUAL to the global keep-first rule "keep d iff no d' < d matches"
+  * when batches arrive in id order (Jaccard is not transitive: a
+  * near-dup of a dropped doc need not match that doc's keeper, so a
+  * survivors-only store would silently re-admit it; IncrementalSpec
+  * pins the equality). C22 remains the GLOBAL cluster form — this is
+  * its online counterpart.
+  *
+  * Scale: signatures are one hash-agg shuffle per batch (reusing C2's
+  * md5-minhash pipeline); the store join is a band-key equi-join whose
+  * left side is batch-sized. Persist the store with
+  * `Sink.writeBucketed` on `bk` (E9) and the per-arrival cost is a
+  * map-side co-bucketed probe of one bucket subset — the store is
+  * never reshuffled, never rescanned whole. One row per (id, band)
+  * keeps the payload a pair of md5 hexes; the shingle sets needed for
+  * exact verification live one-row-per-doc beside it.
+  */
+object Incremental {
+
+  /** Signature tables for a doc set: bands (id, bi, bk) — one row per
+    * band for the bucketed store layout — and sets (id, s) with the
+    * sorted distinct-shingle array for exact verification. Short docs
+    * (< n tokens) get no band rows and an empty set: they can never
+    * near-match anything and always survive the gate. */
+  def signatures(docs: DataFrame, id: Column, text: Column,
+                 n: Int = 3, k: Int = 8, bandRows: Int = 2): (DataFrame, DataFrame) = {
+    val ex = Shingles.exploded(docs.select(id.as("id"), text.as("txt")),
+      col("id"), col("txt"), n)
+    val sig = MinHash.signatureAgg(ex, "id", "sh", k)
+    val bands = sig.select(col("id"),
+      posexplode(MinHash.bandArray(k, bandRows)).as(Seq("bi", "bk")))
+    val sets = docs.select(id.as("id")).join(Shingles.sets(ex), Seq("id"), "left")
+      .select(col("id"), coalesce(col("s"), array().cast("array<string>")).as("s"))
+    (bands, sets)
+  }
+
+  /** Survivor ids of `batch` gated against the store at `threshold`:
+    * drops a batch doc iff a store doc or a smaller-id batch doc
+    * shares a band AND verifies at exact Jaccard ≥ threshold.
+    * `storeBands`/`storeSets` use the `signatures` schema; pass empty
+    * frames (or `signatures` of an empty doc set) for a cold store.
+    * Returns (survivorIds, batchBands, batchSets) — append the batch
+    * tables to the store for the next arrival (ALL seen docs, not
+    * just survivors — see the object scaladoc). */
+  def gate(storeBands: DataFrame, storeSets: DataFrame, batch: DataFrame,
+           id: Column, text: Column, n: Int = 3, k: Int = 8, bandRows: Int = 2,
+           threshold: Double = 0.5): (DataFrame, DataFrame, DataFrame) = {
+    val (bBands, bSets) = signatures(batch, id, text, n, k, bandRows)
+
+    val inter = ArrayExpressions.sortedIntersectSize(col("sa"), col("sb"))
+    val jac = round(inter.cast("double") /
+      (size(col("sa")) + size(col("sb")) - inter), 6)
+
+    // candidates against the store: batch id on the left, ANY store id
+    def verified(cand: DataFrame, leftSets: DataFrame, rightSets: DataFrame) =
+      cand
+        .join(leftSets.select(col("id").as("cid"), col("s").as("sa")), "cid")
+        .join(rightSets.select(col("id").as("oid"), col("s").as("sb")), "oid")
+        .filter(jac >= threshold)
+        .select(col("cid"))
+
+    val vsStore = verified(
+      bBands.select(col("id").as("cid"), col("bi"), col("bk"))
+        .join(storeBands.select(col("id").as("oid"), col("bi"), col("bk")), Seq("bi", "bk"))
+        .select(col("cid"), col("oid")).distinct(),
+      bSets, storeSets)
+
+    // within-batch: keep-first by id (the C2 pair orientation)
+    val vsBatch = verified(
+      bBands.select(col("id").as("cid"), col("bi"), col("bk"))
+        .join(bBands.select(col("id").as("oid"), col("bi"), col("bk")), Seq("bi", "bk"))
+        .filter(col("oid") < col("cid"))
+        .select(col("cid"), col("oid")).distinct(),
+      bSets, bSets)
+
+    val dropped = vsStore.unionByName(vsBatch).distinct()
+    val survivors = batch.select(id.as("id"))
+      .join(dropped.withColumnRenamed("cid", "id"), Seq("id"), "left_anti")
+    (survivors, bBands, bSets)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Incremental, MinHash}
+
+/** C34 incremental near-dup ingest gate: sequential gating over
+  * batches must equal the global keep-first rule, including across
+  * transitive chains (the store keeps ALL seen signatures). */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T = 0.7
+
+  /** ~30 docs in near-dup families: per family f, variants differ by
+    * one leading/trailing token so adjacent variants clear T but
+    * distant ones don't; plus unique docs and a short doc. */
+  private def corpus: Seq[(Long, String)] = {
+    def base(f: Int) = (1 to 12).map(t => s"f${f}w$t")
+    val rows = for {
+      f <- 0 until 4
+      v <- 0 until 3
+    } yield {
+      val toks = base(f).toVector
+      val txt = v match {
+        case 0 => toks
+        case 1 => toks.init :+ s"f${f}end"                    // change last
+        case 2 => (s"f${f}new" +: toks.tail.init) :+ s"f${f}end" // change first+last
+      }
+      ((f * 3 + v).toLong, txt.mkString(" "))
+    }
+    rows ++ Seq(
+      (100L, "completely different words about spark shuffles and parquet pruning here now"),
+      (101L, "tiny"), // < 3 tokens: no shingles, must always survive
+      (102L, "another unique set of tokens nothing shares with any family at all"))
+  }
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
+
+  /** Global keep-first over the SAME band-candidate match definition. */
+  private def globalKept(all: Seq[(Long, String)]): Set[Long] = {
+    val dropped = MinHash.nearDupPairs(df(all), col("doc_id"), col("text"), threshold = T)
+      .select("doc_b").as[Long].collect().toSet
+    all.map(_._1).toSet -- dropped
+  }
+
+  private def gateSeq(batches: Seq[Seq[(Long, String)]]): Set[Long] = {
+    var (storeBands, storeSets) =
+      Incremental.signatures(df(Nil), col("doc_id"), col("text"))
+    var kept = Set.empty[Long]
+    for (b <- batches) {
+      val (surv, bb, bs) = Incremental.gate(storeBands, storeSets, df(b),
+        col("doc_id"), col("text"), threshold = T)
+      kept ++= surv.as[Long].collect()
+      storeBands = storeBands.unionByName(bb)
+      storeSets = storeSets.unionByName(bs)
+    }
+    kept
+  }
+
+  test("sequential gate over id-ordered batches equals the global keep-first rule") {
+    val all = corpus.sortBy(_._1)
+    // precondition: the families really do near-match under the banded
+    // candidates (otherwise the test is vacuous)
+    val pairs = MinHash.nearDupPairs(df(all), col("doc_id"), col("text"), threshold = T)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "corpus produced no near-dup pairs — tune the fixture")
+    val want = globalKept(all)
+    for (split <- Seq(Seq(all), // one batch = pure within-batch dedup
+        all.grouped(12).toSeq, // a few arrivals
+        all.map(Seq(_)))) { // one doc per arrival = pure store matching
+      assert(gateSeq(split) == want, s"${split.length} batches")
+    }
+    // the short doc always survives
+    assert(want.contains(101L))
+  }
+
+  test("transitive chain across batches: a dup of a DROPPED doc is still dropped") {
+    // v1 matches v0 (dropped); v2 matches v1 but not v0 — only a
+    // store that keeps dropped docs' signatures catches v2
+    val f = corpus.filter(t => t._1 < 3).sortBy(_._1) // family 0: ids 0, 1, 2
+    val pairs = MinHash.nearDupPairs(df(f), col("doc_id"), col("text"), threshold = T)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)) && !pairs.contains((0L, 2L)),
+      s"fixture must form a chain, got $pairs")
+    val kept = gateSeq(f.map(Seq(_)))
+    assert(kept == Set(0L), s"chain must collapse to the first doc, got $kept")
+  }
+
+  test("batch signatures returned by gate equal signatures() of the same docs") {
+    val b = corpus.take(6)
+    val (_, bb, bs) = Incremental.gate(
+      Incremental.signatures(df(Nil), col("doc_id"), col("text"))._1,
+      Incremental.signatures(df(Nil), col("doc_id"), col("text"))._2,
+      df(b), col("doc_id"), col("text"), threshold = T)
+    val (wb, ws) = Incremental.signatures(df(b), col("doc_id"), col("text"))
+    assert(bb.collect().toSet == wb.collect().toSet)
+    assert(bs.collect().toSet == ws.collect().toSet)
+  }
+}
