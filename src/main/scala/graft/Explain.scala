@@ -8,8 +8,10 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // args: [absolute sf dir] [query names...] — either may be omitted
     val dir = if (args.nonEmpty && args.head.startsWith("/")) args.head else "/root/testdata/sf0.1"
-    val qs = if (args.nonEmpty && !args.head.startsWith("/")) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val names = args.toSeq.filterNot(_.startsWith("/"))
+    val qs = if (names.nonEmpty) names else SparkEntry.queries.keys.toSeq.sorted
     for (q <- qs) {
       println(s"===== $q =====")
       val df = SparkEntry.queries(q)(spark, dir)

@@ -151,6 +151,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c32/c34 span and gate dedup: equi-joins only, no nested loop or cartesian") {
+    for (q <- Seq("c32_dup_spans", "c34_incremental_gate")) {
+      val p = finalPlan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // c34's minhash signature aggregate is computed once and reused
+    // across the store/within-batch candidate joins and the verify
+    assert(finalPlan("c34_incremental_gate").contains("ReusedExchange"))
+  }
+
+  test("c33 stratified sample: broadcast quota join, one stratum window exchange") {
+    // AQE prints Final + Initial sections; count nodes in Final only
+    val p = finalPlan("c33_stratified_sample").split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin"), p) // the quota side must broadcast
+    val windows = "Window \\[row_number".r.findAllIn(p).size
+    assert(windows == 1, s"expected one window, plan:\n$p")
+    // the window's only input exchange is on the stratum key — never
+    // a SinglePartition global sort
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("c30 shard packing: windows are per-range-partition, never global") {
     val p = plan("c30_shard_pack")
     // a global-order window would show an empty partition spec:
