@@ -50,4 +50,58 @@ object Stratified {
       .filter(col("rk") <= col("quota"))
       .select(col("id"), col("stratum"), col("rk"))
   }
+
+  /** The two-phase presampled form — IDENTICAL output to
+    * `sampleSqrt` (StratifiedSpec pins equality), built for strata
+    * too large to window-sort whole.
+    *
+    * Phase 1 drops rows MAP-SIDE: md5 hex is uniform over its space,
+    * so per stratum only rows whose first 8 hex digits fall below
+    * cutoff ≈ safety·quota/c survive to the sort. Phase 2 exact-ranks
+    * the survivors. Correctness is not probabilistic: survivors are a
+    * PREFIX of the stratum's md5 order (everything below the cutoff),
+    * so whenever a stratum retains ≥ quota survivors the quota
+    * smallest overall are exactly the quota smallest survivors; the
+    * (astronomically rare at sane `safety`, but possible) shortfall
+    * strata are detected by a count and fall back to the full rank —
+    * exactness is guaranteed, the presample only decides how much the
+    * sort sees. Expected sorted volume per stratum: safety·quota ≈
+    * safety·scale·√c rows instead of c. */
+  def sampleSqrtPresampled(df: DataFrame, id: Column, stratum: Column,
+                           scale: Int = 4, safety: Double = 4.0): DataFrame = {
+    require(scale >= 1, s"sampleSqrtPresampled: scale must be >= 1, got $scale")
+    require(safety > 0, s"sampleSqrtPresampled: safety must be > 0, got $safety")
+    val rows = df.select(id.as("id"), stratum.as("stratum"))
+    val quotas = rows.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("stratum"), col("c"),
+        least(col("c"), lit(scale) * ceil(sqrt(col("c"))).cast("long")).as("quota"))
+      // first-8-hex-digit cutoff; 2^32 = the whole prefix space means
+      // "keep everything" (also covers safety·quota/c >= 1)
+      .select(col("stratum"), col("quota"),
+        format_string("%08x", least(lit(4294967296L),
+          ceil(lit(safety) * col("quota") * 4294967296L / col("c")).cast("long"))).as("cut"))
+    val hashed = rows
+      .withColumn("h", md5(concat(lit("s:"), col("id").cast("string"))))
+      .join(broadcast(quotas), Seq("stratum"))
+    // prefix-of-order filter: h's first 8 hex < cut (a "100000000"
+    // cut from the keep-everything clamp compares greater than every
+    // 8-digit prefix, so no row drops). Rows equal to the cut prefix
+    // drop CONSERVATIVELY — the shortfall check below covers them.
+    val surv = hashed.filter(substring(col("h"), 1, 8) < col("cut"))
+    val got = surv.groupBy(col("stratum")).agg(count(lit(1)).as("nsurv"))
+    val enough = got // quota ≤ c = nsurv when the cut clamps to keep-everything
+      .join(quotas.select(col("stratum"), col("quota")), Seq("stratum"))
+      .filter(col("nsurv") >= col("quota"))
+      .select(col("stratum"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("h"), col("id"))
+    def rank(in: DataFrame) =
+      in.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= col("quota"))
+        .select(col("id"), col("stratum"), col("rk"))
+    // presampled strata sort only their survivors; shortfall strata
+    // (usually none) re-rank in full — never a wrong answer either way
+    rank(surv.join(broadcast(enough), Seq("stratum")))
+      .unionByName(rank(hashed.join(broadcast(enough), Seq("stratum"), "left_anti")))
+  }
 }

@@ -58,6 +58,23 @@ class SpansSpec extends SparkSpec {
     assert(again.toSet == got.toSet)
   }
 
+  test("sampleSqrtPresampled equals sampleSqrt, including forced-shortfall fallback") {
+    val df = (spark.range(300).select(col("id"), lit("big").as("g")) union
+      spark.range(300, 307).select(col("id"), lit("small").as("g")))
+    val want = Stratified.sampleSqrt(df, col("id"), col("g"), scale = 3)
+      .as[(Long, String, Long)].collect().toSet
+    // default safety: presample path carries the big stratum
+    val pre = Stratified.sampleSqrtPresampled(df, col("id"), col("g"), scale = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(pre == want)
+    // safety so low the cutoff keeps too few: every stratum falls
+    // back to the full rank — still identical, never a wrong answer
+    val starved = Stratified.sampleSqrtPresampled(df, col("id"), col("g"),
+        scale = 3, safety = 0.001)
+      .as[(Long, String, Long)].collect().toSet
+    assert(starved == want)
+  }
+
   test("sampleSqrt: sample is md5-prefix-stable as a stratum grows") {
     val small = spark.range(50).select(col("id"), lit("g").as("g"))
     val grown = spark.range(200).select(col("id"), lit("g").as("g"))
