@@ -64,4 +64,35 @@ class DegenerateInputSpec extends SparkSpec {
       .select("codes").as[Seq[Int]].collect()
     assert(codes.forall(_.forall(c => c >= 0 && c < model.k)))
   }
+
+  test("Spans.dupSpans on empty / null-text / short-doc corpora") {
+    assert(Spans.dupSpans(noDocs, col("doc_id"), col("text")).count() == 0)
+    val odd = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "one two")).toDF("doc_id", "text")
+    val out = Spans.dupSpans(odd, col("doc_id"), col("text"), 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L, 0L, 0.0), (2L, 0L, 0L, 0.0), (3L, 0L, 0L, 0.0)))
+  }
+
+  test("Stratified samplers on empty and single-row inputs") {
+    assert(Stratified.sampleSqrt(noDocs, col("doc_id"), col("text")).count() == 0)
+    assert(Stratified.sampleSqrtPresampled(noDocs, col("doc_id"), col("text")).count() == 0)
+    val one = Seq((7L, "g")).toDF("doc_id", "text")
+    for (got <- Seq(Stratified.sampleSqrt(one, col("doc_id"), col("text")),
+        Stratified.sampleSqrtPresampled(one, col("doc_id"), col("text")))) {
+      assert(got.as[(Long, String, Long)].collect().toSeq == Seq((7L, "g", 1L)))
+    }
+  }
+
+  test("Incremental.gate: empty store, empty batch, all-short batch") {
+    val (eb, es) = Incremental.signatures(noDocs, col("doc_id"), col("text"))
+    // empty batch against empty store
+    val (s0, _, _) = Incremental.gate(eb, es, noDocs, col("doc_id"), col("text"))
+    assert(s0.count() == 0)
+    // short docs can never match: all survive, bands stay empty
+    val shorts = Seq((1L, "hi"), (2L, "yo")).toDF("doc_id", "text")
+    val (s1, bands, sets) = Incremental.gate(eb, es, shorts, col("doc_id"), col("text"))
+    assert(s1.as[Long].collect().toSet == Set(1L, 2L))
+    assert(bands.count() == 0)
+    assert(sets.as[(Long, Seq[String])].collect().forall(_._2.isEmpty))
+  }
 }
