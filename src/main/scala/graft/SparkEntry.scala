@@ -880,6 +880,16 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_spans"), col("dup_spans"), col("dup_frac"))
       .orderBy(col("doc_id"))
 
+  /** C35 span-removal rewrite: drop every token covered by a 5-token
+    * span shared with another document and re-emit the surviving
+    * text — the dedup step behind C32's statistic (Lee et al. 2022;
+    * see operators.Spans.removeDupSpans). */
+  private def c35(s: SparkSession, dir: String): DataFrame =
+    operators.Spans.removeDupSpans(t(s, dir, "documents"), col("doc_id"), col("text"), 5)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("kept_tokens"),
+        col("removed_frac"), col("kept_text"))
+      .orderBy(col("doc_id"))
+
   /** C33 stratified √-damped rebalancing: deterministic md5-ranked
     * sample per (lang, source) stratum with quota min(c, 4⌈√c⌉) —
     * temperature sampling for over-represented strata (see
@@ -976,7 +986,8 @@ object SparkEntry {
     "c31_ann_ivfpq" -> (c31 _),
     "c32_dup_spans" -> (c32 _),
     "c33_stratified_sample" -> (c33 _),
-    "c34_incremental_gate" -> (c34 _))
+    "c34_incremental_gate" -> (c34 _),
+    "c35_span_rewrite" -> (c35 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1630,6 +1641,35 @@ object SparkEntry {
         |       ELSE 0.0 END AS dup_frac
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // c35 = the rewrite counterpart: a token at 1-based position p is
+    // removed iff some cross-doc-shared 5-gram starts at i in
+    // [p-4, p]; kept tokens re-join with single spaces
+    "c35_span_rewrite" ->
+      """WITH toks AS (
+        |  SELECT doc_id, coalesce(list_filter(string_split_regex(lower(text),'\s+'), x -> x <> ''), []) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t)-3)) AS i FROM toks WHERE len(t) >= 5)),
+        |shared AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY 1) WHERE nd >= 2),
+        |starts AS (SELECT DISTINCT doc_id, i FROM grams JOIN shared USING (g)),
+        |covered AS (SELECT DISTINCT doc_id, unnest(range(i, i+5)) AS p FROM starts),
+        |tokpos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS p FROM toks),
+        |kept AS (
+        |  SELECT tokpos.doc_id, p, tok FROM tokpos
+        |  ANTI JOIN covered USING (doc_id, p)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+        |         string_agg(tok, ' ' ORDER BY p) AS kept_text
+        |  FROM kept GROUP BY 1)
+        |SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  coalesce(kept_tokens, 0) AS kept_tokens,
+        |  CASE WHEN len(t) > 0
+        |       THEN round(CAST(len(t) - coalesce(kept_tokens, 0) AS DOUBLE) / len(t), 6)
+        |       ELSE 0.0 END AS removed_frac,
+        |  coalesce(kept_text, '') AS kept_text
+        |FROM toks LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "c33_stratified_sample" ->
       """WITH rows_ AS (

@@ -17,7 +17,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional args(2..): restrict to named queries (dev loop only —
+    // the driver always passes exactly two args and gets the full set)
+    val subset = args.drop(2).toSet
+    val selected =
+      if (subset.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => subset(k) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

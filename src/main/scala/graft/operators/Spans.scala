@@ -54,4 +54,70 @@ object Spans {
           round(col("dup_spans").cast("double") / col("n_spans"), 6))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  /** Span-removal rewrite (SURVEY C35) — the REWRITE counterpart of
+    * `dupSpans`: drop every token covered by an n-token span that
+    * also occurs in another document, and re-emit the surviving text
+    * (Lee et al. 2022's dedup step itself, in the same cross-doc
+    * k-gram formulation as C32 — not just the statistic).
+    *
+    * Contract: tokens are the whitespace splits of `lower(text)`
+    * (python str.split semantics); the output text is those kept
+    * tokens re-joined with single spaces, so it is case-folded and
+    * whitespace-normalized relative to the input. A token at position
+    * p is removed iff some shared span starts at i ≤ p ≤ i+n-1. Docs
+    * shorter than n tokens have no spans and survive whole; null
+    * text ⇒ 0 tokens, empty output.
+    *
+    * Shape (everything linear in corpus tokens, no per-doc quadratic
+    * work): span occurrences are built map-side with start positions
+    * (posexplode over the same `transform`-built gram array as
+    * `Shingles.exploded`); the shared-span set is one hash agg over
+    * distinct (doc, span); covered positions expand map-side from the
+    * matched starts (sequence + explode, ≤ n rows per shared start)
+    * and dedup on (id, p); kept tokens are a LEFT ANTI equi-join of
+    * (id, p, tok) against covered — a hash join on (id, p), never a
+    * scan of a per-doc covered ARRAY (an array_contains mask would be
+    * O(doc_len × covered) interpreted work per doc, quadratic on
+    * boilerplate-heavy corpora). Reassembly is one hash agg per doc:
+    * collect_list of (p, tok) structs, array_sort (p is unique per
+    * doc so struct order is total), array_join. At 100 TB every
+    * exchange here is a hash shuffle keyed on span, (id, p) or id —
+    * AQE-splittable, no global sort, no driver traffic.
+    */
+  def removeDupSpans(df: DataFrame, id: Column, text: Column, n: Int = 5): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    val toks = df.select(id.as("id"),
+      coalesce(filter(split(lower(text), "\\s+"), t => t =!= ""),
+        array().cast("array<string>")).as("toks"))
+    // (id, i, g): every span occurrence with its 0-based start
+    val grams = toks.select(col("id"),
+      posexplode(when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as(Seq("i", "g")))
+    // spans in >= 2 distinct docs (same definition as dupSpans)
+    val shared = grams.select(col("id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    // covered token positions: expand each matched start map-side
+    val covered = grams.join(shared, Seq("g"), "left_semi")
+      .select(col("id"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .distinct()
+    val tokpos = toks.select(col("id"), posexplode(col("toks")).as(Seq("p", "tok")))
+    val kept = tokpos.join(covered, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("kept_text"))
+    toks.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        when(col("n_tokens") > 0,
+          round((col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+            .cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("removed_frac"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

@@ -35,6 +35,53 @@ class SpansSpec extends SparkSpec {
     }
   }
 
+  test("removeDupSpans: covered tokens cut, survivors rejoin in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // "a b c d e" shared with doc 2 → covers a..e, keeps f
+      (2L, "x a b c d e"),        // covers a..e, keeps x
+      (3L, "z z"),                // too short: survives whole
+      (4L, "p q r s t p q r s t") // within-doc repeat only: not cross-doc, survives whole
+    ).toDF("doc_id", "text")
+    val got = Spans.removeDupSpans(docs, col("doc_id"), col("text"), 5)
+      .as[(Long, Long, Long, Double, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 6L, 1L, round6(5.0 / 6), "f")))
+    assert(got(1) == ((2L, 6L, 1L, round6(5.0 / 6), "x")))
+    assert(got(2) == ((3L, 2L, 2L, 0.0, "z z")))
+    assert(got(3) == ((4L, 10L, 10L, 0.0, "p q r s t p q r s t")))
+  }
+
+  test("removeDupSpans: overlapping shared spans merge their coverage; full removal → empty text") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),  // both 5-spans shared → all 7 tokens covered
+      (2L, "a b c d e f g"),
+      (3L, "k a b c d e m")   // only "a b c d e" shared → keeps "k m"
+    ).toDF("doc_id", "text")
+    val got = Spans.removeDupSpans(docs, col("doc_id"), col("text"), 5)
+      .as[(Long, Long, Long, Double, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 7L, 0L, 1.0, "")))
+    assert(got(1) == ((2L, 7L, 0L, 1.0, "")))
+    assert(got(2) == ((3L, 7L, 2L, round6(5.0 / 7), "k m")))
+  }
+
+  test("removeDupSpans: null/empty text and case folding") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, "  A   B  "),   // lowercased, ws-normalized, unique → kept
+      (4L, "p Q r S t x"), // case-insensitive match with doc 5
+      (5L, "P q R s T y")
+    ).toDF("doc_id", "text")
+    val got = Spans.removeDupSpans(docs, col("doc_id"), col("text"), 5)
+      .as[(Long, Long, Long, Double, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0L, 0L, 0.0, "")))
+    assert(got(1) == ((2L, 0L, 0L, 0.0, "")))
+    assert(got(2) == ((3L, 2L, 2L, 0.0, "a b")))
+    assert(got(3) == ((4L, 6L, 1L, round6(5.0 / 6), "x")))
+    assert(got(4) == ((5L, 6L, 1L, round6(5.0 / 6), "y")))
+  }
+
+  private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
+
   test("sampleSqrt: quota = min(c, scale*ceil(sqrt(c))), md5-rank deterministic") {
     // stratum "big": 100 rows → quota min(100, 4*10) = 40
     // stratum "small": 5 rows → quota min(5, 4*3) = 5 (kept whole)
