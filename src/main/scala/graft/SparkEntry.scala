@@ -890,6 +890,25 @@ object SparkEntry {
         col("removed_frac"), col("kept_text"))
       .orderBy(col("doc_id"))
 
+  /** C36 SemDeDup: semantic dedup over embeddings — keep-first within
+    * coarse-quantizer clusters at rounded cosine ≥ 0.4 (Abbas et al.
+    * 2023's shape; see Similarity.semDedup). Cluster assignment is
+    * Lloyd-float-dependent → rows-only; the exhaustive twin c36b pins
+    * the whole drop rule against DuckDB. */
+  private def c36(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        threshold = 0.4, nCells = 16, iters = 2)
+      .orderBy(col("vec_id"))
+
+  /** C36b exhaustive SemDeDup: nCells = 1 ⇒ every pair is
+    * within-cluster ⇒ survivors ≡ the global keep-first rule —
+    * DuckDB-expressible, pinning the drop rule end-to-end (the
+    * C16/C16b pattern). */
+  private def c36b(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        threshold = 0.4, nCells = 1, iters = 0)
+      .orderBy(col("vec_id"))
+
   /** C33 stratified √-damped rebalancing: deterministic md5-ranked
     * sample per (lang, source) stratum with quota min(c, 4⌈√c⌉) —
     * temperature sampling for over-represented strata (see
@@ -987,7 +1006,9 @@ object SparkEntry {
     "c32_dup_spans" -> (c32 _),
     "c33_stratified_sample" -> (c33 _),
     "c34_incremental_gate" -> (c34 _),
-    "c35_span_rewrite" -> (c35 _))
+    "c35_span_rewrite" -> (c35 _),
+    "c36_semdedup" -> (c36 _),
+    "c36b_semdedup_exhaustive" -> (c36b _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1671,6 +1692,23 @@ object SparkEntry {
         |  coalesce(kept_text, '') AS kept_text
         |FROM toks LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // c36b = SemDeDup with nCells=1: every pair is within-cluster, so
+    // survivors are exactly the global keep-first rule — a vector is
+    // dropped iff some LOWER-id vector has rounded cosine >= 0.4
+    "c36b_semdedup_exhaustive" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1,65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0
+        |    AND round(list_sum(list_transform(range(1,65),
+        |          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.4)
+        |SELECT vec_id, CAST(0 AS INTEGER) AS cell FROM n
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
     "c33_stratified_sample" ->
       """WITH rows_ AS (
         |  SELECT doc_id, lang || '/' || source AS stratum FROM documents),

@@ -275,6 +275,50 @@ object Similarity {
       .withColumn("cell", graft.plans.PQExpressions.nearestCell(col("v"), cents))
       .withColumn("vn", VectorExpressions.norm(col("v")))
 
+  /** SemDeDup (SURVEY C36): semantic dedup over embeddings — cluster
+    * with the shared coarse quantizer, then within each cluster drop
+    * every vector that has a LOWER-ID cluster-mate with rounded
+    * cosine ≥ threshold (the C2/C34 keep-first rule, applied to
+    * embedding space). Returns the survivors as (vec_id, cell).
+    *
+    * This is the Abbas et al. 2023 "SemDeDup" shape: near-duplicate
+    * SEMANTICS (paraphrases, re-encodes, templated rewrites) that
+    * token-level dedup (C1-C4) can't see, at clustered — not
+    * quadratic — cost. It is deliberately APPROXIMATE where C5 is
+    * exact: C5's triangle-bound cell pairs guarantee every qualifying
+    * pair is scored, while SemDeDup scores only WITHIN-cluster pairs
+    * and accepts misses across cluster boundaries; in exchange its
+    * candidate join is a pure equi-join on one cell id with no
+    * cell-pair fan-out at all. `nCells = 1` makes it exhaustive
+    * (every pair is within-cluster ⇒ ≡ global keep-first — that
+    * variant is the DuckDB-oracle pin, C16b-style).
+    *
+    * Scale: quantizer model (k×d) is the only driver traffic; cluster
+    * assignment is one map-side native-argmax projection (no
+    * exchange); the within-cell self-join shuffles the corpus ONCE on
+    * the cell id (both sides of the join reuse the same exchange) and
+    * the anti-join back shuffles on vec_id. Pick nCells ≈ n/target so
+    * cells stay bounded — the within-cell candidate scan is the same
+    * cost model the paper's per-cluster pass has.
+    *
+    * Zero-norm vectors: cosine with them is undefined, so they can
+    * never match — they get a null cell from `ivfAssign`, fall out of
+    * the cell equi-join on BOTH sides, and always survive (with null
+    * cell), consistent with the engine-wide zero-norm contract. */
+  def semDedup(vecs: DataFrame, id: Column, vec: Column, threshold: Double,
+               nCells: Int = 16, iters: Int = 2): DataFrame = {
+    val cents = PQ.trainCoarse(vecs, id, vec, nCells, iters)
+    val asg = ivfAssign(vecs, id, vec, cents)
+    val cosine =
+      round(VectorExpressions.dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6)
+    val dropped = asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id") && cosine >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    asg.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** ANN via L hash tables of `planes`-bit signatures: candidates
     * share a (table, signature) bucket with the query; exact rounded
     * cosine ranks them. Returns (query_id, rank, vec_id, cosine) with

@@ -98,6 +98,51 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSet == brute.toSet)
   }
 
+  test("semDedup: exhaustive (nCells=1) equals global keep-first from cosinePairs") {
+    val t = 0.5
+    // global keep-first: dropped iff some lower-id vector matches
+    val droppedWant = Similarity.cosinePairs(vecs, col("vec_id"), col("embedding"), t)
+      .select("vec_b").as[Long].collect().toSet
+    val want = vecs.select("vec_id").as[Long].collect().toSet -- droppedWant
+    val got = Similarity.semDedup(vecs, col("vec_id"), col("embedding"), t,
+        nCells = 1, iters = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(!got.contains(1L) && got.contains(0L)) // 1 is 0's near-dup, 0 kept
+  }
+
+  test("semDedup: clustered survivors ⊇ exhaustive survivors; drops are sound") {
+    val t = 0.3
+    val exhaustive = Similarity.semDedup(vecs, col("vec_id"), col("embedding"), t,
+        nCells = 1, iters = 0).select("vec_id").as[Long].collect().toSet
+    val clustered = Similarity.semDedup(vecs, col("vec_id"), col("embedding"), t,
+        nCells = 4, iters = 2)
+    val surv = clustered.select("vec_id").as[Long].collect().toSet
+    // clustering only MISSES matches (cross-cluster), never invents them
+    assert(exhaustive.subsetOf(surv))
+    // soundness: every dropped vector really has a lower-id match ≥ t
+    val dropped = vecs.select("vec_id").as[Long].collect().toSet -- surv
+    val matchedPairs = Similarity.cosinePairs(vecs, col("vec_id"), col("embedding"), t)
+      .select("vec_b").as[Long].collect().toSet
+    assert(dropped.subsetOf(matchedPairs))
+    // identical vectors always share a cell → always deduped
+    val withClone = vecs.union(Seq((99L, Array.tabulate(8)(j => math.sin(j * 2.0 + 1).toFloat)))
+      .toDF("vec_id", "embedding"))
+    val survClone = Similarity.semDedup(withClone, col("vec_id"), col("embedding"), 0.99,
+        nCells = 4, iters = 2).select("vec_id").as[Long].collect().toSet
+    assert(!survClone.contains(99L))
+  }
+
+  test("semDedup: zero-norm vectors always survive, with null cell") {
+    val withZero = vecs.union(Seq((50L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+    val got = Similarity.semDedup(withZero, col("vec_id"), col("embedding"), 0.0,
+        nCells = 2, iters = 1)
+      .select(col("vec_id"), col("cell")).as[(Long, Option[Int])].collect().toMap
+    assert(got.contains(50L) && got(50L).isEmpty)
+    // threshold 0.0 with real vectors: everything non-orthogonal to a
+    // lower id within its cell drops, but the zero vector never does
+  }
+
   test("zero-norm vectors never pair, never rank, never NPE training") {
     // id 0 is zero-norm AND among the lowest ids, so it would be
     // picked as a Lloyd seed (driver NPE via null unit vector) and
