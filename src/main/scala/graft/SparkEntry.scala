@@ -890,6 +890,20 @@ object SparkEntry {
         col("removed_frac"), col("kept_text"))
       .orderBy(col("doc_id"))
 
+  /** C37 fuzzy decontamination: train docs (doc_id % 5 ≠ 0) that
+    * near-match an eval doc (doc_id % 5 = 0) at exact Jaccard ≥ 0.5
+    * on banded minhash candidates — catches lightly-rewritten
+    * benchmark leakage C19's exact n-gram collisions miss (see
+    * Contamination.fuzzyMatches). */
+  private def c37(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Contamination.fuzzyMatches(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"), threshold = 0.5)
+      .select(col("id").as("doc_id"), col("eval_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C36 SemDeDup: semantic dedup over embeddings — keep-first within
     * coarse-quantizer clusters at rounded cosine ≥ 0.4 (Abbas et al.
     * 2023's shape; see Similarity.semDedup). Cluster assignment is
@@ -1008,7 +1022,8 @@ object SparkEntry {
     "c34_incremental_gate" -> (c34 _),
     "c35_span_rewrite" -> (c35 _),
     "c36_semdedup" -> (c36 _),
-    "c36b_semdedup_exhaustive" -> (c36b _))
+    "c36b_semdedup_exhaustive" -> (c36b _),
+    "c37_fuzzy_decontaminate" -> (c37 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1754,5 +1769,39 @@ object SparkEntry {
         |        (len(x.s)+len(y.s)-len(list_intersect(x.s,y.s))), 6) >= 0.5)
         |SELECT doc_id FROM documents
         |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM dup)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // c37 = banded-minhash candidates (same band formula as c34)
+    // between the train (% 5 <> 0) and eval (% 5 = 0) splits, exact
+    // Jaccard >= 0.5 verify, best match per train doc (jac desc,
+    // eval_id asc)
+    "c37_fuzzy_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    list_transform(range(0,4), b -> md5(
+        |      list_min(list_transform(s, x -> md5(CAST(b*2 AS VARCHAR)||':'||x))) || '|' ||
+        |      list_min(list_transform(s, x -> md5(CAST(b*2+1 AS VARCHAR)||':'||x))))) AS bands
+        |  FROM sh),
+        |ex AS (SELECT doc_id, unnest(bands) AS bk, generate_subscripts(bands,1) AS bi FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT t.doc_id AS tid, e.doc_id AS eid
+        |  FROM ex t JOIN ex e ON t.bi = e.bi AND t.bk = e.bk
+        |  WHERE t.doc_id % 5 <> 0 AND e.doc_id % 5 = 0),
+        |ver AS (
+        |  SELECT tid, eid,
+        |    round(len(list_intersect(x.s, y.s))::DOUBLE /
+        |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jac
+        |  FROM cand JOIN sh x ON cand.tid = x.doc_id JOIN sh y ON cand.eid = y.doc_id),
+        |best AS (
+        |  SELECT tid, eid, jac,
+        |    row_number() OVER (PARTITION BY tid ORDER BY jac DESC, eid) AS rn
+        |  FROM ver WHERE jac >= 0.5)
+        |SELECT tid AS doc_id, eid AS eval_id, jac AS jaccard
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 }

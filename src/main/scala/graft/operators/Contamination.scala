@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.ArrayExpressions
 
 /** Train/eval decontamination (SURVEY C19): the n-gram collision
   * check every LLM training pipeline runs before shipping a corpus —
@@ -50,5 +52,48 @@ object Contamination {
       .join(evalGrams, "h")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  /** FUZZY decontamination (SURVEY C37): train docs that NEAR-match
+    * an eval doc at exact shingle-Jaccard ≥ threshold, via the same
+    * md5-minhash banded candidate generation as C2/C34 — the
+    * document-level complement of `sharedGrams`' exact n-gram
+    * collisions. Exact collisions (C19/C29) catch verbatim benchmark
+    * leakage but miss light rewrites (reflowed whitespace, shuffled
+    * sentences, near-paraphrase) that still share most shingles;
+    * banding catches those at one equi-join, never train × eval.
+    *
+    * Returns one row per CONTAMINATED train doc: (id, eval_id,
+    * jaccard) for its best match — highest exact Jaccard, smallest
+    * eval id on ties (a total order, so results are deterministic).
+    * Clean train docs are absent; threshold semantics and the band
+    * definition are exactly `Incremental`'s, so a doc flagged here is
+    * the same doc C34's gate would have dropped had the eval set been
+    * in its store.
+    *
+    * Scale: the band join's eval side is benchmark-sized — it
+    * broadcasts; the verify join moves only banded candidates. The
+    * per-doc argmax rides a window over candidate rows (bounded by
+    * matches-per-doc, not corpus size). */
+  def fuzzyMatches(train: DataFrame, eval: DataFrame, id: Column, text: Column,
+                   n: Int = 3, k: Int = 8, bandRows: Int = 2,
+                   threshold: Double = 0.5): DataFrame = {
+    val (tBands, tSets) = Incremental.signatures(train, id, text, n, k, bandRows)
+    val (eBands, eSets) = Incremental.signatures(eval, id, text, n, k, bandRows)
+    val cand = tBands.select(col("id").as("tid"), col("bi"), col("bk"))
+      .join(broadcast(eBands.select(col("id").as("eid"), col("bi"), col("bk"))),
+        Seq("bi", "bk"))
+      .select(col("tid"), col("eid")).distinct()
+    val inter = ArrayExpressions.sortedIntersectSize(col("sa"), col("sb"))
+    val jac = round(inter.cast("double") /
+      (size(col("sa")) + size(col("sb")) - inter), 6)
+    val w = Window.partitionBy(col("id")).orderBy(col("jaccard").desc, col("eval_id"))
+    cand
+      .join(tSets.select(col("id").as("tid"), col("s").as("sa")), "tid")
+      .join(eSets.select(col("id").as("eid"), col("s").as("sb")), "eid")
+      .filter(jac >= threshold)
+      .select(col("tid").as("id"), col("eid").as("eval_id"), jac.as("jaccard"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
   }
 }

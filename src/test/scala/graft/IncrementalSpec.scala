@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Incremental, MinHash}
+import graft.operators.{Contamination, Incremental, MinHash}
 
 /** C34 incremental near-dup ingest gate: sequential gating over
   * batches must equal the global keep-first rule, including across
@@ -85,6 +85,26 @@ class IncrementalSpec extends SparkSpec {
       s"fixture must form a chain, got $pairs")
     val kept = gateSeq(f.map(Seq(_)))
     assert(kept == Set(0L), s"chain must collapse to the first doc, got $kept")
+  }
+
+  test("fuzzyMatches flags train docs near eval, best match deterministic") {
+    // family 0 variants: 0 is "eval", 1 and 2 are "train"; 1 matches 0
+    // above T, 2 matches 1 but NOT 0 — so only 1 is contaminated.
+    // unique docs and the short doc are never flagged.
+    val evalRows = corpus.filter(r => r._1 == 0L)
+    val trainRows = corpus.filterNot(r => r._1 == 0L)
+    val got = Contamination.fuzzyMatches(df(trainRows), df(evalRows),
+        col("doc_id"), col("text"), threshold = T)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSet == Set(1L))
+    assert(got.head._2 == 0L && got.head._3 >= T)
+    // two eval docs matching the same train doc: best = (jac desc, id asc)
+    val eval2 = Seq((0L, corpus.find(_._1 == 1L).get._2), // identical to train 1 → jac 1.0
+      (50L, corpus.find(_._1 == 0L).get._2))
+    val got2 = Contamination.fuzzyMatches(df(trainRows), df(eval2),
+        col("doc_id"), col("text"), threshold = T)
+      .as[(Long, Long, Double)].collect().filter(_._1 == 1L)
+    assert(got2.length == 1 && got2.head._2 == 0L && got2.head._3 == 1.0)
   }
 
   test("batch signatures returned by gate equal signatures() of the same docs") {
