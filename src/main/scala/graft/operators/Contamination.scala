@@ -24,13 +24,22 @@ object Contamination {
     * any eval doc (0 rows share → doc absent; left-join upstream if
     * every doc must appear). Returns (id, shared_grams). */
   def sharedGrams(train: DataFrame, eval: DataFrame, id: Column, text: Column,
-                  n: Int): DataFrame = {
-    val evalGrams = grams(eval, id, text, n).select(col("h")).distinct()
+                  n: Int): DataFrame =
+    sharedGramsVs(train, evalGramSet(eval, id, text, n), id, text, n)
+
+  /** The distinct md5'd n-gram set of an eval corpus, as (h) rows —
+    * compute (and persist) ONCE when the same eval set gates many
+    * arrivals (the D9 streaming gate does). */
+  def evalGramSet(eval: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    grams(eval, id, text, n).select(col("h")).distinct()
+
+  /** `sharedGrams` against a PRECOMPUTED `evalGramSet`. */
+  def sharedGramsVs(train: DataFrame, evalGrams: DataFrame, id: Column,
+                    text: Column, n: Int): DataFrame =
     grams(train, id, text, n)
       .join(evalGrams, "h")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("shared_grams"))
-  }
 
   private def grams(df: DataFrame, id: Column, text: Column, n: Int) =
     Shingles.exploded(df, id, text, n)

@@ -298,6 +298,50 @@ object EventStream {
       .select(col("window.start").as("hour"), col("grp"), col("sketch"),
         hll_sketch_estimate(col("sketch")).as("n_distinct"))
 
+  /** D9: streaming decontamination gate — the streaming twin of C19.
+    * Each micro-batch of incoming docs is checked against a FIXED
+    * eval-gram set (benchmarks change rarely; pass the precomputed,
+    * persisted `Contamination.evalGramSet` so eval text is shingled
+    * once, not per arrival) and only docs sharing ≤ `maxShared`
+    * distinct n-grams with the eval set land — decontamination
+    * BEFORE data reaches the corpus, rather than a full-corpus sweep
+    * after.
+    *
+    * One code path with batch: the gate calls the same
+    * `Contamination.sharedGramsVs` the C19/C29 queries run, inside
+    * foreachBatch (the D6 pattern) — the per-doc shared-gram count
+    * is a batch aggregation, which Append-mode streaming can't
+    * express row-locally, and foreachBatch is the documented
+    * Structured Streaming escape hatch for exactly this. Replays
+    * after recovery are absorbed because the keyed keep-latest merge
+    * sink is idempotent (same argument as D6: re-merging rows already
+    * in the table is a no-op).
+    *
+    * Scale: the eval side is benchmark-sized → its (cached) gram set
+    * broadcasts under AQE; each micro-batch's cost is O(batch grams),
+    * independent of corpus size — the store is never rescanned. */
+  def decontaminationSink(docs: DataFrame, evalGrams: DataFrame, idName: String,
+                          text: Column, n: Int, maxShared: Long,
+                          path: String, partCol: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val shared = graft.operators.Contamination
+            .sharedGramsVs(batch, evalGrams, col(idName), text, n)
+          val survivors = batch.join(
+            shared.filter(col("shared_grams") > maxShared)
+              .select(col("id").as(idName)),
+            Seq(idName), "left_anti")
+          if (!survivors.isEmpty)
+            graft.operators.Upsert.mergeWritePartitioned(
+              survivors, Seq(idName), Seq(col(idName)), path, partCol)
+        }
+      }
+      .start()
+
   /** D6: continuous keyed upsert sink — the streaming form of the
     * reference's batched `ON CONFLICT DO UPDATE` loader
     * (db_loader.py:117-181): each micro-batch keep-latest-merges into

@@ -205,6 +205,53 @@ class StreamingSpec extends SparkSpec {
     assert(d3.getLong(1) == 1L && d3.getLong(2) == 1L)
   }
 
+  case class GatedDoc(doc_id: Long, lang: String, text: String)
+
+  test("D9 decontaminationSink: only eval-clean docs land; gate equals batch C19 rule") {
+    import org.apache.spark.sql.functions.col
+    val evalDocs = Seq(
+      GatedDoc(900L, "en", "alpha beta gamma delta epsilon zeta"),
+      GatedDoc(901L, "en", "one two three four five six seven"))
+    // doc 1 contains a 5-gram of eval 900 → contaminated; 2 is clean;
+    // 3 shares a 5-gram with eval 901 → contaminated; 4 short, clean
+    val docs = Seq(
+      GatedDoc(1L, "en", "intro alpha beta gamma delta epsilon outro words"),
+      GatedDoc(2L, "en", "totally unrelated content about spark plans and shuffles today"),
+      GatedDoc(3L, "de", "zzz one two three four five qqq"),
+      GatedDoc(4L, "en", "short clean"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d9").toString
+    val path = dir + "/corpus"
+    val evalGrams = graft.operators.Contamination.evalGramSet(
+      spark.createDataFrame(evalDocs), col("doc_id"), col("text"), 5)
+    val input = MemoryStream[GatedDoc](spark)(Encoders.product[GatedDoc])
+    val q = EventStream.decontaminationSink(input.toDF(), evalGrams, "doc_id",
+      col("text"), n = 5, maxShared = 0, path, "lang", dir + "/ckpt")
+    def landed() = spark.read.parquet(path).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      assert(landed() == Set(2L))
+      input.addData(docs.drop(2): _*) // second arrival gates independently
+      q.processAllAvailable()
+      assert(landed() == Set(2L, 4L))
+      // batch C19 rule on the same input picks the same survivors
+      val batch = spark.createDataFrame(docs)
+      val shared = graft.operators.Contamination.sharedGrams(
+        batch, spark.createDataFrame(evalDocs), col("doc_id"), col("text"), 5)
+      val batchSurvivors = batch.join(
+          shared.filter(col("shared_grams") > 0).withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchSurvivors == landed())
+      // replay of the last arrival is absorbed (idempotent keyed merge)
+      graft.operators.Upsert.mergeWritePartitioned(
+        spark.createDataFrame(Seq(docs(3))), Seq("doc_id"), Seq(col("doc_id")),
+        path, "lang")
+      assert(landed() == Set(2L, 4L))
+    } finally q.stop()
+  }
+
   case class Keyed(ts: Timestamp, grp: String, k: Long)
 
   test("D8 sketchCounts: closed-window sketches match batch bytes and union without rescan") {
