@@ -120,4 +120,47 @@ object Versioned {
     }
     write(Upsert.merge(existing, incoming, keys, version), path, keep)
   }
+
+  /** Small-file compaction (SURVEY E15): rewrite the current snapshot
+    * into ≈ totalBytes / `targetBytes` files and publish the result
+    * as a NEW snapshot — continuous ingestion (the D6/D9 sinks, any
+    * micro-batched merge) accretes files far smaller than an
+    * efficient scan unit, and at 100 TB the resulting per-file task
+    * overhead and lost row-group stats dominate read cost long before
+    * the data itself does. Publishing through `write` means readers
+    * are never disturbed: in-flight readers keep the old snapshot
+    * (GC honors `keep`), new readers resolve the compacted one.
+    *
+    * Default rewrite is `coalesce` — a NARROW dependency, each output
+    * task concatenates a run of input files with no shuffle at all
+    * (file-size skew between output tasks is the accepted cost; a
+    * compaction that shuffles the whole table to balance files pays
+    * more than it saves). With `sortCols` the rewrite instead
+    * range-repartitions and sorts — one shuffle, buying back
+    * clustered min/max row-group stats on those columns (the E12
+    * z-order sink is the multi-column version of the same decision).
+    *
+    * No-ops (returns the CURRENT version, writes nothing) when the
+    * snapshot already has ≤ the target file count — so it is safe to
+    * run on a schedule, idempotent between ingests.
+    * Returns (version, filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil, keep: Int = 1): (Long, Int, Int) = {
+    require(targetBytes > 0, s"Versioned.compact: targetBytes must be > 0, got $targetBytes")
+    val (cur, dir) = currentSnapshot(spark, path).getOrElse(
+      sys.error(s"Versioned.compact: no committed snapshot under $path"))
+    val fs = fsOf(spark, new Path(path))
+    val dataFiles = fs.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (dataFiles.size <= target) return (cur, dataFiles.size, dataFiles.size)
+    val df = spark.read.parquet(dir)
+    val rewritten =
+      if (sortCols.isEmpty) df.coalesce(target)
+      else df.repartitionByRange(target, sortCols.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+    (write(rewritten, path, keep), dataFiles.size, target)
+  }
 }

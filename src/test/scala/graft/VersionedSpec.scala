@@ -102,6 +102,61 @@ class VersionedSpec extends SparkSpec {
       Set((2L, "b", 2L)))
   }
 
+  test("compact: fewer files, identical rows, old snapshot retained, rerun no-ops") {
+    val base = Files.createTempDirectory("graft-compact").toString + "/t"
+    val rows = (1L to 400L).map(i => (i, s"payload_$i", i))
+    // publish deliberately fragmented: 20 small files
+    val v1 = Versioned.write(tbl(rows: _*).repartition(20), base)
+    val snap1 = Versioned.currentSnapshot(spark, base).get._2
+    def dataFiles(dir: String) =
+      new java.io.File(dir).listFiles.filter(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")).length
+    assert(dataFiles(snap1.stripPrefix("file:")) == 20)
+
+    // huge targetBytes → everything fits one file
+    val (v2, before, after) = Versioned.compact(spark, base, targetBytes = 1L << 30)
+    assert(v2 == v1 + 1 && before == 20 && after == 1)
+    val snap2 = Versioned.currentSnapshot(spark, base).get._2
+    assert(dataFiles(snap2.stripPrefix("file:")) == 1)
+    assert(Versioned.read(spark, base).as[(Long, String, Long)].collect().toSet
+      == rows.toSet)
+    // keep=1 (default): the pre-compaction snapshot survives for
+    // in-flight readers
+    assert(spark.read.parquet(snap1).count() == 400)
+
+    // already compact → no-op, same version, nothing written
+    val (v3, b3, a3) = Versioned.compact(spark, base, targetBytes = 1L << 30)
+    assert(v3 == v2 && b3 == 1 && a3 == 1)
+
+    // sorted variant: range-clustered output, rows still identical
+    Versioned.write(tbl(rows: _*).repartition(16), base)
+    val (_, _, afterSorted) = Versioned.compact(spark, base,
+      targetBytes = totalSnapshotBytes(base) / 4 + 1, sortCols = Seq("k"))
+    assert(afterSorted >= 2)
+    assert(Versioned.read(spark, base).as[(Long, String, Long)].collect().toSet
+      == rows.toSet)
+    // file-level clustering: per-file [min k, max k] ranges must not
+    // overlap (that's what buys row-group pruning on k)
+    val snap = Versioned.currentSnapshot(spark, base).get._2
+    val ranges = new java.io.File(snap.stripPrefix("file:")).listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath).agg(min("k"), max("k")).head()
+        (d.getLong(0), d.getLong(1))
+      }.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi), (lo, _)) => hi <= lo
+      case _ => true
+    }, s"file k-ranges overlap: ${ranges.toSeq}")
+  }
+
+  private def totalSnapshotBytes(base: String): Long = {
+    val snap = Versioned.currentSnapshot(spark, base).get._2
+    new java.io.File(snap.stripPrefix("file:")).listFiles
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length).sum
+  }
+
   test("keep=2 retains two older committed snapshots") {
     val base = Files.createTempDirectory("graft-versioned").toString + "/t"
     for (i <- 1 to 4) Versioned.write(tbl((i.toLong, s"r$i", i.toLong)), base, keep = 2)
