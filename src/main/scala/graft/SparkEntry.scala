@@ -435,15 +435,36 @@ object SparkEntry {
 
   /** B15 rollup (grouping-set subtotals + grand total), the OLAP
     * cube family; subtotal rows render NULL group keys as 'ALL' so
-    * both engines order identically. */
+    * both engines order identically. Runs through `ReAgg.rollup`
+    * (B20): one finest-grain corpus aggregation, subtotals
+    * re-aggregated from the tiny partials — no Expand replicating
+    * every input row per grouping set (decimal sums re-aggregate
+    * exactly, so output is identical to native rollup). */
   private def b15(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+    operators.ReAgg.rollup(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(operators.ReAgg.sumOf("revenue", col("l_extendedprice").cast("decimal(18,2)")),
+          operators.ReAgg.countAll("n")))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
-        col("revenue"), col("n"))
+        col("revenue").cast("double").as("revenue"), col("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** B20 cube via re-aggregation: all four grouping sets of
+    * (status, priority) from ONE corpus aggregation — native cube's
+    * Expand would replicate every order row 2^k times (see
+    * operators.ReAgg). */
+  private def b20(s: SparkSession, dir: String): DataFrame =
+    operators.ReAgg.cube(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq(operators.ReAgg.sumOf("revenue", col("o_totalprice").cast("decimal(18,2)")),
+          operators.ReAgg.countAll("n"),
+          operators.ReAgg.maxOf("max_price", col("o_totalprice").cast("decimal(18,2)"))))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("revenue").cast("double").as("revenue"), col("n"),
+        col("max_price").cast("double").as("max_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
   /** B16 pivot: revenue matrix returnflag × linestatus. Pivot values
     * are EXPLICIT ("F", "O") so Spark needs no extra distinct-values
@@ -1021,6 +1042,7 @@ object SparkEntry {
     "c33_stratified_sample" -> (c33 _),
     "c34_incremental_gate" -> (c34 _),
     "c35_span_rewrite" -> (c35 _),
+    "b20_cube" -> (b20 _),
     "c36_semdedup" -> (c36 _),
     "c36b_semdedup_exhaustive" -> (c36b _),
     "c37_fuzzy_decontaminate" -> (c37 _))
@@ -1438,6 +1460,14 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b20_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "b16_pivot" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CASE WHEN l_linestatus = 'F'
