@@ -146,21 +146,26 @@ object Similarity {
       .select(col("id"), col("v"), col("nrm"),
         col("b.c").as("cell"), acos(clamp1(-col("b.nc"))).as("ang"))
 
-    val radii = asg.groupBy(col("cell")).agg(max(col("ang")).as("r"))
+    // cell radii are MODEL-SIZED (k rows ≤ 1024 — same class as the
+    // centroid collect): resolve them on the driver so the candidate
+    // cell-pair table becomes a pure literal. Leaving radii in-plan
+    // costs two more corpus scans (each re-running the assignment
+    // projection) plus two exchanges and two broadcast joins inside
+    // the pair query — all to produce k rows.
+    val radii: Map[Int, Double] = asg.groupBy(col("cell"))
+      .agg(max(col("ang")).as("r")).as[(Int, Double)].collect().toMap
     // candidate cell pairs: centroid angles are driver-side constants;
-    // 1e-6 slack absorbs double rounding in the triangle bound
+    // 1e-6 slack absorbs double rounding in the triangle bound. Cells
+    // with no members have no radius and can't contribute a pair.
     val thetaMax = math.acos(math.max(-1.0, threshold - 1e-6))
-    val centAngles = (for {
-      (va, ca) <- cents.zipWithIndex; (vb, cb) <- cents.zipWithIndex if ca <= cb
-    } yield {
-      val cos = va.lazyZip(vb).map(_ * _).sum / (l2(va) * l2(vb))
-      (ca, cb, math.acos(math.max(-1.0, math.min(1.0, cos))))
-    }).toDF("ca", "cb", "cang")
-    val cc = centAngles
-      .join(radii.select(col("cell").as("ca"), col("r").as("ra")), "ca")
-      .join(radii.select(col("cell").as("cb"), col("r").as("rb")), "cb")
-      .filter(col("cang") <= lit(thetaMax) + col("ra") + col("rb") + lit(1e-6))
-      .select(col("ca"), col("cb"))
+    val ccPairs = for {
+      (va, ca) <- cents.zipWithIndex; (vb, cb) <- cents.zipWithIndex
+      if ca <= cb && radii.contains(ca) && radii.contains(cb)
+      cos = va.lazyZip(vb).map(_ * _).sum / (l2(va) * l2(vb))
+      if math.acos(math.max(-1.0, math.min(1.0, cos))) <=
+        thetaMax + radii(ca) + radii(cb) + 1e-6
+    } yield (ca, cb)
+    val cc = ccPairs.toDF("ca", "cb")
 
     val cosine =
       round(VectorExpressions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
