@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -341,6 +341,82 @@ object EventStream {
         }
       }
       .start()
+
+  /** D10: continuous near-dup ingest gate — the streaming form of
+    * C34. Each micro-batch is gated through the SAME
+    * `Incremental.gate` the batch operator runs (banded minhash
+    * candidates + exact Jaccard, drop iff any seen doc or smaller-id
+    * batch-mate matches); survivors merge into the corpus and the
+    * batch's signatures are appended to a persistent store so the
+    * next arrival gates against everything ever seen.
+    *
+    * Store layout: `storePath/{bands,sets}/batch=<batchId>/` — one
+    * immutable directory per micro-batch, written with Overwrite into
+    * the DETERMINISTIC batchId path, so a foreachBatch REPLAY
+    * overwrites its own files instead of duplicating them. Growth is
+    * append-only (no O(store) rewrite per arrival — the C34 scaling
+    * contract); reading is one parquet scan of the root.
+    *
+    * Replay is absorbed end-to-end, not just at the sink: if a batch
+    * replays AFTER its signatures were stored, every batch doc
+    * self-matches (Jaccard 1.0 with its own stored signature — the
+    * gate has no self-exclusion, deliberately), survivors are empty,
+    * and the merge is a no-op; if it replays BEFORE, the gate
+    * recomputes the same survivors and the keyed merge absorbs them.
+    * Either interleaving converges to the same corpus + store. The
+    * same self-match rule makes re-ingesting an already-seen doc id
+    * a no-op forever — idempotent ingest.
+    *
+    * Scale: per arrival the gate joins batch-sized signatures against
+    * the store's band table (equi-join on the band key; the batch
+    * side is small so it broadcasts), and only the batch's own
+    * signatures are written. The store is never rewritten, never
+    * rescanned whole per doc — O(batch) work per arrival. */
+  def nearDupGateSink(docs: DataFrame, idName: String, text: Column,
+                      storePath: String, outPath: String, partCol: String,
+                      checkpoint: String, n: Int = 3, k: Int = 8,
+                      bandRows: Int = 2, threshold: Double = 0.5)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val (storeBands, storeSets) =
+            nearDupStore(spark, storePath, batch, idName, text, n, k, bandRows)
+          val (surv, bBands, bSets) = graft.operators.Incremental.gate(
+            storeBands, storeSets, batch, col(idName), text, n, k, bandRows, threshold)
+          val survDocs = batch.join(
+            surv.withColumnRenamed("id", idName), Seq(idName), "left_semi")
+          if (!survDocs.isEmpty)
+            graft.operators.Upsert.mergeWritePartitioned(
+              survDocs, Seq(idName), Seq(col(idName)), outPath, partCol)
+          // AFTER the survivor merge: see the replay analysis above
+          bBands.write.mode(SaveMode.Overwrite)
+            .parquet(s"$storePath/bands/batch=$batchId")
+          bSets.write.mode(SaveMode.Overwrite)
+            .parquet(s"$storePath/sets/batch=$batchId")
+        }
+      }
+      .start()
+
+  /** The D10 signature store as (bands, sets) — empty frames with the
+    * right schema when nothing has been ingested yet (`proto` only
+    * shapes the empty schema; it is never scanned for that). */
+  def nearDupStore(spark: SparkSession, storePath: String, proto: DataFrame,
+                   idName: String, text: Column, n: Int = 3, k: Int = 8,
+                   bandRows: Int = 2): (DataFrame, DataFrame) = {
+    val root = new org.apache.hadoop.fs.Path(storePath, "bands")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      (spark.read.parquet(s"$storePath/bands"), spark.read.parquet(s"$storePath/sets"))
+    else {
+      val (eb, es) = graft.operators.Incremental.signatures(
+        proto.limit(0), col(idName), text, n, k, bandRows)
+      (eb, es)
+    }
+  }
 
   /** D6: continuous keyed upsert sink — the streaming form of the
     * reference's batched `ON CONFLICT DO UPDATE` loader

@@ -252,6 +252,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class IngestDoc(doc_id: Long, lang: String, text: String)
+
+  test("D10 nearDupGateSink: stream gating equals global keep-first; replay self-matches to a no-op") {
+    import org.apache.spark.sql.functions.col
+    val T = 0.7
+    // family of near-dups (adjacent variants clear T, distant don't —
+    // the IncrementalSpec chain shape) + unique docs
+    def fam(v: Int): String = {
+      val toks = (1 to 12).map(t => s"w$t").toVector
+      (v match {
+        case 0 => toks
+        case 1 => toks.init :+ "end1"
+        case 2 => "new2" +: toks.tail.init :+ "end1"
+      }).mkString(" ")
+    }
+    val docs = Seq(
+      IngestDoc(0L, "en", fam(0)), IngestDoc(1L, "en", fam(1)),
+      IngestDoc(2L, "de", fam(2)),
+      IngestDoc(3L, "en", "totally unrelated words about parquet pruning and shuffles"),
+      IngestDoc(4L, "de", "another unique set of tokens nothing shares at all"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d10").toString
+    val store = dir + "/store"
+    val out = dir + "/corpus"
+    val input = MemoryStream[IngestDoc](spark)(Encoders.product[IngestDoc])
+    val q = EventStream.nearDupGateSink(input.toDF(), "doc_id", col("text"),
+      store, out, "lang", dir + "/ckpt", threshold = T)
+    def landed() = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    try {
+      // arrivals in id order, one family member per batch
+      input.addData(docs(0), docs(3))
+      q.processAllAvailable()
+      assert(landed() == Set(0L, 3L))
+      input.addData(docs(1)) // matches stored 0 → dropped
+      q.processAllAvailable()
+      assert(landed() == Set(0L, 3L))
+      // 2 matches DROPPED 1 but not 0: only an all-seen store drops it
+      input.addData(docs(2), docs(4))
+      q.processAllAvailable()
+      assert(landed() == Set(0L, 3L, 4L))
+      // = the global keep-first rule over the whole corpus
+      val dropped = graft.operators.MinHash.nearDupPairs(
+          spark.createDataFrame(docs), col("doc_id"), col("text"), threshold = T)
+        .select("doc_b").collect().map(_.getLong(0)).toSet
+      assert(landed() == docs.map(_.doc_id).toSet -- dropped)
+      // REPLAY of the last batch after its signatures landed: every
+      // doc self-matches at Jaccard 1.0 → zero survivors, no-op
+      val (sb, ss) = EventStream.nearDupStore(spark, store,
+        spark.createDataFrame(docs), "doc_id", col("text"))
+      val (replaySurv, _, _) = graft.operators.Incremental.gate(
+        sb, ss, spark.createDataFrame(Seq(docs(2), docs(4))),
+        col("doc_id"), col("text"), threshold = T)
+      assert(replaySurv.count() == 0)
+      // store grew append-only: one batch=dir per non-empty batch
+      val batches = new java.io.File(store + "/bands").listFiles
+        .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+      assert(batches.size == 3, s"got $batches")
+    } finally q.stop()
+  }
+
   case class Keyed(ts: Timestamp, grp: String, k: Long)
 
   test("D8 sketchCounts: closed-window sketches match batch bytes and union without rescan") {
