@@ -72,12 +72,14 @@ object ReAgg {
     // the base frame is group-count-sized: every coarser level is a
     // trivial re-aggregation of it, never another corpus scan
     val frames = sets.map { s =>
+      // the grand-total set re-aggregates under groupBy(lit(1)), NOT a
+      // global agg: grouped aggregation over an empty base yields ZERO
+      // rows, matching native rollup/cube on empty input (a global agg
+      // would invent one all-null total row no data produced)
+      val groupCols = if (s.isEmpty) Seq(lit(1)) else s.map(col)
       val lvl =
         if (s.toSet == keys.toSet) base
-        else if (s.isEmpty)
-          base.agg(aggs.head.re(col(aggs.head.alias)).as(aggs.head.alias),
-            aggs.tail.map(a => a.re(col(a.alias)).as(a.alias)): _*)
-        else base.groupBy(s.map(col): _*)
+        else base.groupBy(groupCols: _*)
           .agg(aggs.head.re(col(aggs.head.alias)).as(aggs.head.alias),
             aggs.tail.map(a => a.re(col(a.alias)).as(a.alias)): _*)
       val keep = s.toSet

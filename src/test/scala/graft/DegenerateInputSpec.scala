@@ -83,6 +83,49 @@ class DegenerateInputSpec extends SparkSpec {
     }
   }
 
+  test("Spans.removeDupSpans on empty / null-text / short-doc corpora") {
+    assert(Spans.removeDupSpans(noDocs, col("doc_id"), col("text")).count() == 0)
+    val odd = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "one two")).toDF("doc_id", "text")
+    val out = Spans.removeDupSpans(odd, col("doc_id"), col("text"), 5)
+      .as[(Long, Long, Long, Double, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L, 0L, 0.0, ""), (2L, 0L, 0L, 0.0, ""),
+      (3L, 2L, 2L, 0.0, "one two")))
+  }
+
+  test("semDedup and fuzzyMatches on empty / degenerate inputs") {
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // empty corpus: trainCoarse cannot seed — a clear error, not a hang
+    intercept[RuntimeException] {
+      Similarity.semDedup(noVecs, col("vec_id"), col("embedding"), 0.5, nCells = 2)
+    }
+    // single vector: survives, no pairs
+    val one = Seq((3L, Array.tabulate(8)(_.toFloat + 1))).toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(one, col("vec_id"), col("embedding"), 0.5, nCells = 1)
+      .select("vec_id").as[Long].collect().toSeq == Seq(3L))
+    // fuzzy decontamination: empty eval flags nothing; empty train → empty
+    assert(Contamination.fuzzyMatches(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), noDocs,
+      col("doc_id"), col("text")).count() == 0)
+    assert(Contamination.fuzzyMatches(noDocs,
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).count() == 0)
+  }
+
+  test("ReAgg on empty input: zero rows at every level, like native rollup") {
+    // grouped aggregation over an empty input yields no groups at ANY
+    // grouping set — native rollup emits nothing, not even a grand
+    // total (unlike a global agg); ReAgg must match
+    val empty = Seq.empty[(String, Double)].toDF("k", "v")
+    val got = ReAgg.rollup(empty, Seq("k"), Seq(ReAgg.countAll("n")))
+    val native = empty.rollup(col("k")).agg(count(lit(1)).as("n"))
+    assert(got.count() == 0 && native.count() == 0)
+    // single-row input: finest + total, both n=1
+    val one = Seq(("a", 1.0)).toDF("k", "v")
+    val rows = ReAgg.rollup(one, Seq("k"), Seq(ReAgg.countAll("n")))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(rows == Set((Some("a"), 1L), (None, 1L)))
+  }
+
   test("Incremental.gate: empty store, empty batch, all-short batch") {
     val (eb, es) = Incremental.signatures(noDocs, col("doc_id"), col("text"))
     // empty batch against empty store

@@ -173,6 +173,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("c35/c36/c37 round-6 dedup ops: equi-joins only, no nested loop or cartesian") {
+    for (q <- Seq("c35_span_rewrite", "c36_semdedup", "c37_fuzzy_decontaminate")) {
+      val p = finalPlan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // c35's kept-token selection must be the (id, pos) ANTI JOIN — the
+    // per-doc array-mask alternative is quadratic on boilerplate-heavy
+    // docs and must not come back
+    assert(finalPlan("c35_span_rewrite").contains("LeftAnti"))
+    // c36's cluster assignment is a map-side projection: no join
+    // against a centroid table anywhere (the literal codebook is
+    // inside the nearestCell expression) — at sf0.001 AQE broadcasts
+    // the tiny pair-join sides, so join COUNT is the guard, not kind
+    val p36 = finalPlan("c36_semdedup")
+    val joins36 = "Join".r.findAllIn(p36).size
+    assert(joins36 <= 4, s"c36 grew unexpected joins ($joins36):\n$p36")
+  }
+
+  test("b15/b20 re-aggregated rollup/cube: no Expand in the final plan") {
+    for (q <- Seq("b15_rollup", "b20_cube")) {
+      val p = finalPlan(q)
+      assert(!p.contains("Expand"), s"$q must not Expand the corpus:\n$p")
+    }
+  }
+
   test("c30 shard packing: windows are per-range-partition, never global") {
     val p = plan("c30_shard_pack")
     // a global-order window would show an empty partition spec:
