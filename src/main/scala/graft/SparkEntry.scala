@@ -771,6 +771,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C38 quality-aware dedup canonicalization: same clusters as C22,
+    * but each keeps its highest-QUALITY doc (C9's score; smallest id
+    * on ties) instead of the smallest id — near-dup clusters mix
+    * clean originals with truncated scrapes, and keep-min-id throws
+    * away the best copy whenever a worse one crawled first (see
+    * Components.canonicalBy). */
+  private def c38(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Jaccard.nearDupPairs(docs, col("doc_id"), col("text"), n = 3, threshold = 0.5)
+    operators.Components.canonicalBy(
+        Quality.scored(docs, col("text")), col("doc_id"), col("quality_score"),
+        pairs, col("doc_a"), col("doc_b"))
+      .select(col("id").as("doc_id"), col("comp").as("cluster"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C23 mergeable HLL distinct dashboard: per-lang distinct content
     * hashes + a '*' row from UNIONING the per-group sketches (never
     * re-scanning) — the storable-state form of A13's countDistinct.
@@ -1045,7 +1061,8 @@ object SparkEntry {
     "b20_cube" -> (b20 _),
     "c36_semdedup" -> (c36 _),
     "c36b_semdedup_exhaustive" -> (c36b _),
-    "c37_fuzzy_decontaminate" -> (c37 _))
+    "c37_fuzzy_decontaminate" -> (c37 _),
+    "c38_cluster_keep_best" -> (c38 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1567,6 +1584,45 @@ object SparkEntry {
         |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster,
         |  CAST(CASE WHEN min(lab) = id THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // c38 = c22's clusters, but the keeper maximizes c9's quality
+    // score (smallest id on ties)
+    "c38_cluster_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |          (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comps AS (SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+        |          FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) / 200.0, 1.0) * 0.4 +
+        |      (1.0 - least((CASE WHEN len(text) = 0 THEN 0.0
+        |          ELSE round(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE / len(text), 6) END) * 5.0, 1.0)) * 0.3 +
+        |      least((CASE WHEN len(list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '')) = 0 THEN 0.0
+        |          ELSE round(len(list_filter(list_filter(string_split_regex(lower(text),'\s+'), x -> x <> ''),
+        |                x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE /
+        |            len(list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '')), 6) END) * 4.0, 1.0) * 0.3, 6) AS qs
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT comps.doc_id, cluster, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY qs DESC, comps.doc_id) AS rn
+        |  FROM comps JOIN q ON comps.doc_id = q.doc_id)
+        |SELECT doc_id, cluster, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "c21_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, lang,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-dup pair graph (SURVEY C22) —
@@ -74,5 +75,31 @@ object Components {
     nodes.select(id.as("id")).distinct()
       .join(labels.withColumnRenamed("comp", "__c"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
+  }
+
+  /** Quality-aware canonical selection (SURVEY C38): `connected`
+    * labels every doc with its cluster, then each cluster keeps the
+    * doc MAXIMIZING `score` (smallest id on ties — a total order, so
+    * the keeper is deterministic) instead of C22's min-id rule.
+    * Returns (id, comp, keep 1/0).
+    *
+    * This is the decision real pipelines want: near-dup clusters mix
+    * clean originals with truncated scrapes and boilerplate-wrapped
+    * copies, and keep-min-id throws away the best copy whenever a
+    * worse one crawled first. Compose with any per-doc score — C9's
+    * quality, C28's LM perplexity (negated), length.
+    *
+    * Scale: one extra corpus-sized hash exchange on the cluster label
+    * for the ranking window; window fan-in is bounded by cluster
+    * size, never corpus size (singletons — almost everything — are
+    * 1-row partitions of that window). The iteration inside
+    * `connected` still touches edge endpoints only. */
+  def canonicalBy(nodes: DataFrame, id: Column, score: Column, edges: DataFrame,
+                  a: Column, b: Column, maxIter: Int = 20): DataFrame = {
+    val comps = connected(nodes.select(id.as("id")), col("id"), edges, a, b, maxIter)
+    val w = Window.partitionBy(col("comp")).orderBy(col("__s").desc, col("id"))
+    comps.join(nodes.select(id.as("id"), score.as("__s")), Seq("id"))
+      .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col("id"), col("comp"), col("keep"))
   }
 }

@@ -150,6 +150,21 @@ class OperatorsSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L, 11L -> 7L, 12L -> 12L))
   }
 
+  test("Components.canonicalBy: keeper maximizes score, id breaks ties, singletons keep") {
+    // cluster {1,2,3}: best score on 3 (keep-min-id would keep 1);
+    // cluster {5,6}: tied scores → smaller id 5 keeps; 4 is a singleton
+    val nodes = Seq((1L, 0.2), (2L, 0.9), (3L, 0.95), (4L, 0.0),
+      (5L, 0.5), (6L, 0.5)).toDF("n", "q")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Components.canonicalBy(nodes, col("n"), col("q"),
+        edges, col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (1L, 0L), 2L -> (1L, 0L), 3L -> (1L, 1L),
+      4L -> (4L, 1L),
+      5L -> (5L, 1L), 6L -> (5L, 0L)))
+  }
+
   test("Cleanup.nullifyOrphans nulls refs missing from target") {
     val refs = Seq((1L, 10L), (2L, 99L)).toDF("id", "ref")
     val target = Seq(Tuple1(10L)).toDF("key")
