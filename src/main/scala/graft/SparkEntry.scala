@@ -787,6 +787,14 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C39 collocation mining: corpus-wide bigram PMI (the word2vec
+    * phrase-detection step), count floor 5, top-50 by (pmi desc,
+    * bigram) — a deterministic total order (see operators.Phrases). */
+  private def c39(s: SparkSession, dir: String): DataFrame =
+    operators.Phrases.collocations(t(s, dir, "documents"), col("text"), minCount = 5)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(50)
+
   /** C23 mergeable HLL distinct dashboard: per-lang distinct content
     * hashes + a '*' row from UNIONING the per-group sketches (never
     * re-scanning) — the storable-state form of A13's countDistinct.
@@ -1062,7 +1070,8 @@ object SparkEntry {
     "c36_semdedup" -> (c36 _),
     "c36b_semdedup_exhaustive" -> (c36b _),
     "c37_fuzzy_decontaminate" -> (c37 _),
-    "c38_cluster_keep_best" -> (c38 _))
+    "c38_cluster_keep_best" -> (c38 _),
+    "c39_collocations" -> (c39 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1623,6 +1632,31 @@ object SparkEntry {
         |  FROM comps JOIN q ON comps.doc_id = q.doc_id)
         |SELECT doc_id, cluster, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM ranked ORDER BY doc_id""".stripMargin,
+    // c39 = bigram PMI over whitespace tokens of lower(text), count
+    // floor 5, top-50 by (pmi desc, w1, w2); ln and double division
+    // order replicate the Spark expression exactly
+    "c39_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT u AS w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1),
+        |bi AS (
+        |  SELECT g AS bg, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1])) AS g
+        |        FROM toks WHERE len(t) >= 2) GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c1)::DOUBLE FROM uni) AS n1,
+        |               (SELECT sum(c)::DOUBLE FROM bi) AS n2),
+        |j AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, c
+        |  FROM bi WHERE c >= 5)
+        |SELECT w1, w2, c,
+        |  round(ln((c::DOUBLE / n2) / ((ca.c1 / n1) * (cb.c1 / n1))), 6) AS pmi
+        |FROM j CROSS JOIN tot
+        |JOIN uni ca ON ca.w = j.w1
+        |JOIN uni cb ON cb.w = j.w2
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "c21_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, lang,

@@ -165,6 +165,30 @@ class OperatorsSpec extends SparkSpec {
       5L -> (5L, 1L), 6L -> (5L, 0L)))
   }
 
+  test("Phrases.collocations: PMI math, count floor, empty corpus") {
+    // "new york" always together (PMI high); "the cat"/"the dog"
+    // mixes (PMI lower); singletons below the floor vanish
+    val docs = (1 to 6).map(i => (i.toLong,
+      "new york " + (if (i % 2 == 0) "the cat" else "the dog"))).toDF("doc_id", "text")
+    val got = Phrases.collocations(docs, col("text"), minCount = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // tokens: 6 docs × 4 tokens = 24 unigrams; 6×3 = 18 bigrams
+    // "new york": c=6, p=6/18; p(new)=p(york)=6/24 → PMI=ln((1/3)/(1/16))
+    assert(got.keySet == Set(("new", "york"), ("york", "the"), ("the", "cat"), ("the", "dog")))
+    val (cNy, pmiNy) = got(("new", "york"))
+    assert(cNy == 6L && math.abs(pmiNy - math.log((6.0 / 18) / ((6.0 / 24) * (6.0 / 24)))) < 1e-6)
+    // "the cat": c=3, p=3/18; p(the)=6/24, p(cat)=3/24 —
+    // coincidentally ln(16/3) as well; assert the exact formula
+    val (cCat, pmiCat) = got(("the", "cat"))
+    assert(cCat == 3L && math.abs(pmiCat -
+      math.log((3.0 / 18) / ((6.0 / 24) * (3.0 / 24)))) < 1e-6)
+    // floor: minCount above everything → empty; empty corpus → empty
+    assert(Phrases.collocations(docs, col("text"), minCount = 100).count() == 0)
+    assert(Phrases.collocations(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), col("text")).count() == 0)
+  }
+
   test("Cleanup.nullifyOrphans nulls refs missing from target") {
     val refs = Seq((1L, 10L), (2L, 99L)).toDF("id", "ref")
     val target = Seq(Tuple1(10L)).toDF("key")
