@@ -79,23 +79,43 @@ object Sink {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Z-order (Morton) value over numeric columns, each first
-    * normalized into `bits` buckets by its observed min/max (one
-    * tiny driver-side agg — the same layout decision Delta/Iceberg
-    * OPTIMIZE ZORDER makes at write time). Bit interleaving is plain
-    * shift/and/or Catalyst expressions — fully codegen'd. */
+  /** Order-preserving numeric key for a z-order column. Numerics cast
+    * to double; STRINGS map to the big-endian value of their first 7
+    * UTF-8 bytes, zero-padded to fixed width (rpad of the hex — a
+    * binary rpad does not exist): fixed width is what makes shorter
+    * strings compare correctly ("z" vs "abc" — without padding the
+    * longer string always wins numerically), and UTF-8's design makes
+    * byte order equal code-point order. 7 bytes keeps the value in 56
+    * bits (positive long). Strings sharing a 7-byte prefix share a
+    * key — they cluster together, which is exactly what a layout
+    * decision wants; the residual filter stays exact regardless. */
+  private def orderKey(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.StringType =>
+        conv(rpad(hex(substring(c.cast("binary"), 1, 7)), 14, "0"), 16, 10)
+          .cast("long").cast("double")
+      case _ => c.cast("double")
+    }
+
+  /** Z-order (Morton) value over numeric OR STRING columns, each
+    * first normalized into `bits` buckets by its observed min/max
+    * (one tiny driver-side agg — the same layout decision
+    * Delta/Iceberg OPTIMIZE ZORDER makes at write time). Bit
+    * interleaving is plain shift/and/or Catalyst expressions — fully
+    * codegen'd. */
   def zValue(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
     require(cols.size >= 2, "z-order needs at least two columns")
     require(bits * cols.size <= 62, "z-value must fit a long")
-    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("double").as(s"mn_$c"),
-      max(col(c)).cast("double").as(s"mx_$c")))
+    def key(c: String): Column = orderKey(col(c), df.schema(c).dataType)
+    val aggs = cols.flatMap(c => Seq(min(key(c)).as(s"mn_$c"),
+      max(key(c)).as(s"mx_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val maxBucket = (1L << bits) - 1
     val bucketed = cols.zipWithIndex.map { case (c, i) =>
       val mn = stats.getDouble(2 * i)
       val mx = stats.getDouble(2 * i + 1)
       val span = math.max(mx - mn, 1e-12)
-      least(greatest(((col(c).cast("double") - mn) / span * maxBucket).cast("long"),
+      least(greatest(((key(c) - mn) / span * maxBucket).cast("long"),
         lit(0L)), lit(maxBucket))
     }
     (0 until bits).foldLeft(lit(0L)) { (acc, b) =>

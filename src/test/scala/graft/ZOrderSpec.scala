@@ -67,6 +67,47 @@ class ZOrderSpec extends SparkSpec {
     assert(ly > n / 2, s"contrast broken: linear layout pruned y ($ly of $n) — metric is vacuous")
   }
 
+  import spark.implicits._
+
+  test("string z-column: layout prunes on the string AND the numeric column") {
+    // host-like strings: 64 distinct "h000".."h063" × 1024 values
+    val n = 1 << 16
+    val data = spark.range(n).select(
+      format_string("h%03d", col("id") % 64).as("host"),
+      (col("id") / 64).as("v"))
+    val base = Files.createTempDirectory("graft-zorder-str").toString
+    Sink.writeZOrdered(data, s"$base/z", Seq("host", "v"), nFiles = 64)
+    // equality on the string column and range on the numeric both prune
+    val sh = rowsScanned(spark.read.parquet(s"$base/z")
+      .filter(col("host") === "h007"))
+    val sv = rowsScanned(spark.read.parquet(s"$base/z").filter(col("v") < 64))
+    assert(sh <= n / 3, s"host-predicate scanned $sh of $n rows — no pruning on the string column")
+    assert(sv <= n / 3, s"v-predicate scanned $sv of $n rows — no pruning on v")
+    // exactness unchanged
+    assert(spark.read.parquet(s"$base/z").filter(col("host") === "h007").count() == n / 64)
+    assert(spark.read.parquet(s"$base/z").filter(col("v") < 64).count() == 64L * 64)
+  }
+
+  test("string order key preserves lexicographic order across lengths") {
+    // "z" > "abc" lexicographically — the zero-padding case; plus
+    // prefix pairs, empties, and multibyte UTF-8
+    val strs = Seq("", "a", "ab", "abc", "abd", "z", "za", "ñ", "é", "hello!!", "hello!!!")
+    val df = strs.toDF("s").withColumn("d", lit(0))
+    val keyed = df.select(col("s"),
+        Sink.zValue(df, Seq("s", "d"), bits = 20).as("z"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // z here is driven by s alone (d constant): z order must follow
+    // (7-byte-prefix) string order
+    val sorted = strs.sorted
+    sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(keyed(a) <= keyed(b), s"'$a' vs '$b': ${keyed(a)} > ${keyed(b)}")
+      case _ =>
+    }
+    // beyond-prefix strings share a key (documented clustering contract)
+    assert(keyed("hello!!") == keyed("hello!!!"))
+  }
+
   test("zValue interleaves bits: locality beats either column alone") {
     // neighbors in (x, y) must be near each other in z — the property
     // that makes each output file a small rectangle in all dimensions
