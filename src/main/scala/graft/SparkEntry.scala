@@ -795,6 +795,16 @@ object SparkEntry {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(50)
 
+  /** C40 training-mixture planner: √-damped token-budget allocation
+    * over (lang, source) strata with per-stratum epoch factors —
+    * C33's temperature exponent applied at TOKEN granularity (see
+    * Stratified.mixturePlan). Budget 200k tokens. */
+  private def c40(s: SparkSession, dir: String): DataFrame =
+    operators.Stratified.mixturePlan(t(s, dir, "documents"),
+        concat(col("lang"), lit("/"), col("source")),
+        TextFunctions.wordCount(col("text")), budget = 200000L)
+      .orderBy(col("stratum"))
+
   /** C23 mergeable HLL distinct dashboard: per-lang distinct content
     * hashes + a '*' row from UNIONING the per-group sketches (never
     * re-scanning) — the storable-state form of A13's countDistinct.
@@ -1071,7 +1081,8 @@ object SparkEntry {
     "c36b_semdedup_exhaustive" -> (c36b _),
     "c37_fuzzy_decontaminate" -> (c37 _),
     "c38_cluster_keep_best" -> (c38 _),
-    "c39_collocations" -> (c39 _))
+    "c39_collocations" -> (c39 _),
+    "c40_mixture_plan" -> (c40 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1657,6 +1668,21 @@ object SparkEntry {
         |JOIN uni ca ON ca.w = j.w1
         |JOIN uni cb ON cb.w = j.w2
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    // c40 = sqrt-damped token-budget mixture: every reduction exact
+    // (long token sums; decimal sum of ROUNDED weights), every double
+    // op on deterministic operands -> bit-portable
+    "c40_mixture_plan" ->
+      """WITH s AS (
+        |  SELECT lang || '/' || source AS stratum,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT stratum, tokens, round(sqrt(tokens), 6) AS weight
+        |      FROM s WHERE tokens > 0),
+        |tot AS (SELECT CAST(sum(CAST(weight AS DECIMAL(28,6))) AS DOUBLE) AS tw FROM w)
+        |SELECT stratum, tokens, weight,
+        |  CAST(floor(200000.0 * round(weight / tw, 6)) AS BIGINT) AS alloc_tokens,
+        |  round(CAST(floor(200000.0 * round(weight / tw, 6)) AS DOUBLE) / tokens, 6) AS epochs
+        |FROM w CROSS JOIN tot ORDER BY stratum""".stripMargin,
     "c21_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, lang,

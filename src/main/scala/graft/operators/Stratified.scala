@@ -104,4 +104,45 @@ object Stratified {
     rank(surv.join(broadcast(enough), Seq("stratum")))
       .unionByName(rank(hashed.join(broadcast(enough), Seq("stratum"), "left_anti")))
   }
+
+  /** Training-mixture planner (SURVEY C40): √-damped TOKEN-budget
+    * allocation per stratum — C33 damps row counts at sampling time,
+    * this plans the mixture at TOKEN granularity and reports the
+    * per-stratum epoch factor (alloc/tokens > 1 ⇒ that stratum
+    * repeats; < 1 ⇒ it is subsampled): the bookkeeping step of every
+    * multilingual/multi-source data schedule (α = 1/2 temperature
+    * form, same fixed exponent as C33 and for the same reason — sqrt
+    * is correctly-rounded IEEE in every engine, pow is not).
+    *
+    * Returns (stratum, tokens, weight, alloc_tokens, epochs):
+    * weight = round(√tokens, 6), share = round(w/Σw, 6),
+    * alloc = ⌊budget · share⌋, epochs = round(alloc/tokens, 6).
+    *
+    * Engine-portability by construction: every REDUCTION is exact
+    * (long token sums; Σw sums the ALREADY-ROUNDED weights as
+    * decimals), so all double operations have deterministic operands
+    * and IEEE gives bit-identical results in any engine — the
+    * float-summation-order trap (SURVEY §4.2) never arises.
+    *
+    * Shape: one corpus aggregation (map-side partialed) to
+    * strata-count rows; Σw is a driver scalar OF THAT TINY TABLE;
+    * the rest is per-row arithmetic. */
+  def mixturePlan(df: DataFrame, stratum: Column, tokenCount: Column,
+                  budget: Long): DataFrame = {
+    require(budget > 0, s"Stratified.mixturePlan: budget must be > 0, got $budget")
+    val base = df.groupBy(stratum.as("stratum"))
+      .agg(sum(tokenCount.cast("long")).as("tokens"))
+      .filter(col("tokens") > 0)
+    val w = round(sqrt(col("tokens")), 6)
+    // exact decimal sum of rounded weights: order-free, engine-free
+    val totRow = base.agg(sum(w.cast("decimal(28,6)"))).head()
+    if (totRow.isNullAt(0)) return base.select(col("stratum"), col("tokens"),
+      lit(0.0).as("weight"), lit(0L).as("alloc_tokens"), lit(0.0).as("epochs"))
+    val tot = totRow.getDecimal(0).doubleValue
+    val share = round(w / tot, 6)
+    val alloc = floor(lit(budget.toDouble) * share).cast("long")
+    base.select(col("stratum"), col("tokens"), w.as("weight"),
+      alloc.as("alloc_tokens"),
+      round(alloc.cast("double") / col("tokens"), 6).as("epochs"))
+  }
 }

@@ -122,6 +122,32 @@ class SpansSpec extends SparkSpec {
     assert(starved == want)
   }
 
+  test("mixturePlan: sqrt damping, epoch factors, empty strata dropped") {
+    // strata: big 40000 tokens, small 400 → weights 200, 20; shares
+    // 200/220, 20/220; budget 22000 → allocs 20000·...: share rounds
+    // to 6 then floors, compute expected exactly as the operator does
+    val df = Seq(("big", 40000L), ("small", 400L), ("empty", 0L))
+      .toDF("g", "tok")
+    val got = Stratified.mixturePlan(df, col("g"), col("tok"), budget = 22000L)
+      .as[(String, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got.contains("empty")) // zero-token strata have no weight
+    val shareBig = math.round(200.0 / 220.0 * 1e6) / 1e6
+    val shareSmall = math.round(20.0 / 220.0 * 1e6) / 1e6
+    val allocBig = math.floor(22000.0 * shareBig).toLong
+    val allocSmall = math.floor(22000.0 * shareSmall).toLong
+    assert(got("big") == (("big", 40000L, 200.0, allocBig,
+      math.round(allocBig.toDouble / 40000.0 * 1e6) / 1e6)))
+    assert(got("small") == (("small", 400L, 20.0, allocSmall,
+      math.round(allocSmall.toDouble / 400.0 * 1e6) / 1e6)))
+    // damping direction: the small stratum repeats (>1 epoch), the
+    // big one is subsampled (<1) — the point of temperature mixing
+    assert(got("small")._5 > 1.0 && got("big")._5 < 1.0)
+    // all-empty input: no rows, no crash
+    assert(Stratified.mixturePlan(
+      Seq(("g", 0L)).toDF("g", "tok"), col("g"), col("tok"), 100L).count() == 0)
+  }
+
   test("sampleSqrt: sample is md5-prefix-stable as a stratum grows") {
     val small = spark.range(50).select(col("id"), lit("g").as("g"))
     val grown = spark.range(200).select(col("id"), lit("g").as("g"))
