@@ -31,10 +31,15 @@ object Phrases {
   def collocations(df: DataFrame, text: Column, minCount: Long = 5): DataFrame = {
     val spark = df.sparkSession
     val docs = df.select(monotonically_increasing_id().as("id"), text.as("txt"))
+    // vocabulary-sized after aggregation — materialize each so the
+    // totals scalar and the PMI join(s) share ONE corpus scan per
+    // count table instead of replaying the explode+agg per use
     val uni = Shingles.exploded(docs, col("id"), col("txt"), 1)
       .groupBy(col("sh")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
     val bi = Shingles.exploded(docs, col("id"), col("txt"), 2)
       .groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // totals: one-row aggregates over the vocabulary-sized count
     // tables — two tiny driver-side scalars, never a corpus rescan.
     // sum over an EMPTY count table is null (empty corpus, or no doc

@@ -130,9 +130,13 @@ object Stratified {
   def mixturePlan(df: DataFrame, stratum: Column, tokenCount: Column,
                   budget: Long): DataFrame = {
     require(budget > 0, s"Stratified.mixturePlan: budget must be > 0, got $budget")
+    // strata-sized after the aggregation — materialize it so the
+    // totals scalar and the final projection share ONE corpus scan
+    // (without this each evaluation replays the aggregation)
     val base = df.groupBy(stratum.as("stratum"))
       .agg(sum(tokenCount.cast("long")).as("tokens"))
       .filter(col("tokens") > 0)
+      .localCheckpoint(true)
     val w = round(sqrt(col("tokens")), 6)
     // exact decimal sum of rounded weights: order-free, engine-free
     val totRow = base.agg(sum(w.cast("decimal(28,6)"))).head()
