@@ -342,6 +342,29 @@ object EventStream {
       }
       .start()
 
+  /** D11: streaming train/val split router — C17's deterministic
+    * md5-threshold split applied in-flight, writing a PARTITIONED
+    * corpus through Spark's native streaming file sink. Membership is
+    * a pure function of the key (one code path with
+    * `Sampling.trainValSplit`), so a row routes identically in batch
+    * and stream, across replays, and across engines; the native file
+    * sink's manifest log gives exactly-once file commits without any
+    * foreachBatch (contrast D6/D9/D10, which need a keyed merge
+    * because their per-batch work is relational). Downstream readers
+    * get `split=train/` / `split=val/` partition pruning for free.
+    * Stateless: no watermark, no state store, nothing buffered. */
+  def splitSink(docs: DataFrame, keyName: String, valFraction: Double,
+                path: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.operators.Sampling.trainValSplit(docs, col(keyName), valFraction)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("split")
+      .format("parquet")
+      .option("path", path)
+      .start()
+
   /** D10: continuous near-dup ingest gate — the streaming form of
     * C34. Each micro-batch is gated through the SAME
     * `Incremental.gate` the batch operator runs (banded minhash

@@ -82,6 +82,23 @@ class SpansSpec extends SparkSpec {
 
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 
+  test("removeDupSpans: a corpus with no cross-doc spans is a normalized identity") {
+    // unique per-doc vocabularies → nothing shared → kept_text is
+    // exactly the lowercased, whitespace-normalized input, dup stats 0
+    val docs = (1L to 30L)
+      .map(i => (i, (1 to 10).map(t => s"D${i}w$t").mkString("  ") + "\t end$i"))
+      .toDF("doc_id", "text")
+    val got = Spans.removeDupSpans(docs, col("doc_id"), col("text"), 5)
+      .as[(Long, Long, Long, Double, String)].collect()
+    val want = docs.select(col("doc_id"),
+        array_join(filter(split(lower(col("text")), "\\s+"), t => t =!= ""), " "))
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, n, kept, frac, text) =>
+      assert(n == kept && frac == 0.0, s"doc $id lost tokens")
+      assert(text == want(id), s"doc $id text changed")
+    }
+  }
+
   test("sampleSqrt: quota = min(c, scale*ceil(sqrt(c))), md5-rank deterministic") {
     // stratum "big": 100 rows → quota min(100, 4*10) = 40
     // stratum "small": 5 rows → quota min(5, 4*3) = 5 (kept whole)

@@ -312,6 +312,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D11 splitSink: in-flight split equals the batch rule; partitioned layout") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 200L).map(i => IngestDoc(i, "en", s"doc number $i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d11").toString
+    val input = MemoryStream[IngestDoc](spark)(Encoders.product[IngestDoc])
+    val q = EventStream.splitSink(input.toDF(), "doc_id", valFraction = 0.25,
+      dir + "/corpus", dir + "/ckpt")
+    try {
+      input.addData(docs.take(120): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(120): _*) // second arrival routes consistently
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir + "/corpus")
+        .select(col("doc_id"), col("split")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      val want = graft.operators.Sampling.trainValSplit(
+          spark.createDataFrame(docs), col("doc_id"), 0.25)
+        .select(col("doc_id"), col("split")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got == want)
+      assert(got.values.toSet == Set("train", "val")) // both sides non-empty
+      // hive layout → partition pruning for readers
+      // (_spark_metadata is the sink's exactly-once manifest log)
+      val dirs = new java.io.File(dir + "/corpus").listFiles
+        .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+        .map(_.getName).toSet
+      assert(dirs == Set("split=train", "split=val"), s"got $dirs")
+    } finally q.stop()
+  }
+
   case class Keyed(ts: Timestamp, grp: String, k: Long)
 
   test("D8 sketchCounts: closed-window sketches match batch bytes and union without rescan") {
