@@ -174,7 +174,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("c35/c36/c37 round-6 dedup ops: equi-joins only, no nested loop or cartesian") {
-    for (q <- Seq("c35_span_rewrite", "c36_semdedup", "c37_fuzzy_decontaminate")) {
+    for (q <- Seq("c35_span_rewrite", "c36_semdedup", "c37_fuzzy_decontaminate",
+        "c38_cluster_keep_best")) {
       val p = finalPlan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
