@@ -42,6 +42,32 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("ReAgg.cube equals native cube on generated frames (non-null keys)") {
+    import graft.operators.ReAgg
+    val row = for {
+      k1 <- Gen.oneOf("a", "b", "c", "d")
+      k2 <- Gen.oneOf("x", "y", "z")
+      v <- Gen.chooseNum(-10000L, 10000L)
+    } yield (k1, k2, v)
+    // several generated frames, one comparison each
+    for (i <- 0 until 5) {
+      val rows = (0 until 60).flatMap(j =>
+        row.apply(Gen.Parameters.default, Seed(1000L * i + j)))
+      val df = rows.toDF("k1", "k2", "v")
+      def canon(frame: org.apache.spark.sql.DataFrame) =
+        frame.select(coalesce(col("k1"), lit("∅")), coalesce(col("k2"), lit("∅")),
+            col("s"), col("n"), col("mn"), col("mx"))
+          .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      val native = df.cube(col("k1"), col("k2"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val re = ReAgg.cube(df, Seq("k1", "k2"), Seq(
+        ReAgg.sumOf("s", col("v")), ReAgg.countAll("n"),
+        ReAgg.minOf("mn", col("v")), ReAgg.maxOf("mx", col("v"))))
+      assert(canon(re) == canon(native), s"frame $i")
+    }
+  }
+
   test("wordCount equals the scala-side python-split reference") {
     val xs = samples(messyText, 200)
     val want = xs.map(s => s.split("\\s+").count(_.nonEmpty))
