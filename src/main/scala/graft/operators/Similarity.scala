@@ -311,8 +311,17 @@ object Similarity {
     * the cell equi-join on BOTH sides, and always survive (with null
     * cell), consistent with the engine-wide zero-norm contract. */
   def semDedup(vecs: DataFrame, id: Column, vec: Column, threshold: Double,
-               nCells: Int = 16, iters: Int = 2): DataFrame = {
-    val cents = PQ.trainCoarse(vecs, id, vec, nCells, iters)
+               nCells: Int = 16, iters: Int = 2): DataFrame =
+    semDedupWith(vecs, id, vec, threshold, PQ.trainCoarse(vecs, id, vec, nCells, iters))
+
+  /** `semDedup` against a PRE-TRAINED coarse codebook (load it with
+    * `sources.Models.loadCoarse` — the E14 store): incremental
+    * semantic dedup reuses one quantizer across arrivals instead of
+    * re-running Lloyd per batch, and two corpora deduped under the
+    * SAME codebook partition identically — cluster boundaries stop
+    * being a source of run-to-run drift. */
+  def semDedupWith(vecs: DataFrame, id: Column, vec: Column, threshold: Double,
+                   cents: Seq[Seq[Double]]): DataFrame = {
     val asg = ivfAssign(vecs, id, vec, cents)
     val cosine =
       round(VectorExpressions.dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6)

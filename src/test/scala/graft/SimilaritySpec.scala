@@ -133,6 +133,19 @@ class SimilaritySpec extends SparkSpec {
     assert(!survClone.contains(99L))
   }
 
+  test("semDedupWith: a stored codebook reproduces semDedup exactly") {
+    import graft.operators.PQ
+    import graft.sources.Models
+    val cents = PQ.trainCoarse(vecs, col("vec_id"), col("embedding"), 4, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-model").toString
+    Models.saveCoarse(spark, cents, dir)
+    val want = Similarity.semDedup(vecs, col("vec_id"), col("embedding"), 0.3,
+      nCells = 4, iters = 2).collect().map(_.toSeq).toSet
+    val got = Similarity.semDedupWith(vecs, col("vec_id"), col("embedding"), 0.3,
+      Models.loadCoarse(spark, dir)).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("semDedup: zero-norm vectors always survive, with null cell") {
     val withZero = vecs.union(Seq((50L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding"))
     val got = Similarity.semDedup(withZero, col("vec_id"), col("embedding"), 0.0,
