@@ -25,23 +25,18 @@ object Shingles {
   /** (id, sh) rows: consecutive n-grams of the whitespace tokens of
     * `lower(text)` (python str.split semantics — empties dropped).
     * Docs with fewer than n tokens produce no rows. NOT deduplicated
-    * (min-aggregations don't care; dedup where semantics need it). */
-  def exploded(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
-    // materialize the token array ONCE per row in its own projection:
-    // referencing the split expression directly inside the transform
-    // lambda would re-tokenize the document per SHINGLE (O(tokens ×
-    // shingles) interpreted work — measured 3-4× slower end-to-end)
-    val tokdf = df.select(id.as("id"),
-      filter(split(lower(text), "\\s+"), t => t =!= "").as("toks"))
-    if (n == 1)
-      return tokdf.select(col("id"), explode(col("toks")).as("sh"))
-    // sequence(0, k) DESCENDS for k < 0 — guard short docs explicitly
-    val grams = when(size(col("toks")) >= n,
-      transform(sequence(lit(0), size(col("toks")) - n),
-        i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    tokdf.select(col("id"), explode(grams).as("sh"))
-  }
+    * (min-aggregations don't care; dedup where semantics need it).
+    *
+    * Gram construction is the native `WordNgrams` expression: one
+    * linear byte pass and one copy per gram, inside whole-stage
+    * codegen. The prior HOF form (split → filter → transform/slice/
+    * array_join) ran the interpreter once per SHINGLE — the hottest
+    * loop in the near-dup family (TextNativeSpec pins parity with
+    * it; null text → null array → explode drops the doc, same as
+    * before). */
+  def exploded(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    df.select(id.as("id"),
+      explode(graft.plans.TextExpressions.wordNgrams(lower(text), n)).as("sh"))
 
   /** Distinct-shingle set per id as an ASCENDING-SORTED array column
     * (the near-dup verifiers merge-scan them natively). */

@@ -90,12 +90,11 @@ object Spans {
     val toks = df.select(id.as("id"),
       coalesce(filter(split(lower(text), "\\s+"), t => t =!= ""),
         array().cast("array<string>")).as("toks"))
-    // (id, i, g): every span occurrence with its 0-based start
-    val grams = toks.select(col("id"),
-      posexplode(when(size(col("toks")) >= n,
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))).as(Seq("i", "g")))
+    // (id, i, g): every span occurrence with its 0-based start —
+    // native WordNgrams (one linear pass; posexplode keeps positions)
+    val grams = df.select(id.as("id"),
+      posexplode(graft.plans.TextExpressions.wordNgrams(lower(text), n))
+        .as(Seq("i", "g")))
     // spans in >= 2 distinct docs (same definition as dupSpans)
     val shared = grams.select(col("id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))

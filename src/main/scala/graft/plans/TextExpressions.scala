@@ -67,9 +67,104 @@ object CharNgrams {
   }
 }
 
+/** Native word n-gram (shingle) extraction — the token-level sibling
+  * of `CharNgrams`, feeding the whole near-dup family through
+  * `Shingles.exploded` (C2-C4, C11, C14, C19/C29, C32, C34, C35,
+  * C37).
+  *
+  * The HOF form (`split` → `filter` → `transform(sequence, i =>
+  * array_join(slice(toks, i, n), ' '))`) is interpreted per SHINGLE
+  * and allocates a token-array slice plus a join buffer for each —
+  * O(tokens × n) with interpreter constants on the hottest path in
+  * the engine. This expression walks the bytes ONCE, records token
+  * boundaries, and emits each n-gram as a single byte copy — O(len)
+  * per document, no interpreter in the loop.
+  *
+  * Semantics are EXACTLY `filter(split(text, "\\s+"), _ != "")`
+  * n-grams joined with one space (python str.split: Java's ASCII \s
+  * charset — space, \t, \n, \x0B, \f, \r — runs collapse, leading
+  * runs drop, so multi-space separators never leak into the gram).
+  * Parity with the HOF form is property-pinned (TextNativeSpec).
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.slice(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WordNgrams.slice($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** One linear pass: token byte ranges, then one copy per gram.
+    * Called from generated code — must stay static-shaped. */
+  def slice(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // token boundaries (byte offsets): starts(i) inclusive, ends(i) exclusive
+    var cap = 8
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        if (m == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(m) = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends(m) = i
+        m += 1
+      }
+    }
+    val count = math.max(0, m - n + 1)
+    val out = new Array[AnyRef](count)
+    var g = 0
+    while (g < count) {
+      // gram g = tokens g..g+n-1 joined by single spaces
+      var size = n - 1
+      var t = g
+      while (t < g + n) { size += ends(t) - starts(t); t += 1 }
+      val buf = new Array[Byte](size)
+      var pos = 0
+      t = g
+      while (t < g + n) {
+        val tl = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), buf, pos, tl)
+        pos += tl
+        if (t < g + n - 1) { buf(pos) = ' '; pos += 1 }
+        t += 1
+      }
+      out(g) = UTF8String.fromBytes(buf)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextExpressions {
 
   /** Codegen'd array of all `n`-codepoint windows of `text`. */
   def charNgrams(text: Column, n: Int): Column =
     Bridge.column(CharNgrams(Bridge.expression(text), n))
+
+  /** Codegen'd array of all `n`-token shingles of `text` (python
+    * whitespace split, single-space joins). */
+  def wordNgrams(text: Column, n: Int): Column =
+    Bridge.column(WordNgrams(Bridge.expression(text), n))
 }

@@ -33,6 +33,41 @@ class TextNativeSpec extends SparkSpec {
     }
   }
 
+  private def hofWordNgrams(text: org.apache.spark.sql.Column, n: Int) = {
+    val toks = filter(split(text, "\\s+"), t => t =!= "")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  test("wordNgrams == split/slice HOF: whitespace runs, edges, unicode, null") {
+    val rows = Seq(
+      "a b c d e",
+      "  leading and   multi\t\tspace\nand newline  ",
+      "one", "", "   ", "\t\n",
+      "привет мир ещё раз тут",
+      "emoji 😀 inside 🎉 text ok",
+      null.asInstanceOf[String]
+    ).toDF("t")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val out = rows.select(
+          TextExpressions.wordNgrams(col("t"), n).as("native"),
+          hofWordNgrams(col("t"), n).as("hof"))
+        .collect()
+      out.foreach { r =>
+        if (r.isNullAt(0) || r.isNullAt(1))
+          // HOF: split(null) → null toks → size(null) = -1 → otherwise
+          // branch → EMPTY array; native null-propagates. Both explode
+          // to zero rows — the operator-level contract that matters.
+          assert(r.isNullAt(0) && (r.isNullAt(1) || r.getSeq[String](1).isEmpty))
+        else
+          assert(r.getSeq[String](0) == r.getSeq[String](1),
+            s"n=$n: native ${r.getSeq[String](0)} vs hof ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("graft_char_ngrams is SQL-callable after registration") {
     graft.plans.GraftExtensions.register(spark)
     Seq("abcd").toDF("t").createOrReplaceTempView("tns_t")
