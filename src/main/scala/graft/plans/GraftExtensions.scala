@@ -51,6 +51,15 @@ object GraftExtensions {
     CharNgrams(args.head, n)
   }
 
+  private def wordNgramsOf(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "expected (text, n)")
+    val n = args.last match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
+    }
+    WordNgrams(args.head, n)
+  }
+
   private[plans] val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
@@ -63,7 +72,10 @@ object GraftExtensions {
       intersectOf _),
     ("graft_char_ngrams",
       new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
-      charNgramsOf _))
+      charNgramsOf _),
+    ("graft_word_ngrams",
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      wordNgramsOf _))
 
   /** Idempotently register the graft functions on a live session. */
   def register(spark: SparkSession): Unit =

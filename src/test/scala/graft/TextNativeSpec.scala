@@ -68,6 +68,14 @@ class TextNativeSpec extends SparkSpec {
     }
   }
 
+  test("graft_word_ngrams is SQL-callable after registration") {
+    graft.plans.GraftExtensions.register(spark)
+    Seq("a  b\tc d").toDF("t").createOrReplaceTempView("tns_w")
+    val grams = spark.sql("SELECT graft_word_ngrams(t, 2) g FROM tns_w")
+      .collect().head.getSeq[String](0)
+    assert(grams == Seq("a b", "b c", "c d"))
+  }
+
   test("graft_char_ngrams is SQL-callable after registration") {
     graft.plans.GraftExtensions.register(spark)
     Seq("abcd").toDF("t").createOrReplaceTempView("tns_t")
