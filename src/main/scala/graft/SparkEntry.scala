@@ -805,6 +805,35 @@ object SparkEntry {
         TextFunctions.wordCount(col("text")), budget = 200000L)
       .orderBy(col("stratum"))
 
+  /** C41 host-reputation dashboard: extract every URL, parse its
+    * host, and aggregate per host — doc reach, link volume, and the
+    * exact-decimal mean quality of documents linking there. This is
+    * how domain allow/block lists get built (domain filtering is the
+    * first gate of every web-scale corpus). URLs are planted
+    * deterministically per doc (the a1/a2/c13 convention — the
+    * corpus has no native URLs); host parsing is a portable regexp,
+    * not parse_url (DuckDB lacks it). */
+  private def c41(s: SparkSession, dir: String): DataFrame = {
+    val docs = operators.Quality.scored(t(s, dir, "documents"), col("text"))
+    val msg = concat(lit("read https://"), col("source"), lit(".example.org/"),
+      col("lang"), lit("/"), col("doc_id"),
+      lit(" and http://mirror-"), col("source"), lit(".example.net/p/"),
+      col("doc_id"), lit(" done"))
+    docs
+      .select(col("doc_id"), col("quality_score"),
+        explode(regexp_extract_all(msg, lit("""https?://[^\s]+"""), lit(0))).as("url"))
+      .select(col("doc_id"), col("quality_score"),
+        regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        // exact decimal sum of the (already 6-rounded) per-doc scores
+        // → the mean's operands are deterministic in any engine
+        round(sum(col("quality_score").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_quality"))
+      .orderBy(col("host"))
+  }
+
   /** C23 mergeable HLL distinct dashboard: per-lang distinct content
     * hashes + a '*' row from UNIONING the per-group sketches (never
     * re-scanning) — the storable-state form of A13's countDistinct.
@@ -1082,7 +1111,8 @@ object SparkEntry {
     "c37_fuzzy_decontaminate" -> (c37 _),
     "c38_cluster_keep_best" -> (c38 _),
     "c39_collocations" -> (c39 _),
-    "c40_mixture_plan" -> (c40 _))
+    "c40_mixture_plan" -> (c40 _),
+    "c41_host_stats" -> (c41 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1683,6 +1713,34 @@ object SparkEntry {
         |  CAST(floor(200000.0 * round(weight / tw, 6)) AS BIGINT) AS alloc_tokens,
         |  round(CAST(floor(200000.0 * round(weight / tw, 6)) AS DOUBLE) / tokens, 6) AS epochs
         |FROM w CROSS JOIN tot ORDER BY stratum""".stripMargin,
+    // c41 = per-host link dashboard over deterministically-planted
+    // URLs; mean quality sums exact decimals of per-doc 6-rounded
+    // scores so the division operands are engine-identical
+    "c41_host_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, text,
+        |    list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS toks,
+        |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS rawtoks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, source,
+        |    round(least(CAST(len(rawtoks) AS BIGINT) / 200.0, 1.0) * 0.4 +
+        |      (1.0 - least((CASE WHEN len(text) = 0 THEN 0.0
+        |          ELSE round(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE / len(text), 6) END) * 5.0, 1.0)) * 0.3 +
+        |      least((CASE WHEN len(toks) = 0 THEN 0.0
+        |          ELSE round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len(toks), 6) END) * 4.0, 1.0) * 0.3, 6) AS qs
+        |  FROM base),
+        |links AS (
+        |  SELECT doc_id, qs, unnest(regexp_extract_all(
+        |    'read https://' || source || '.example.org/' || lang || '/' || doc_id ||
+        |    ' and http://mirror-' || source || '.example.net/p/' || doc_id || ' done',
+        |    'https?://[^\s]+', 0)) AS url
+        |  FROM q),
+        |h AS (SELECT doc_id, qs, regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM links)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+        |FROM h GROUP BY 1 ORDER BY host""".stripMargin,
     "c21_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, lang,
