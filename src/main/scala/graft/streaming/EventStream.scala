@@ -365,6 +365,38 @@ object EventStream {
       .option("path", path)
       .start()
 
+  /** D12: in-flight LM-perplexity gate — the streaming twin of C28's
+    * CCNet-style quality filter. Each micro-batch is scored with the
+    * SAME `LangModel.score` the batch query runs, against a FROZEN
+    * model (train it offline on a presumed-clean corpus; the trigram
+    * table is charset-bounded, so the broadcast join costs the same
+    * at any corpus size), and docs whose average negative log-prob
+    * exceeds `maxScore` never land. This is the gate that catches
+    * junk C9's structural heuristics cannot: encoding garbage and
+    * wrong-language text LOOK structurally fine. foreachBatch because
+    * the per-doc score is an aggregation (D9's argument); replays are
+    * absorbed by the idempotent keyed merge (D6's argument). */
+  def perplexityGateSink(docs: DataFrame, idName: String, text: Column,
+                         model: graft.operators.LangModel.Model, maxScore: Double,
+                         path: String, partCol: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val keep = graft.operators.LangModel
+            .score(batch, col(idName), text, model)
+            .filter(col("lm_score") <= maxScore)
+            .select(col("id").as(idName))
+          val survivors = batch.join(keep, Seq(idName), "left_semi")
+          if (!survivors.isEmpty)
+            graft.operators.Upsert.mergeWritePartitioned(
+              survivors, Seq(idName), Seq(col(idName)), path, partCol)
+        }
+      }
+      .start()
+
   /** D10: continuous near-dup ingest gate — the streaming form of
     * C34. Each micro-batch is gated through the SAME
     * `Incremental.gate` the batch operator runs (banded minhash

@@ -312,6 +312,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D12 perplexityGateSink: frozen-model gate equals the batch C28 rule") {
+    import org.apache.spark.sql.functions.{col, lower}
+    // train a frozen model on fluent text; garbage trigrams are unseen
+    val fluent = (1L to 40L).map(i =>
+      IngestDoc(i, "en", "the quick brown fox jumps over the lazy dog again and again"))
+    val model = graft.operators.LangModel.train(
+      spark.createDataFrame(fluent), lower(col("text")))
+    val incoming = Seq(
+      IngestDoc(100L, "en", "the quick brown fox jumps over the dog"),
+      IngestDoc(101L, "de", "zq xv jj qq kk zz xx vv ww yy"), // unseen trigrams
+      IngestDoc(102L, "en", "the lazy dog jumps again"))
+    // cutoff: batch-score the incoming docs, split the two classes
+    val batchScores = graft.operators.LangModel.score(
+        spark.createDataFrame(incoming), col("doc_id"), lower(col("text")), model)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val cutoff = (batchScores(100L).max(batchScores(102L)) + batchScores(101L)) / 2
+    assert(batchScores(101L) > cutoff, "garbage must score above the cutoff")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-d12").toString
+    val input = MemoryStream[IngestDoc](spark)(Encoders.product[IngestDoc])
+    val q = EventStream.perplexityGateSink(input.toDF(), "doc_id", lower(col("text")),
+      model, cutoff, dir + "/corpus", "lang", dir + "/ckpt")
+    try {
+      input.addData(incoming: _*)
+      q.processAllAvailable()
+      val landed = spark.read.parquet(dir + "/corpus").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(landed == Set(100L, 102L))
+      // identical to the batch rule on the same input
+      val batchKeep = batchScores.filter(_._2 <= cutoff).keySet
+      assert(landed == batchKeep)
+    } finally q.stop()
+  }
+
   test("D11 splitSink: in-flight split equals the batch rule; partitioned layout") {
     import org.apache.spark.sql.functions.col
     val docs = (1L to 200L).map(i => IngestDoc(i, "en", s"doc number $i"))
