@@ -18,16 +18,30 @@ object Quality {
   /** Append C9's component columns and its fixed linear score:
     * word_count, punct_ratio, stopword_ratio, mean_word_len,
     * quality_score (each rounded per SURVEY §4.3 so the DuckDB
-    * oracle reproduces the doubles exactly). */
+    * oracle reproduces the doubles exactly).
+    *
+    * All four raw counts come from ONE native byte pass
+    * (`plans.TextStats`) instead of five regex scans — this is the
+    * most common corpus pass there is, and the regex form re-walked
+    * (and for the mean, regexp_replace-copied) every document per
+    * statistic. Values, null behavior, and the DuckDB oracle are
+    * unchanged: the guards below replicate the regex formulation
+    * exactly (null text → wc 0, null punct_ratio, 0.0 stop/mean —
+    * FunctionsSpec pins parity with the regex forms). */
   def scored(df: DataFrame, text: Column,
              stopwords: Seq[String] = TextFunctions.LangStopwords.toMap.apply("en")): DataFrame = {
-    val wc = TextFunctions.wordCount(text)
-    val punct = TextFunctions.punctRatio(text)
-    val stop = TextFunctions.stopwordRatio(text, stopwords)
+    val st = graft.plans.TextExpressions.textStats(text, stopwords)
+    val wc = when(text.isNull, lit(0)).otherwise(st.getField("wc"))
+    val punct = when(length(text) === 0, lit(0.0))
+      .otherwise(round(st.getField("punct").cast("double") / length(text).cast("double"), 6))
+    val stop = when(wc === 0, lit(0.0))
+      .otherwise(round(st.getField("stop").cast("double") / wc.cast("double"), 6))
+    val mean = when(wc === 0, lit(0.0))
+      .otherwise(round(st.getField("nonws").cast("double") / wc.cast("double"), 6))
     df.withColumn("word_count", wc.cast("long"))
       .withColumn("punct_ratio", punct)
       .withColumn("stopword_ratio", stop)
-      .withColumn("mean_word_len", TextFunctions.meanWordLength(text))
+      .withColumn("mean_word_len", mean)
       .withColumn("quality_score",
         round(least(wc / 200.0, lit(1.0)) * 0.4 +
           (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.3 +

@@ -157,11 +157,108 @@ object WordNgrams {
   }
 }
 
+/** Single-pass text statistics for the quality scorer (C9/D7): one
+  * byte walk computes what the regex formulation needs FIVE separate
+  * passes for (token count, non-alnum codepoint count, stopword
+  * token hits, non-whitespace codepoint count — plus regexp_replace
+  * materializing a stripped copy of every document for the mean
+  * word length). Semantics are EXACTLY the regex forms' (whitespace
+  * = Java \s ASCII charset; "punct" = codepoints outside
+  * [a-zA-Z0-9\s], so every non-ASCII codepoint counts, like the
+  * regex class; stopword hits = tokens whose lowercase equals a
+  * stopword — the `(?:^|\s)(?:…)(?=\s|$)` counting regex in token
+  * form). Parity is property-pinned (FunctionsSpec) and the C9
+  * oracle hash seals it end-to-end.
+  */
+case class TextStats(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = TextStats.schema
+  override def prettyName: String = "graft_text_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TextStats.compute(input.asInstanceOf[UTF8String], TextStats.lowered(stopwords))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwords", TextStats.lowered(stopwords),
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextStats.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object TextStats {
+
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("wc", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("stop", IntegerType, nullable = false),
+    StructField("nonws", IntegerType, nullable = false)))
+
+  private[plans] def lowered(stopwords: Seq[String]): Array[UTF8String] =
+    stopwords.map(w => UTF8String.fromString(w).toLowerCase).toArray
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  private def isAlnum(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+
+  /** One pass. Called from generated code — static-shaped. */
+  def compute(s: UTF8String, stopwords: Array[UTF8String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var wc = 0
+    var punct = 0
+    var nonws = 0
+    var stop = 0
+    var i = 0
+    var tokStart = -1
+    def endToken(end: Int): Unit = if (tokStart >= 0) {
+      wc += 1
+      // lowercase-token-equals-stopword == the counting regex over
+      // lower(text): case mappings never produce ASCII whitespace,
+      // so token boundaries commute with lowercasing
+      val tok = UTF8String.fromBytes(bytes, tokStart, end - tokStart).toLowerCase
+      var j = 0
+      var hit = false
+      while (j < stopwords.length && !hit) {
+        if (stopwords(j).equals(tok)) hit = true
+        j += 1
+      }
+      if (hit) stop += 1
+      tokStart = -1
+    }
+    while (i < len) {
+      val b = bytes(i)
+      if (b >= 0 && isWs(b)) {
+        endToken(i)
+        i += 1
+      } else {
+        if (tokStart < 0) tokStart = i
+        nonws += 1
+        if (!(b >= 0 && isAlnum(b))) punct += 1
+        i += (if (b >= 0) 1 else UTF8String.numBytesForFirstByte(b))
+      }
+    }
+    endToken(len)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](wc, punct, stop, nonws))
+  }
+}
+
 object TextExpressions {
 
   /** Codegen'd array of all `n`-codepoint windows of `text`. */
   def charNgrams(text: Column, n: Int): Column =
     Bridge.column(CharNgrams(Bridge.expression(text), n))
+
+  /** Codegen'd single-pass (wc, punct, stop, nonws) struct. */
+  def textStats(text: Column, stopwords: Seq[String]): Column =
+    Bridge.column(TextStats(Bridge.expression(text), stopwords))
 
   /** Codegen'd array of all `n`-token shingles of `text` (python
     * whitespace split, single-space joins). */

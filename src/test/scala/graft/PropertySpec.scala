@@ -68,6 +68,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TextStats native pass == the regex formulas on messy text") {
+    val sw = TextFunctions.LangStopwords.toMap.apply("en")
+    val df = (samples(messyText, 300) ++ Seq("", " ", "the the", "THE The the",
+      "и the 的 mixed", "tab\tthe\tend", null.asInstanceOf[String])).toDF("t")
+    val st = graft.plans.TextExpressions.textStats(col("t"), sw)
+    val bad = df.select(
+        st.getField("wc").as("n_wc"), TextFunctions.wordCount(col("t")).as("r_wc"),
+        st.getField("punct").as("n_p"),
+        regexp_count(col("t"), lit("""[^a-zA-Z0-9\s]""")).as("r_p"),
+        st.getField("stop").as("n_s"),
+        TextFunctions.stopwordHits(lower(col("t")), sw).as("r_s"),
+        st.getField("nonws").as("n_n"),
+        length(regexp_replace(col("t"), "\\s+", "")).as("r_n"))
+      .filter(
+        // null input: native struct is null (all getFields null), regex
+        // wordCount coalesces to 0 via its own guard — compare non-null rows
+        col("n_wc").isNotNull && (
+          col("n_wc") =!= col("r_wc") || col("n_p") =!= col("r_p") ||
+          col("n_s") =!= col("r_s") || col("n_n") =!= col("r_n")))
+    assert(bad.count() == 0, bad.collect().take(3).mkString("\n"))
+  }
+
   test("wordCount equals the scala-side python-split reference") {
     val xs = samples(messyText, 200)
     val want = xs.map(s => s.split("\\s+").count(_.nonEmpty))
