@@ -38,15 +38,29 @@ object Components {
 
   /** (id, comp) for every node in `nodes`; comp = min reachable id
     * via `edges` (undirected pairs). Nodes absent from every edge are
-    * their own singleton component. */
+    * their own singleton component.
+    *
+    * Graphs with ≤ `driverLimit` edge rows are solved with a driver
+    * union-find instead of the distributed iteration: a near-dup
+    * graph touches a tiny fraction of the corpus, and when the edge
+    * list is MODEL-SIZED (the same class as a collected quantizer or
+    * bloom filter) paying O(log diameter) rounds of whole-job
+    * overhead to label a few thousand endpoints is pure waste — at
+    * sf0.1 the iteration was ~1 s of scheduling to propagate 25
+    * edges. The distributed path is unchanged above the limit, and
+    * both produce identical labels (the specs and the recursive-CTE
+    * oracle don't know which ran). */
   def connected(nodes: DataFrame, id: Column, edges: DataFrame,
-                a: Column, b: Column, maxIter: Int = 20): DataFrame = {
+                a: Column, b: Column, maxIter: Int = 20,
+                driverLimit: Long = 1L << 20): DataFrame = {
     // materialize the (match-sized, not corpus-sized) edge list ONCE —
     // the iteration runs one action per round, and without this every
     // round would replay the entire upstream pair-generation pipeline
     val sym = edges.select(a.as("src"), b.as("dst"))
       .unionByName(edges.select(b.as("src"), a.as("dst")))
       .localCheckpoint(true)
+    if (sym.count() <= driverLimit)
+      return smallGraph(nodes, id, sym)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
@@ -74,6 +88,38 @@ object Components {
         "(pathological graph — raise maxIter)")
     nodes.select(id.as("id")).distinct()
       .join(labels.withColumnRenamed("comp", "__c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
+  }
+
+  /** Exact min-label components for a model-sized edge list: driver
+    * union-find (path halving + min-id tracking), labels joined back
+    * as a broadcast-sized frame. */
+  private def smallGraph(nodes: DataFrame, id: Column, sym: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    es.foreach { case (s, d) =>
+      parent.getOrElseUpdate(s, s)
+      parent.getOrElseUpdate(d, d)
+      val (rs, rd) = (find(s), find(d))
+      // union by MIN id: the root is always the component's min,
+      // so the final find IS the min-label contract
+      if (rs < rd) parent(rd) = rs else if (rd < rs) parent(rs) = rd
+    }
+    val labels = parent.keys.toSeq.map(n => (n, find(n))).toDF("id", "comp")
+    nodes.select(id.as("id")).distinct()
+      .join(broadcast(labels.withColumnRenamed("comp", "__c")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
   }
 

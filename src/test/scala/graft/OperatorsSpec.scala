@@ -144,10 +144,17 @@ class OperatorsSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L),
       // a 5-long chain exercising multiple propagation rounds
       (7L, 8L), (8L, 9L), (9L, 10L), (10L, 11L)).toDF("a", "b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L, 11L -> 7L, 12L -> 12L)
+    // default: the driver union-find fast path (edge list under limit)
     val got = Components.connected(nodes, col("n"), edges, col("a"), col("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L,
-      7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L, 11L -> 7L, 12L -> 12L))
+    assert(got == want)
+    // driverLimit = 0 forces the DISTRIBUTED iteration — identical labels
+    val dist = Components.connected(nodes, col("n"), edges, col("a"), col("b"),
+        driverLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == want)
   }
 
   test("Components.canonicalBy: keeper maximizes score, id breaks ties, singletons keep") {
