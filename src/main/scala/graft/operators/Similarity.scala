@@ -119,19 +119,25 @@ object Similarity {
       "(one cell would degenerate to the all-pairs join this operator exists to avoid)")
     val spark = vecs.sparkSession
     import spark.implicits._
+    // materialize the filtered working set ONCE (the canonical cache
+    // for iterative training — MLlib's k-means does the same): the
+    // adaptive count, the seed collect, every Lloyd mean, the radius
+    // aggregate, and BOTH sides of the pair join would otherwise each
+    // re-scan the source and re-run the norm projection — five-plus
+    // full passes to set up one join
     val v = vecs.select(id.as("id"), vec.cast("array<double>").as("v"))
       .withColumn("nrm", VectorExpressions.norm(col("v")))
       .filter(col("nrm") > 0)
+      .localCheckpoint(true)
 
-    // one count-only scan (no columns read): sizes the adaptive k and
-    // catches the degenerate 0/1-vector corpus, where the all-pairs
-    // form is exact and trivially cheap (at most the empty pair set)
     val n = v.count()
     if (n < 2) return cosinePairs(vecs, id, vec, threshold)
     val k = if (nCells > 0) nCells else autoCells(n, targetCellSize)
 
     def l2(a: Seq[Double]): Double = math.sqrt(a.map(x => x * x).sum)
-    val cents = PQ.trainCoarse(vecs, id, vec, k, iters)
+    // same ids, same double vectors as the raw corpus → identical
+    // seeds and centroids (the exactness specs pin the output anyway)
+    val cents = PQ.trainCoarse(v, col("id"), col("v"), k, iters)
     val cnorms = cents.map(l2)
 
     // assignment + radius angle in ONE projection: cos to every
