@@ -60,6 +60,51 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Schema-drift-tolerant union load (SURVEY E16): one DataFrame
+    * over CORPUS GENERATIONS whose schemas drifted — later crawls add
+    * columns (a quality score, a license tag), early ones lack them.
+    * Parquet's own mergeSchema handles ADDED columns only when types
+    * agree; this also reconciles a column that changed NUMERIC WIDTH
+    * across generations (int → long, float → double) by widening
+    * every generation to the common type before `unionByName` with
+    * missing-column nulls. Incompatible changes (string → int) fail
+    * loudly rather than silently coercing.
+    *
+    * Scale: each generation stays its own parquet scan (pruning and
+    * pushdown intact per source); the union is plan-level, not a
+    * shuffle. */
+  def loadGenerations(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "loadGenerations: need at least one path")
+    import org.apache.spark.sql.types._
+    val frames = paths.map(p => spark.read.parquet(p))
+    def isInt(t: DataType): Boolean =
+      t == ByteType || t == ShortType || t == IntegerType || t == LongType
+    def isFloat(t: DataType): Boolean = t == FloatType || t == DoubleType
+    def widen(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (x, y) if isInt(x) && isInt(y) =>
+        if (x.defaultSize >= y.defaultSize) x else y
+      case (x, y) if isInt(x) && isFloat(y) => y
+      case (x, y) if isFloat(x) && isInt(y) => x
+      case (x, y) if isFloat(x) && isFloat(y) =>
+        if (x.defaultSize >= y.defaultSize) x else y
+      case (x, y) => throw new IllegalArgumentException(
+        s"loadGenerations: incompatible drift for a column: $x vs $y")
+    }
+    val merged: Map[String, DataType] = frames.flatMap(_.schema.fields)
+      .groupBy(_.name).map { case (n, fs) =>
+        n -> fs.map(_.dataType).reduce(widen)
+      }
+    val aligned = frames.map { f =>
+      val cols = f.schema.fieldNames.toSet
+      f.select(merged.keys.toSeq.sorted.map { n =>
+        if (cols(n)) org.apache.spark.sql.functions.col(n).cast(merged(n))
+        else org.apache.spark.sql.functions.lit(null).cast(merged(n)).as(n)
+      }: _*)
+    }
+    aligned.reduce(_ unionByName _)
+  }
+
   private def jdbcProps(props: Map[String, String]): java.util.Properties = {
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }

@@ -172,6 +172,28 @@ class OperatorsSpec extends SparkSpec {
       5L -> (5L, 1L), 6L -> (5L, 0L)))
   }
 
+  test("Tables.loadGenerations: added columns null-fill, numeric width widens, conflicts fail") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gen").toString
+    // generation 1: (id int, score float); generation 2 adds lang and
+    // widens both numeric columns
+    spark.createDataFrame(Seq((1, 0.5f), (2, 0.75f))).toDF("id", "score")
+      .write.parquet(s"$dir/g1")
+    Seq((10L, 0.25, "en"), (11L, 1.0, "de")).toDF("id", "score", "lang")
+      .write.parquet(s"$dir/g2")
+    val got = Tables.loadGenerations(spark, Seq(s"$dir/g1", s"$dir/g2"))
+    assert(got.schema("id").dataType.typeName == "long")
+    assert(got.schema("score").dataType.typeName == "double")
+    val rows = got.orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, None, 0.5), (2L, None, 0.75),
+      (10L, Some("en"), 0.25), (11L, Some("de"), 1.0)))
+    // incompatible drift: string vs long must fail loudly
+    Seq(("x", 1L)).toDF("id", "v").write.parquet(s"$dir/g3")
+    intercept[IllegalArgumentException] {
+      Tables.loadGenerations(spark, Seq(s"$dir/g1", s"$dir/g3"))
+    }
+  }
+
   test("Phrases.collocations: PMI math, count floor, empty corpus") {
     // "new york" always together (PMI high); "the cat"/"the dog"
     // mixes (PMI lower); singletons below the floor vanish
