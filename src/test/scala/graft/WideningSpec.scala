@@ -15,6 +15,15 @@ import graft.streaming.EventStream
 class WideningSpec extends SparkSpec {
   import spark.implicits._
 
+  test("driver contract: every oracle key has a query; names are stable") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty,
+      s"oracleSql declares queries that don't exist (the driver would record them as errors): $orphans")
+    // name hygiene: the driver sorts and path-joins these
+    assert(qs.forall(_.matches("[a-z0-9_]+")), qs.filterNot(_.matches("[a-z0-9_]+")))
+  }
+
   test("C13 scrub redacts emails, urls, phones with typed tokens") {
     val df = Seq("mail a.b+c@x-corp.io or call +44-20-7946-0958 via https://x.io/a?b=1 end").toDF("t")
     val got = df.select(TextFunctions.scrub(col("t"))).as[String].head()
