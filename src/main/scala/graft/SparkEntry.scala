@@ -988,6 +988,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C42 generation novelty: distinct 5-token spans of the "new"
+    * generation (doc_id ≥ 250) already present in the "old" one
+    * (doc_id < 250) — the go/no-go number for ingesting a recrawl
+    * (see Spans.generationNovelty). */
+  private def c42(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Spans.generationNovelty(
+      docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+      col("doc_id"), col("text"), 5)
+  }
+
   /** C36 SemDeDup: semantic dedup over embeddings — keep-first within
     * coarse-quantizer clusters at rounded cosine ≥ 0.4 (Abbas et al.
     * 2023's shape; see Similarity.semDedup). Cluster assignment is
@@ -1112,7 +1123,8 @@ object SparkEntry {
     "c38_cluster_keep_best" -> (c38 _),
     "c39_collocations" -> (c39 _),
     "c40_mixture_plan" -> (c40 _),
-    "c41_host_stats" -> (c41 _))
+    "c41_host_stats" -> (c41 _),
+    "c42_generation_novelty" -> (c42 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1741,6 +1753,26 @@ object SparkEntry {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  round(CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
         |FROM h GROUP BY 1 ORDER BY host""".stripMargin,
+    // c42 = distinct 5-gram overlap of the new generation (>= 250)
+    // against the old (< 250); novelty = 1 - shared/total
+    "c42_generation_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-3),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))) AS sh
+        |  FROM toks WHERE len(t) >= 5),
+        |oldg AS (SELECT DISTINCT sh FROM sp WHERE doc_id < 250),
+        |newg AS (SELECT DISTINCT sh FROM sp WHERE doc_id >= 250),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_spans_new FROM newg),
+        |shr AS (SELECT CAST(count(*) AS BIGINT) AS shared_spans
+        |        FROM newg SEMI JOIN oldg USING (sh))
+        |SELECT n_spans_new, shared_spans,
+        |  CASE WHEN n_spans_new > 0
+        |       THEN round(1.0 - CAST(shared_spans AS DOUBLE) / n_spans_new, 6)
+        |       ELSE 0.0 END AS novelty_frac
+        |FROM tot CROSS JOIN shr""".stripMargin,
     "c21_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, lang,

@@ -55,6 +55,37 @@ object Spans {
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Generation novelty (SURVEY C42): how much of a NEW corpus
+    * generation is genuinely new text vs what the previous
+    * generation already had — the go/no-go number for ingesting a
+    * recrawl (a crawl that is 95% old spans adds storage and dedup
+    * cost, not model quality). Span-level, not doc-level: a "new"
+    * document stitched from old boilerplate counts as old.
+    *
+    * Returns one row: (n_spans_new, shared_spans, novelty_frac)
+    * where the counts are DISTINCT n-token spans of the new
+    * generation and novelty = 1 − shared/total (rounded 6; 1.0 for
+    * an empty old generation, 0.0 novelty_frac denominator guard for
+    * an unshingleable new generation).
+    *
+    * Shape: both generations shingle map-side (native WordNgrams),
+    * dedup to distinct spans (one hash agg each), and the overlap is
+    * a LEFT SEMI join on the span — never a doc × doc comparison.
+    * At 100 TB the old side can be pre-aggregated once and persisted
+    * (it is the same distinct-gram table C19's index uses). */
+  def generationNovelty(oldGen: DataFrame, newGen: DataFrame, id: Column,
+                        text: Column, n: Int = 5): DataFrame = {
+    val oldSpans = Shingles.exploded(oldGen, id, text, n).select(col("sh")).distinct()
+    val newSpans = Shingles.exploded(newGen, id, text, n).select(col("sh")).distinct()
+    val shared = newSpans.join(oldSpans, Seq("sh"), "left_semi")
+    newSpans.agg(count(lit(1)).as("n_spans_new"))
+      .crossJoin(shared.agg(count(lit(1)).as("shared_spans")))
+      .select(col("n_spans_new"), col("shared_spans"),
+        when(col("n_spans_new") > 0,
+          round(lit(1.0) - col("shared_spans").cast("double") / col("n_spans_new"), 6))
+          .otherwise(lit(0.0)).as("novelty_frac"))
+  }
+
   /** Span-removal rewrite (SURVEY C35) — the REWRITE counterpart of
     * `dupSpans`: drop every token covered by an n-token span that
     * also occurs in another document, and re-emit the surviving text

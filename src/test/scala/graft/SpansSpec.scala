@@ -82,6 +82,29 @@ class SpansSpec extends SparkSpec {
 
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 
+  test("generationNovelty: span-level overlap, stitched-from-old counts as old") {
+    val oldGen = Seq(
+      (1L, "a b c d e f"),       // spans: {a..e, b..f}
+      (2L, "p q r s t")).toDF("doc_id", "text")
+    val newGen = Seq(
+      (10L, "a b c d e f"),      // 2 spans, both old
+      (11L, "p q r s t a b c d e"), // stitched from old pieces: 6 spans, 2 old, 4 new seams
+      (12L, "x y z w v")).toDF("doc_id", "text") // 1 new span
+    val got = Spans.generationNovelty(oldGen, newGen, col("doc_id"), col("text"), 5)
+      .as[(Long, Long, Double)].head()
+    // distinct new-gen spans: doc10 {a..e,b..f}, doc11 {p..t, q..a, r..b,
+    // s..c, t..d, a..e}, doc12 {x..v} → 2+6+1 minus dup a..e = 8
+    // shared with old: a..e, b..f, p..t → 3
+    assert(got._1 == 8L && got._2 == 3L)
+    assert(got._3 == math.round((1.0 - 3.0 / 8) * 1e6) / 1e6)
+    // empty old generation → full novelty; unshingleable new → 0-guard
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Spans.generationNovelty(empty, newGen, col("doc_id"), col("text"), 5)
+      .as[(Long, Long, Double)].head() == ((8L, 0L, 1.0)))
+    assert(Spans.generationNovelty(oldGen, empty, col("doc_id"), col("text"), 5)
+      .as[(Long, Long, Double)].head() == ((0L, 0L, 0.0)))
+  }
+
   test("removeDupSpans: a corpus with no cross-doc spans is a normalized identity") {
     // unique per-doc vocabularies → nothing shared → kept_text is
     // exactly the lowercased, whitespace-normalized input, dup stats 0
