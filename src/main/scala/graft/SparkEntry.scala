@@ -999,6 +999,16 @@ object SparkEntry {
       col("doc_id"), col("text"), 5)
   }
 
+  /** C43 distribution drift: smoothed unigram KL(new ‖ old) between
+    * the doc_id < 250 and ≥ 250 generations — the monitoring number
+    * that catches topic/language/scraper shifts before anyone reads
+    * a sample (see operators.Drift). */
+  private def c43(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Drift.unigramKl(
+      docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250), col("text"))
+  }
+
   /** C36 SemDeDup: semantic dedup over embeddings — keep-first within
     * coarse-quantizer clusters at rounded cosine ≥ 0.4 (Abbas et al.
     * 2023's shape; see Similarity.semDedup). Cluster assignment is
@@ -1124,7 +1134,8 @@ object SparkEntry {
     "c39_collocations" -> (c39 _),
     "c40_mixture_plan" -> (c40 _),
     "c41_host_stats" -> (c41 _),
-    "c42_generation_novelty" -> (c42 _))
+    "c42_generation_novelty" -> (c42 _),
+    "c43_distribution_drift" -> (c43 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1773,6 +1784,31 @@ object SparkEntry {
         |       THEN round(1.0 - CAST(shared_spans AS DOUBLE) / n_spans_new, 6)
         |       ELSE 0.0 END AS novelty_frac
         |FROM tot CROSS JOIN shr""".stripMargin,
+    // c43 = smoothed unigram KL(new||old): per-term values rounded 12
+    // and summed as decimals (the only order-sensitive reduction),
+    // denominators computed from exact integer totals
+    "c43_distribution_drift" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |uo AS (SELECT u AS w, CAST(count(*) AS BIGINT) AS c_old
+        |       FROM (SELECT unnest(t) AS u FROM toks WHERE doc_id < 250) GROUP BY 1),
+        |un AS (SELECT u AS w, CAST(count(*) AS BIGINT) AS c_new
+        |       FROM (SELECT unnest(t) AS u FROM toks WHERE doc_id >= 250) GROUP BY 1),
+        |j AS (SELECT coalesce(c_new, 0) AS c_new, coalesce(c_old, 0) AS c_old
+        |      FROM un FULL OUTER JOIN uo USING (w)),
+        |tot AS (SELECT CAST((SELECT coalesce(sum(c_old), 0) FROM uo) AS BIGINT) AS n_old,
+        |               CAST((SELECT coalesce(sum(c_new), 0) FROM un) AS BIGINT) AS n_new,
+        |               CAST((SELECT count(*) FROM j) AS BIGINT) AS v),
+        |terms AS (
+        |  SELECT CAST(round(
+        |    ((c_new + 0.5) / (n_new + 0.5 * v)) *
+        |    ln(((c_new + 0.5) / (n_new + 0.5 * v)) / ((c_old + 0.5) / (n_old + 0.5 * v))),
+        |    12) AS DECIMAL(28,12)) AS term
+        |  FROM j CROSS JOIN tot)
+        |SELECT n_old AS n_tokens_old, n_new AS n_tokens_new, v AS vocab,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS kl_nats
+        |FROM terms CROSS JOIN tot GROUP BY 1, 2, 3""".stripMargin,
     "c21_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, lang,

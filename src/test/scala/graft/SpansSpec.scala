@@ -105,6 +105,34 @@ class SpansSpec extends SparkSpec {
       .as[(Long, Long, Double)].head() == ((0L, 0L, 0.0)))
   }
 
+  test("Drift.unigramKl: zero for identical generations, positive under shift, matches reference") {
+    import graft.operators.Drift
+    val a = Seq((1L, "x y x y z"), (2L, "x z z")).toDF("doc_id", "text")
+    val same = Drift.unigramKl(a, a, col("text"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(same == ((8L, 8L, 3L, 0.0)))
+    // shifted: new generation heavy on w
+    val b = Seq((10L, "w w w w x")).toDF("doc_id", "text")
+    val got = Drift.unigramKl(a, b, col("text"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(got._1 == 8L && got._2 == 5L && got._3 == 4L)
+    // scala-side reference with the same smoothing and rounding
+    val cOld = Map("x" -> 3L, "y" -> 2L, "z" -> 3L, "w" -> 0L)
+    val cNew = Map("x" -> 1L, "y" -> 0L, "z" -> 0L, "w" -> 4L)
+    val v = 4.0
+    val kl = cNew.keys.map { w =>
+      val p = (cNew(w) + 0.5) / (5 + 0.5 * v)
+      val q = (cOld(w) + 0.5) / (8 + 0.5 * v)
+      BigDecimal(p * math.log(p / q)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(got._4 == kl.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got._4 > 0.1)
+    // both empty → defined zero row
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Drift.unigramKl(empty, empty, col("text"))
+      .as[(Long, Long, Long, Double)].head() == ((0L, 0L, 0L, 0.0)))
+  }
+
   test("removeDupSpans: a corpus with no cross-doc spans is a normalized identity") {
     // unique per-doc vocabularies → nothing shared → kept_text is
     // exactly the lowercased, whitespace-normalized input, dup stats 0
