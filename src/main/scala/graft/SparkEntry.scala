@@ -1993,7 +1993,9 @@ object SparkEntry {
         |  WHERE a.nrm > 0 AND b.nrm > 0
         |    AND round(list_sum(list_transform(range(1,65),
         |          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.4)
-        |SELECT vec_id, CAST(0 AS INTEGER) AS cell FROM n
+        |SELECT vec_id,
+        |  CASE WHEN nrm > 0 THEN CAST(0 AS INTEGER) END AS cell
+        |FROM n
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY vec_id""".stripMargin,
     "c33_stratified_sample" ->

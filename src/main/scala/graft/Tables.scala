@@ -88,6 +88,13 @@ object Tables {
       case (x, y) if isFloat(x) && isInt(y) => x
       case (x, y) if isFloat(x) && isFloat(y) =>
         if (x.defaultSize >= y.defaultSize) x else y
+      // decimal width drift (DECIMAL(10,2) vs DECIMAL(18,4)) widens to
+      // a type holding both: max integral digits + max scale, capped
+      // at Spark's 38-digit maximum
+      case (x: DecimalType, y: DecimalType) =>
+        val scale = math.max(x.scale, y.scale)
+        val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
+        DecimalType(math.min(DecimalType.MAX_PRECISION, intDigits + scale), scale)
       case (x, y) => throw new IllegalArgumentException(
         s"loadGenerations: incompatible drift for a column: $x vs $y")
     }
@@ -95,9 +102,16 @@ object Tables {
       .groupBy(_.name).map { case (n, fs) =>
         n -> fs.map(_.dataType).reduce(widen)
       }
+    // FIRST-SEEN column order — the first generation's declared order,
+    // then columns newly added by later generations in discovery
+    // order. Alphabetical re-sorting surprises positional readers and
+    // writers of the unioned frame.
+    val ordered = frames.foldLeft(Vector.empty[String]) { (acc, f) =>
+      acc ++ f.schema.fieldNames.filterNot(acc.contains)
+    }
     val aligned = frames.map { f =>
       val cols = f.schema.fieldNames.toSet
-      f.select(merged.keys.toSeq.sorted.map { n =>
+      f.select(ordered.map { n =>
         if (cols(n)) org.apache.spark.sql.functions.col(n).cast(merged(n))
         else org.apache.spark.sql.functions.lit(null).cast(merged(n)).as(n)
       }: _*)

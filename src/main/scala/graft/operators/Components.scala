@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
 
 /** Connected components over a near-dup pair graph (SURVEY C22) —
   * the step that turns pairwise matches into DECISIONS: every doc in
@@ -59,8 +60,18 @@ object Components {
     val sym = edges.select(a.as("src"), b.as("dst"))
       .unionByName(edges.select(b.as("src"), a.as("dst")))
       .localCheckpoint(true)
-    if (sym.count() <= driverLimit)
-      return smallGraph(nodes, id, sym)
+    // the fast path union-finds over LONGS, so it only fires for
+    // integral id types (where cast→long is lossless and never null);
+    // string/decimal/etc ids always take the distributed iteration,
+    // which is generic over any orderable type — the two paths must
+    // never FORK ON BEHAVIOR, only on cost
+    val idType = sym.schema("src").dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId && sym.count() <= driverLimit)
+      return smallGraph(nodes, id, sym, idType)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
@@ -93,8 +104,11 @@ object Components {
 
   /** Exact min-label components for a model-sized edge list: driver
     * union-find (path halving + min-id tracking), labels joined back
-    * as a broadcast-sized frame. */
-  private def smallGraph(nodes: DataFrame, id: Column, sym: DataFrame): DataFrame = {
+    * as a broadcast-sized frame. Only called for integral id types;
+    * labels are cast back to the edge id type so the output schema is
+    * identical to the distributed path's. */
+  private def smallGraph(nodes: DataFrame, id: Column, sym: DataFrame,
+                         idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
@@ -118,8 +132,11 @@ object Components {
       if (rs < rd) parent(rd) = rs else if (rd < rs) parent(rs) = rd
     }
     val labels = parent.keys.toSeq.map(n => (n, find(n))).toDF("id", "comp")
+      // cast back to the edge id type: the distributed path's labels
+      // carry this type, and coalesce below must coerce identically
+      .select(col("id").cast(idType).as("id"), col("comp").cast(idType).as("__c"))
     nodes.select(id.as("id")).distinct()
-      .join(broadcast(labels.withColumnRenamed("comp", "__c")), Seq("id"), "left")
+      .join(broadcast(labels), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
   }
 

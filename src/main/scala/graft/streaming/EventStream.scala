@@ -462,9 +462,15 @@ object EventStream {
   def nearDupStore(spark: SparkSession, storePath: String, proto: DataFrame,
                    idName: String, text: Column, n: Int = 3, k: Int = 8,
                    bandRows: Int = 2): (DataFrame, DataFrame) = {
-    val root = new org.apache.hadoop.fs.Path(storePath, "bands")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root))
+    val bandsRoot = new org.apache.hadoop.fs.Path(storePath, "bands")
+    val setsRoot = new org.apache.hadoop.fs.Path(storePath, "sets")
+    val fs = bandsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // BOTH roots must exist: a crash between the bands write and the
+    // sets write in nearDupGateSink would otherwise leave a store the
+    // stream can never read again (bands present, sets missing) —
+    // a half-written batch is treated as not written at all, and the
+    // replay re-creates both dirs at the same deterministic path
+    if (fs.exists(bandsRoot) && fs.exists(setsRoot))
       (spark.read.parquet(s"$storePath/bands"), spark.read.parquet(s"$storePath/sets"))
     else {
       val (eb, es) = graft.operators.Incremental.signatures(

@@ -157,6 +157,26 @@ class OperatorsSpec extends SparkSpec {
     assert(dist == want)
   }
 
+  test("Components.connected: string ids work (no silent long-cast), int ids keep schema parity") {
+    // STRING ids must route to the distributed path — the old fast
+    // path cast them to long (→ null) and returned all-singletons
+    val sNodes = Seq("a", "b", "c", "d").toDF("n")
+    val sEdges = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    val sGot = Components.connected(sNodes, col("n"), sEdges, col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(sGot == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
+    // INT ids: fast path and distributed path must agree on the comp
+    // type (the old fast path widened comp to long)
+    val iNodes = Seq(1, 2, 3).toDF("n")
+    val iEdges = Seq((1, 2)).toDF("x", "y")
+    val fast = Components.connected(iNodes, col("n"), iEdges, col("x"), col("y"))
+    val dist2 = Components.connected(iNodes, col("n"), iEdges, col("x"), col("y"),
+      driverLimit = 0L)
+    assert(fast.schema("comp").dataType == dist2.schema("comp").dataType)
+    assert(fast.collect().map(r => (r.getInt(0), r.getInt(1))).toMap ==
+      dist2.collect().map(r => (r.getInt(0), r.getInt(1))).toMap)
+  }
+
   test("Components.canonicalBy: keeper maximizes score, id breaks ties, singletons keep") {
     // cluster {1,2,3}: best score on 3 (keep-min-id would keep 1);
     // cluster {5,6}: tied scores → smaller id 5 keeps; 4 is a singleton
@@ -183,15 +203,31 @@ class OperatorsSpec extends SparkSpec {
     val got = Tables.loadGenerations(spark, Seq(s"$dir/g1", s"$dir/g2"))
     assert(got.schema("id").dataType.typeName == "long")
     assert(got.schema("score").dataType.typeName == "double")
+    // FIRST-SEEN column order: generation 1's (id, score), then the
+    // added lang — never alphabetical
+    assert(got.columns.toSeq == Seq("id", "score", "lang"))
     val rows = got.orderBy("id")
-      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2)))
-    assert(rows.toSeq == Seq((1L, None, 0.5), (2L, None, 0.75),
-      (10L, Some("en"), 0.25), (11L, Some("de"), 1.0)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+    assert(rows.toSeq == Seq((1L, 0.5, None), (2L, 0.75, None),
+      (10L, 0.25, Some("en")), (11L, 1.0, Some("de"))))
     // incompatible drift: string vs long must fail loudly
     Seq(("x", 1L)).toDF("id", "v").write.parquet(s"$dir/g3")
     intercept[IllegalArgumentException] {
       Tables.loadGenerations(spark, Seq(s"$dir/g1", s"$dir/g3"))
     }
+    // decimal WIDTH drift widens to hold both: (10,2) vs (12,6) keeps
+    // max integral digits (8) + max scale (6) → (14,6); values keep
+    // their exact decimal meaning
+    import org.apache.spark.sql.functions.lit
+    Seq(1).toDF("k").select(lit("1").cast("decimal(10,2)").as("amt"))
+      .write.parquet(s"$dir/g4")
+    Seq(1).toDF("k").select(lit("2.5").cast("decimal(12,6)").as("amt"))
+      .write.parquet(s"$dir/g5")
+    val dec = Tables.loadGenerations(spark, Seq(s"$dir/g4", s"$dir/g5"))
+    assert(dec.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(14, 6))
+    assert(dec.orderBy("amt").collect().map(_.getDecimal(0).toPlainString).toSeq ==
+      Seq("1.000000", "2.500000"))
   }
 
   test("Phrases.collocations: PMI math, count floor, empty corpus") {

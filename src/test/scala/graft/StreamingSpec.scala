@@ -312,6 +312,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D10 nearDupStore: half-written first batch (bands only) reads as an empty store") {
+    import org.apache.spark.sql.functions.col
+    // simulate a crash between the bands write and the sets write on
+    // the FIRST micro-batch: bands/ exists, sets/ does not — the store
+    // must read as empty (both schemas intact) so the replayed batch
+    // can re-create both roots, not crash the stream forever
+    val dir = java.nio.file.Files.createTempDirectory("graft-d10-half").toString
+    val store = dir + "/store"
+    val proto = spark.createDataFrame(Seq(IngestDoc(1L, "en", "a b c d e")))
+    val (fb, fs) = graft.operators.Incremental.signatures(
+      proto, col("doc_id"), col("text"))
+    fb.write.parquet(store + "/bands/batch=0") // no sets write
+    val (sb, ss) = EventStream.nearDupStore(spark, store, proto, "doc_id", col("text"))
+    assert(sb.isEmpty && ss.isEmpty)
+    assert(sb.schema == fb.schema && ss.schema == fs.schema)
+  }
+
   test("D12 perplexityGateSink: frozen-model gate equals the batch C28 rule") {
     import org.apache.spark.sql.functions.{col, lower}
     // train a frozen model on fluent text; garbage trigrams are unseen
