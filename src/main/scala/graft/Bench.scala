@@ -1,5 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every `SparkEntry.queries`
+  * entry against SPARK_GRAFT_SF_DIR, min-of-REPS after a full warmup
+  * pass, and reports two ways:
+  *
+  *  - ONE compact JSON line on stdout (the driver's scrape), with the
+  *    headline fields LAST so a tail-truncated capture still carries
+  *    them;
+  *  - the COMPLETE full-precision record to SPARK_GRAFT_BENCH_OUT
+  *    (default `bench_out.json` in the cwd = the repo), so the round
+  *    artifact is self-contained even when the stdout scrape
+  *    truncates — BENCH_r05 and r06 both lost their tails that way.
+  *
+  * Both carry a LOAD CALIBRATION: a fixed, sf-independent reference
+  * computation (sum(xxhash64(id)) over 2^28 ids — pure CPU across all
+  * cores, no I/O, no shuffle) timed min-of-3 BEFORE and AFTER the
+  * sweep. On a quiet box it is a stable constant for a given core
+  * count; external load inflates even its min, so a load-corrupted
+  * record self-identifies (r06's driver run was ~3× inflated end to
+  * end and nothing in the record said so). /proc/loadavg snapshots
+  * land beside it for diagnosis.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,6 +56,25 @@ object Bench {
     val reps = scala.util.Try(repsRaw.toInt).getOrElse(
       sys.error(s"SPARK_GRAFT_REPS must be an integer >= 1, got '$repsRaw'"))
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got '$repsRaw'")
+
+    // ---- load calibration -------------------------------------------------
+    // fixed reference work: ~268M xxhash64 evaluations, embarrassingly
+    // parallel, zero I/O — its min-of-3 moves only when something else
+    // is eating the cores. Warmed once so codegen never pollutes it.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: a sum of 2^28 hashes overflows long under
+      // ANSI arithmetic; xor is overflow-free and just as CPU-bound
+      spark.range(1L << 28).selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibMin(): Double = { calibOnce(); (1 to 3).map(_ => calibOnce()).min }
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
+      catch { case _: Exception => "unavailable" }
+    val loadPre = loadavg()
+    val calibPre = calibMin()
+
     // local profiling with a name filter warms only the filtered set
     // (the driver passes no args → full warmup, unchanged)
     val warmSet = if (args.isEmpty) SparkEntry.queries
@@ -72,19 +113,25 @@ object Bench {
       val ok = times.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
-    // The harness that consumes this output captures only the LAST
-    // ~2000 bytes of stdout; a 66-query line at full double precision
-    // is ~3 KB, so its head — including the {"metric":…} prefix — was
-    // being truncated off every round and the line never parsed.
-    // Defenses, layered:
-    //   1. per-query times printed at millisecond precision (min of
-    //      reps ⇒ sub-ms digits are noise anyway), which fits the
-    //      whole line in the capture window;
-    //   2. "queries" FIRST and the headline metric/value/unit/sf
-    //      LAST, so even a truncated capture still carries the
-    //      summary fields (JSON object keys are unordered);
-    //   3. the full-precision line also lands in
-    //      target/bench_full.json for offline reading;
+    // post-sweep calibration: load arriving MID-run shows up as
+    // pre/post disagreement even if the pre measurement was quiet
+    val calibPost = calibMin()
+    val loadPost = loadavg()
+    val calib = math.min(calibPre, calibPost)
+
+    // The harness that consumes the stdout line captures only the
+    // LAST ~2000 bytes; a full-precision 80-query line is ~3 KB, so
+    // its head — including the {"metric":…} prefix — was being
+    // truncated off every round and the line never parsed. Defenses,
+    // layered:
+    //   1. per-query times at millisecond precision (min of reps ⇒
+    //      sub-ms digits are noise anyway) keeps the line small;
+    //   2. "queries" FIRST and calib/metric/value/unit/sf LAST, so
+    //      even a truncated capture still carries the summary fields
+    //      (JSON object keys are unordered);
+    //   3. the COMPLETE full-precision record also lands in
+    //      SPARK_GRAFT_BENCH_OUT (default bench_out.json in the
+    //      repo) — the self-contained file twin of this line;
     //   4. the stdout line prints AFTER spark.stop(), so no shutdown
     //      logging can push it out of the capture window.
     def ms(v: Double): String =
@@ -94,17 +141,23 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val line =
-      s"""{"queries":$qs,"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir"}"""
+      s"""{"queries":$qs,"calib":${ms(calib)},"out":"$outPath",""" +
+      s""""metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""reps":$reps,"cpus":"$cpus","n_queries":${results.size},""" +
+      s""""calib":$calib,"calib_pre":$calibPre,"calib_post":$calibPost,""" +
+      s""""calib_ref":"min-of-3 bit_xor(xxhash64(id)) over range(2^28), warmed",""" +
+      s""""loadavg_pre":"$loadPre","loadavg_post":"$loadPost",""" +
+      s""""queries":$qsFull}"""
     // best-effort: the bench must still report via stdout if cwd
     // isn't writable (e.g. run from a read-only checkout)
     try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes("UTF-8"))
-    } catch { case e: Exception => System.err.println(s"[bench] bench_full.json not written: $e") }
+    } catch { case e: Exception => System.err.println(s"[bench] $outPath not written: $e") }
     spark.stop()
     println(line)
   }
