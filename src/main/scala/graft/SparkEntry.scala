@@ -1011,12 +1011,14 @@ object SparkEntry {
 
   /** C36 SemDeDup: semantic dedup over embeddings — keep-first within
     * coarse-quantizer clusters at rounded cosine ≥ 0.4 (Abbas et al.
-    * 2023's shape; see Similarity.semDedup). Cluster assignment is
+    * 2023's shape; see Similarity.semDedup). nCells = 0 ⇒ ADAPTIVE
+    * cell count (⌈√(n/target)⌉, like C5) so the within-cell fan-out
+    * stays linear at any corpus size. Cluster assignment is
     * Lloyd-float-dependent → rows-only; the exhaustive twin c36b pins
     * the whole drop rule against DuckDB. */
   private def c36(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-        threshold = 0.4, nCells = 16, iters = 2)
+        threshold = 0.4, nCells = 0, iters = 2)
       .orderBy(col("vec_id"))
 
   /** C36b exhaustive SemDeDup: nCells = 1 ⇒ every pair is
@@ -1027,6 +1029,40 @@ object SparkEntry {
     Similarity.semDedup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         threshold = 0.4, nCells = 1, iters = 0)
       .orderBy(col("vec_id"))
+
+  /** C36c incremental SemDeDup — the stored-codebook pipeline real
+    * ingest runs, composed end-to-end: train the coarse quantizer
+    * ONCE on the first arrival and persist it (E14 model store), dedup
+    * arrival 1 with it and publish the survivors as a versioned
+    * snapshot (E13), then gate arrival 2 through
+    * `Similarity.semDedupIncrement` against the all-seen store under
+    * the RELOADED codebook and publish the refreshed snapshot. Reads
+    * back the final snapshot.
+    *
+    * nCells = 1 makes every arrival exhaustive, and gating against an
+    * all-seen store makes sequential ≡ global keep-first — so the
+    * final snapshot must be EXACTLY c36b's survivor set, which is the
+    * DuckDB oracle here: the entire train-store-reload-gate-publish
+    * composition is hash-pinned, not just its pieces. */
+  private def c36c(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    val arr1 = em.filter(col("vec_id") < 250)
+    val arr2 = em.filter(col("vec_id") >= 250)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-c36c").toString
+    // arrival 1: train once, persist the codebook, dedup, snapshot v1
+    sources.Models.saveCoarse(s,
+      operators.PQ.trainCoarse(arr1, col("vec_id"), col("embedding"), 1, 0), s"$tmp/model")
+    val cb = sources.Models.loadCoarse(s, s"$tmp/model")
+    val s1 = Similarity.semDedupWith(arr1, col("vec_id"), col("embedding"), 0.4, cb)
+    sources.Versioned.write(s1, s"$tmp/kept", keep = 2)
+    // arrival 2: gate against ALL seen vectors (not just survivors —
+    // that is what keeps sequential ≡ global), refresh the snapshot
+    val s2 = Similarity.semDedupIncrement(arr1, arr2,
+      col("vec_id"), col("embedding"), 0.4, cb)
+    sources.Versioned.write(
+      sources.Versioned.read(s, s"$tmp/kept").unionByName(s2), s"$tmp/kept", keep = 2)
+    sources.Versioned.read(s, s"$tmp/kept").orderBy(col("vec_id"))
+  }
 
   /** C33 stratified √-damped rebalancing: deterministic md5-ranked
     * sample per (lang, source) stratum with quota min(c, 4⌈√c⌉) —
@@ -1129,6 +1165,7 @@ object SparkEntry {
     "b20_cube" -> (b20 _),
     "c36_semdedup" -> (c36 _),
     "c36b_semdedup_exhaustive" -> (c36b _),
+    "c36c_semdedup_incremental" -> (c36c _),
     "c37_fuzzy_decontaminate" -> (c37 _),
     "c38_cluster_keep_best" -> (c38 _),
     "c39_collocations" -> (c39 _),
@@ -1983,6 +2020,25 @@ object SparkEntry {
     // survivors are exactly the global keep-first rule — a vector is
     // dropped iff some LOWER-id vector has rounded cosine >= 0.4
     "c36b_semdedup_exhaustive" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1,65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0
+        |    AND round(list_sum(list_transform(range(1,65),
+        |          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.4)
+        |SELECT vec_id,
+        |  CASE WHEN nrm > 0 THEN CAST(0 AS INTEGER) END AS cell
+        |FROM n
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
+    // c36c = two-arrival incremental SemDeDup against an all-seen
+    // store under one stored nCells=1 codebook ⇒ sequential gating
+    // IS the global keep-first rule — same oracle as c36b
+    "c36c_semdedup_incremental" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(range(1,65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm

@@ -315,10 +315,20 @@ object Similarity {
     * Zero-norm vectors: cosine with them is undefined, so they can
     * never match — they get a null cell from `ivfAssign`, fall out of
     * the cell equi-join on BOTH sides, and always survive (with null
-    * cell), consistent with the engine-wide zero-norm contract. */
+    * cell), consistent with the engine-wide zero-norm contract.
+    *
+    * `nCells = 0` (the default) is ADAPTIVE, like C5's bucketed pair
+    * join: k = ⌈√(n/targetCellSize)⌉ from a count-only scan, so the
+    * within-cell candidate fan-out (n/k)² stays ≈ targetCellSize·n —
+    * linear in the corpus — where any FIXED k goes quadratic at 100×
+    * scale. `nCells = 1` stays the explicit exhaustive mode (the
+    * oracle twin). */
   def semDedup(vecs: DataFrame, id: Column, vec: Column, threshold: Double,
-               nCells: Int = 16, iters: Int = 2): DataFrame =
-    semDedupWith(vecs, id, vec, threshold, PQ.trainCoarse(vecs, id, vec, nCells, iters))
+               nCells: Int = 0, iters: Int = 2, targetCellSize: Int = 64): DataFrame = {
+    require(nCells >= 0, s"semDedup: nCells must be >= 0 (0 = adaptive), got $nCells")
+    val k = if (nCells > 0) nCells else autoCells(vecs.count(), targetCellSize)
+    semDedupWith(vecs, id, vec, threshold, PQ.trainCoarse(vecs, id, vec, k, iters))
+  }
 
   /** `semDedup` against a PRE-TRAINED coarse codebook (load it with
     * `sources.Models.loadCoarse` — the E14 store): incremental
@@ -336,6 +346,40 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id") && cosine >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
     asg.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Incremental SemDeDup arrival gate — the embedding-space C34: a
+    * batch vector is dropped iff it matches (rounded cosine ≥ t, same
+    * cell) ANY already-seen vector, or a LOWER-ID batch mate. Returns
+    * batch survivors as (vec_id, cell).
+    *
+    * Run every arrival under ONE stored codebook (train once, E14
+    * `Models.saveCoarse`/`loadCoarse`) so cluster boundaries never
+    * drift between arrivals. Against an ALL-SEEN store (every vector
+    * ever ingested, not just survivors) with arrival-ordered ids,
+    * sequential gating is EXACTLY the global keep-first rule — the
+    * same equivalence C34/D10 pin for minhash space, which is what
+    * makes the nCells = 1 variant DuckDB-checkable end-to-end.
+    * Re-ingesting an already-seen id self-matches (cosine 1) and
+    * drops — idempotent ingest.
+    *
+    * Scale: per arrival this joins the batch (broadcast-sized) against
+    * the seen+batch assignment on the cell id — one equi-join, O(batch
+    * × cell density) comparisons, and the seen side is scanned, never
+    * rewritten. */
+  def semDedupIncrement(seen: DataFrame, batch: DataFrame, id: Column, vec: Column,
+                        threshold: Double, cents: Seq[Seq[Double]]): DataFrame = {
+    val sa = ivfAssign(seen, id, vec, cents).withColumn("seen", lit(true))
+    val ba = ivfAssign(batch, id, vec, cents)
+    val pool = sa.unionByName(ba.withColumn("seen", lit(false)))
+    val cosine =
+      round(VectorExpressions.dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6)
+    val dropped = pool.as("a").join(ba.as("b"),
+        col("a.cell") === col("b.cell") &&
+          (col("a.seen") || col("a.vec_id") < col("b.vec_id")) && cosine >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    ba.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
   }
 

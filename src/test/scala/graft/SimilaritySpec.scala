@@ -133,6 +133,33 @@ class SimilaritySpec extends SparkSpec {
     assert(!survClone.contains(99L))
   }
 
+  test("semDedup: adaptive nCells scales with corpus size; sound/superset at both sizes") {
+    // two corpus sizes must pick DIFFERENT auto-k (targetCellSize=1
+    // dodges the min clamp: √400 = 20, √1600 = 40)
+    def corpus(n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 3.7 + j * 1.3).toFloat))).toDF("vec_id", "embedding")
+    val (small, big) = (corpus(400), corpus(1600))
+    val kSmall = Similarity.autoCells(400, 1)
+    val kBig = Similarity.autoCells(1600, 1)
+    assert(kSmall == 20 && kBig == 40)
+    for ((c, n) <- Seq((small, 400), (big, 1600))) {
+      val t = 0.9
+      val surv = Similarity.semDedup(c, col("vec_id"), col("embedding"), t,
+          nCells = 0, iters = 1, targetCellSize = 1)
+        .select("vec_id").as[Long].collect().toSet
+      val exhaustive = Similarity.semDedup(c, col("vec_id"), col("embedding"), t,
+          nCells = 1, iters = 0).select("vec_id").as[Long].collect().toSet
+      // clustering only MISSES matches, never invents them...
+      assert(exhaustive.subsetOf(surv), s"n=$n: clustered lost an exhaustive survivor")
+      // ...and every drop is a REAL lower-id match at >= t
+      val matched = Similarity.cosinePairs(c, col("vec_id"), col("embedding"), t)
+        .select("vec_b").as[Long].collect().toSet
+      val dropped = (0L until n).toSet -- surv
+      assert(dropped.subsetOf(matched), s"n=$n: unsound drop")
+      assert(dropped.nonEmpty, s"n=$n: the sin-lattice corpus must contain near-dups")
+    }
+  }
+
   test("semDedupWith: a stored codebook reproduces semDedup exactly") {
     import graft.operators.PQ
     import graft.sources.Models
@@ -144,6 +171,30 @@ class SimilaritySpec extends SparkSpec {
     val got = Similarity.semDedupWith(vecs, col("vec_id"), col("embedding"), 0.3,
       Models.loadCoarse(spark, dir)).collect().map(_.toSeq).toSet
     assert(got == want)
+  }
+
+  test("semDedupIncrement: sequential all-seen gating equals global keep-first; re-ingest drops") {
+    import graft.operators.PQ
+    val t = 0.3
+    val arr1 = vecs.filter(col("vec_id") < 10)
+    val arr2 = vecs.filter(col("vec_id") >= 10)
+    // one codebook for both arrivals, nCells=1 ⇒ exhaustive
+    val cb = PQ.trainCoarse(arr1, col("vec_id"), col("embedding"), 1, 0)
+    val s1 = Similarity.semDedupWith(arr1, col("vec_id"), col("embedding"), t, cb)
+      .select("vec_id").as[Long].collect().toSet
+    val s2 = Similarity.semDedupIncrement(arr1, arr2,
+        col("vec_id"), col("embedding"), t, cb)
+      .select("vec_id").as[Long].collect().toSet
+    // sequential ≡ global: union of arrival survivors = one-shot dedup
+    val global = Similarity.semDedup(vecs, col("vec_id"), col("embedding"), t,
+        nCells = 1, iters = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert((s1 ++ s2) == global)
+    // re-ingesting an arrival already in the seen pool self-matches
+    // (cosine 1 with itself) → zero survivors, idempotent ingest
+    val replay = Similarity.semDedupIncrement(vecs, arr2,
+      col("vec_id"), col("embedding"), t, cb)
+    assert(replay.count() == 0)
   }
 
   test("semDedup: zero-norm vectors always survive, with null cell") {
