@@ -1821,9 +1821,11 @@ object SparkEntry {
         |       THEN round(1.0 - CAST(shared_spans AS DOUBLE) / n_spans_new, 6)
         |       ELSE 0.0 END AS novelty_frac
         |FROM tot CROSS JOIN shr""".stripMargin,
-    // c43 = smoothed unigram KL(new||old): per-term values rounded 12
-    // and summed as decimals (the only order-sensitive reduction),
-    // denominators computed from exact integer totals
+    // c43 = smoothed unigram KL(new||old), factored single-pass form:
+    // S = sum over w of (c_new+1/2)*ln((c_new+1/2)/(c_old+1/2)) with
+    // per-term rounding to 12 + decimal sum (the only order-sensitive
+    // reduction), then KL = S/(N_new+V/2) + ln((N_old+V/2)/(N_new+V/2))
+    // from exact integer totals — mirrors Drift.unigramKl exactly
     "c43_distribution_drift" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
@@ -1834,18 +1836,19 @@ object SparkEntry {
         |       FROM (SELECT unnest(t) AS u FROM toks WHERE doc_id >= 250) GROUP BY 1),
         |j AS (SELECT coalesce(c_new, 0) AS c_new, coalesce(c_old, 0) AS c_old
         |      FROM un FULL OUTER JOIN uo USING (w)),
-        |tot AS (SELECT CAST((SELECT coalesce(sum(c_old), 0) FROM uo) AS BIGINT) AS n_old,
-        |               CAST((SELECT coalesce(sum(c_new), 0) FROM un) AS BIGINT) AS n_new,
-        |               CAST((SELECT count(*) FROM j) AS BIGINT) AS v),
-        |terms AS (
-        |  SELECT CAST(round(
-        |    ((c_new + 0.5) / (n_new + 0.5 * v)) *
-        |    ln(((c_new + 0.5) / (n_new + 0.5 * v)) / ((c_old + 0.5) / (n_old + 0.5 * v))),
-        |    12) AS DECIMAL(28,12)) AS term
-        |  FROM j CROSS JOIN tot)
+        |agg AS (SELECT
+        |    CAST(coalesce(sum(c_old), 0) AS BIGINT) AS n_old,
+        |    CAST(coalesce(sum(c_new), 0) AS BIGINT) AS n_new,
+        |    CAST(count(*) AS BIGINT) AS v,
+        |    sum(CAST(round(
+        |      (c_new::DOUBLE + 0.5) * ln((c_new::DOUBLE + 0.5) / (c_old::DOUBLE + 0.5)),
+        |      12) AS DECIMAL(28,12))) AS s
+        |  FROM j)
         |SELECT n_old AS n_tokens_old, n_new AS n_tokens_new, v AS vocab,
-        |  round(CAST(sum(term) AS DOUBLE), 6) AS kl_nats
-        |FROM terms CROSS JOIN tot GROUP BY 1, 2, 3""".stripMargin,
+        |  CASE WHEN v = 0 THEN 0.0 ELSE round(
+        |    CAST(s AS DOUBLE) / (n_new::DOUBLE + 0.5 * v) +
+        |    ln((n_old::DOUBLE + 0.5 * v) / (n_new::DOUBLE + 0.5 * v)), 6) END AS kl_nats
+        |FROM agg""".stripMargin,
     "c21_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, lang,

@@ -60,6 +60,25 @@ object GraftExtensions {
     WordNgrams(args.head, n)
   }
 
+  private def textStatsOf(args: Seq[Expression]): Expression = {
+    require(args.length == 1 || args.length == 2,
+      "expected (text) or (text, array('stop', ...))")
+    val stops: Seq[String] =
+      if (args.length == 1) Seq.empty
+      else args.last match {
+        case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _) =>
+          elems.map {
+            case org.apache.spark.sql.catalyst.expressions.Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+              s.toString
+            case other => throw new IllegalArgumentException(
+              s"stopwords must be string literals, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"stopwords must be an array literal, got $other")
+      }
+    TextStats(args.head, stops)
+  }
+
   private[plans] val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
@@ -75,7 +94,10 @@ object GraftExtensions {
       charNgramsOf _),
     ("graft_word_ngrams",
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
-      wordNgramsOf _))
+      wordNgramsOf _),
+    ("graft_text_stats",
+      new ExpressionInfo(classOf[TextStats].getName, "graft_text_stats"),
+      textStatsOf _))
 
   /** Idempotently register the graft functions on a live session. */
   def register(spark: SparkSession): Unit =

@@ -117,4 +117,23 @@ class FunctionsSpec extends SparkSpec {
     assert(got.getDouble(1) == 11.0)
     assert(got.getInt(2) == 2)
   }
+
+  test("graft_text_stats usable from SQL after register; equals the column API") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_text_stats('the cat sat, yes the cat!', array('the', 'a')) st," +
+        " graft_text_stats('no stopwords here') bare").head()
+    val st = got.getStruct(0)
+    // column-API twin on the same input pins SQL/column parity
+    val want = Seq("the cat sat, yes the cat!").toDF("t")
+      .select(graft.plans.TextExpressions.textStats(col("t"), Seq("the", "a")).as("st"))
+      .head().getStruct(0)
+    assert(st == want)
+    assert(st.getInt(2) == 2) // two 'the' stopword hits
+    assert(got.getStruct(1).getInt(2) == 0)
+    // non-literal stopwords must fail loudly, not misparse
+    intercept[Exception] {
+      spark.sql("SELECT graft_text_stats('x', array(lower('THE')))").head()
+    }
+  }
 }

@@ -116,16 +116,21 @@ class SpansSpec extends SparkSpec {
     val got = Drift.unigramKl(a, b, col("text"))
       .as[(Long, Long, Long, Double)].head()
     assert(got._1 == 8L && got._2 == 5L && got._3 == 4L)
-    // scala-side reference with the same smoothing and rounding
+    // scala-side reference with the same factored single-pass form:
+    // KL = S/(N_new+V/2) + ln((N_old+V/2)/(N_new+V/2)),
+    // S = Σ (c_new+½)·ln((c_new+½)/(c_old+½)) rounded 12 per term
     val cOld = Map("x" -> 3L, "y" -> 2L, "z" -> 3L, "w" -> 0L)
     val cNew = Map("x" -> 1L, "y" -> 0L, "z" -> 0L, "w" -> 4L)
     val v = 4.0
-    val kl = cNew.keys.map { w =>
-      val p = (cNew(w) + 0.5) / (5 + 0.5 * v)
-      val q = (cOld(w) + 0.5) / (8 + 0.5 * v)
-      BigDecimal(p * math.log(p / q)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val s = cNew.keys.map { w =>
+      val cn = cNew(w) + 0.5
+      val co = cOld(w) + 0.5
+      BigDecimal(cn * math.log(cn / co)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
     }.sum
-    assert(got._4 == kl.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val kl = BigDecimal(
+      s.toDouble / (5 + 0.5 * v) + math.log((8 + 0.5 * v) / (5 + 0.5 * v)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got._4 == kl.toDouble)
     assert(got._4 > 0.1)
     // both empty → defined zero row
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
