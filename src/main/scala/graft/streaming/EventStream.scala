@@ -479,6 +479,70 @@ object EventStream {
     }
   }
 
+  /** Signature-store compaction — the lifecycle pass the append-only
+    * D10 store needs (reference parity: the weekly cleanup DAG,
+    * pasta-pipeline `dags/processors/duplicate_remover.py:199`, is the
+    * same hygiene job). `nearDupGateSink` writes one `batch=<id>` dir
+    * per micro-batch; at one dir per arrival a continuously-ingesting
+    * store accumulates unbounded small files and directories — the
+    * operational killer at scale. This consolidates every batch dir
+    * with id < `watermark` (per root, bands and sets independently)
+    * into ONE `batch=<negative>` dir of ≈ totalBytes/`targetBytes`
+    * files, then deletes the sources.
+    *
+    * The replay contract survives:
+    *  - consolidated dirs get strictly DECREASING NEGATIVE ids (-1,
+    *    then -2, ...), which no micro-batch id can ever collide with,
+    *    so a replaying batch ≥ watermark still overwrites exactly its
+    *    own `batch=<id>` path;
+    *  - pick `watermark` ≤ the newest batch id: only the newest
+    *    micro-batch can replay after a crash (older ones are committed
+    *    in the streaming checkpoint), so everything below it is
+    *    closed;
+    *  - crash-safety by ORDER, not atomicity: the consolidated dir is
+    *    fully written BEFORE any source is deleted, and the gate's
+    *    match rule is existence-based — a crash between the two steps
+    *    leaves duplicate signatures, which change no gate decision,
+    *    and the next compaction run absorbs them (a previous
+    *    consolidated dir is itself below any future watermark).
+    *    Run it between arrivals (the store's single-writer contract).
+    *
+    * No-ops per root when fewer than two dirs are below the watermark.
+    * Returns (dirsBefore, dirsAfter) summed over both roots. */
+  def nearDupStoreCompact(spark: SparkSession, storePath: String, watermark: Long,
+                          targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes > 0, s"nearDupStoreCompact: targetBytes must be > 0, got $targetBytes")
+    def one(rootStr: String): (Int, Int) = {
+      val root = new org.apache.hadoop.fs.Path(rootStr)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) return (0, 0)
+      val parts = fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("batch="))
+            scala.util.Try(n.stripPrefix("batch=").toLong).toOption.map((_, st.getPath))
+          else None
+        }
+      val closed = parts.filter(_._1 < watermark)
+      if (closed.size <= 1) return (parts.size, parts.size)
+      val bytes = closed.map { case (_, p) => fs.getContentSummary(p).getLength }.sum
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val nextId = math.min(0L, parts.map(_._1).min) - 1
+      // reading the leaf dirs directly drops the batch partition
+      // column — correct: the consolidated rows' batch is the new
+      // dir's name, like every other store row's
+      spark.read.parquet(closed.map(_._2.toString): _*)
+        .coalesce(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(
+          new org.apache.hadoop.fs.Path(root, s"batch=$nextId").toString)
+      closed.foreach { case (_, p) => fs.delete(p, true) }
+      (parts.size, parts.size - closed.size + 1)
+    }
+    val b = one(s"$storePath/bands")
+    val s = one(s"$storePath/sets")
+    (b._1 + s._1, b._2 + s._2)
+  }
+
   /** D6: continuous keyed upsert sink — the streaming form of the
     * reference's batched `ON CONFLICT DO UPDATE` loader
     * (db_loader.py:117-181): each micro-batch keep-latest-merges into

@@ -312,6 +312,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D10 nearDupStoreCompact: gate unchanged, post-watermark replay intact, idempotent") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Incremental
+    val dir = java.nio.file.Files.createTempDirectory("graft-d10-compact").toString
+    val store = dir + "/store"
+    def doc(i: Long, t: String) = spark.createDataFrame(Seq(IngestDoc(i, "en", t)))
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs today",
+      2L -> "sphinx of black quartz judge my vow tonight")
+    // build the store exactly as the sink does: one batch=<id> dir per
+    // micro-batch under both roots
+    for ((id, t) <- texts) {
+      val (b, s) = Incremental.signatures(doc(id, t), col("doc_id"), col("text"))
+      b.write.parquet(s"$store/bands/batch=$id")
+      s.write.parquet(s"$store/sets/batch=$id")
+    }
+    // probe: one near-dup of doc 0 (one word changed) + one unique
+    val probe = spark.createDataFrame(Seq(
+      IngestDoc(10L, "en", "the quick brown fox jumps over the lazy cat"),
+      IngestDoc(11L, "en", "completely different tokens that match nothing at all")))
+    def gateIds(): Set[Long] = {
+      val (sb, ss) = EventStream.nearDupStore(spark, store, probe, "doc_id", col("text"))
+      Incremental.gate(sb, ss, probe, col("doc_id"), col("text"), threshold = 0.5)
+        ._1.select("id").collect().map(_.getLong(0)).toSet
+    }
+    val pre = gateIds()
+    assert(pre == Set(11L), "probe near-dup must be gated before compaction")
+    // compact batches 0 and 1 (watermark 2 keeps the newest batch's
+    // own dir for replay)
+    val (before, after) = EventStream.nearDupStoreCompact(spark, store, watermark = 2L)
+    assert(before == 6 && after == 4, s"got ($before, $after)")
+    def dirsOf(sub: String) = new java.io.File(s"$store/$sub").listFiles
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirsOf("bands") == Set("batch=-1", "batch=2"))
+    assert(dirsOf("sets") == Set("batch=-1", "batch=2"))
+    // the gate decision is identical against the compacted store
+    assert(gateIds() == pre)
+    // replay of the post-watermark batch overwrites its OWN path and
+    // self-matches to a no-op
+    val (rb, rs) = Incremental.signatures(doc(2L, texts(2)._2), col("doc_id"), col("text"))
+    rb.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$store/bands/batch=2")
+    rs.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$store/sets/batch=2")
+    val (sb2, ss2) = EventStream.nearDupStore(spark, store, probe, "doc_id", col("text"))
+    val replaySurv = Incremental.gate(sb2, ss2, doc(2L, texts(2)._2),
+      col("doc_id"), col("text"), threshold = 0.5)._1
+    assert(replaySurv.count() == 0)
+    // idempotent: nothing else below the watermark → per-root no-op
+    val (b2, a2) = EventStream.nearDupStoreCompact(spark, store, watermark = 2L)
+    assert(b2 == a2)
+    // a LATER compaction absorbs the old consolidated dir too (-1 and
+    // 2 merge into -2)
+    val (b3, a3) = EventStream.nearDupStoreCompact(spark, store, watermark = 3L)
+    assert(b3 == 4 && a3 == 2)
+    assert(dirsOf("bands") == Set("batch=-2") && dirsOf("sets") == Set("batch=-2"))
+    assert(gateIds() == pre)
+  }
+
   test("D10 nearDupStore: half-written first batch (bands only) reads as an empty store") {
     import org.apache.spark.sql.functions.col
     // simulate a crash between the bands write and the sets write on
