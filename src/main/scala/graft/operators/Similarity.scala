@@ -33,6 +33,21 @@ object Similarity {
   /** Rounded cosine between two vector columns. */
   def score(a: Column, b: Column): Column = round(VectorExpressions.cosine(a, b), 6)
 
+  /** Allocation-free necessary condition for `round(dot/(na·nb), 6) >=
+    * t`, used as the FIRST conjunct of every threshold-pair join
+    * condition: Spark's `Round` on doubles goes through
+    * `BigDecimal.valueOf(..).setScale(..)` — two heap allocations per
+    * evaluated candidate, which at n²-shaped candidate volume IS the
+    * join's cost (measured 4 μs/pair against ~50 ns for the 64-dim
+    * dot). `round(x, 6) >= t` implies `x >= t − 0.5e-6`, so
+    * `dot >= (t − 1e-6)·na·nb` (norms are > 0 — zero-norm rows are
+    * gated out upstream) rejects non-pairs with one fused-codegen dot
+    * + multiply + compare and NO allocation; only near-threshold
+    * survivors pay the exact decimal round, which stays the deciding
+    * conjunct so results are bit-identical. */
+  private def rawGate(dot: Column, na: Column, nb: Column, threshold: Double): Column =
+    dot >= lit(threshold - 1e-6) * na * nb
+
   /** (vec_a, vec_b, cosine) for all pairs with rounded cosine ≥ t.
     * Norms computed once per vector, not per pair, and the threshold
     * is part of the JOIN CONDITION: the nested-loop join evaluates it
@@ -52,7 +67,11 @@ object Similarity {
       .filter(col("nrm") > 0)
     val cosine =
       round(VectorExpressions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id") && cosine >= threshold)
+    v.as("a").join(v.as("b"),
+        col("a.id") < col("b.id") &&
+          rawGate(VectorExpressions.dot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm"), threshold) &&
+          cosine >= threshold)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), cosine.as("cosine"))
   }
 
@@ -179,6 +198,8 @@ object Similarity {
       .join(asg.as("b"),
         col("b.cell") === col("cb") &&
           (col("ca") =!= col("cb") || col("a.id") < col("b.id")) &&
+          rawGate(VectorExpressions.dot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm"), threshold) &&
           cosine >= threshold)
       .select(least(col("a.id"), col("b.id")).as("vec_a"),
         greatest(col("a.id"), col("b.id")).as("vec_b"), cosine.as("cosine"))
@@ -343,7 +364,10 @@ object Similarity {
       round(VectorExpressions.dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6)
     val dropped = asg.as("a").join(asg.as("b"),
         col("a.cell") === col("b.cell") &&
-          col("a.vec_id") < col("b.vec_id") && cosine >= threshold)
+          col("a.vec_id") < col("b.vec_id") &&
+          rawGate(VectorExpressions.dot(col("a.v"), col("b.v")),
+            col("a.vn"), col("b.vn"), threshold) &&
+          cosine >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
     asg.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
@@ -377,7 +401,10 @@ object Similarity {
       round(VectorExpressions.dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6)
     val dropped = pool.as("a").join(ba.as("b"),
         col("a.cell") === col("b.cell") &&
-          (col("a.seen") || col("a.vec_id") < col("b.vec_id")) && cosine >= threshold)
+          (col("a.seen") || col("a.vec_id") < col("b.vec_id")) &&
+          rawGate(VectorExpressions.dot(col("a.v"), col("b.v")),
+            col("a.vn"), col("b.vn"), threshold) &&
+          cosine >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
     ba.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
