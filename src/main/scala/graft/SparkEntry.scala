@@ -222,7 +222,9 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+    // no broadcast hint on customer: it SCALES with the corpus (15B
+    // rows at 100 TB TPC-H) — AQE broadcasts it when runtime-small
+    l.join(o.join(c, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
@@ -231,8 +233,12 @@ object SparkEntry {
       .limit(10)
   }
 
-  /** B3 TPC-H Q5 shape: star join — all dimensions broadcast, facts
-    * shuffle once on the join keys; local-supplier condition kept. */
+  /** B3 TPC-H Q5 shape: star join. Only the genuinely BOUNDED
+    * dimensions (region: 5 rows, nation: 25 — fixed by the schema,
+    * sf-independent) carry broadcast hints; customer/supplier scale
+    * with the corpus, so their joins are left to AQE, which
+    * broadcasts them while runtime-small and falls back to shuffle
+    * joins at sizes where a forced broadcast would OOM the driver. */
   private def b3(s: SparkSession, dir: String): DataFrame = {
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
     val n = t(s, dir, "nation")
@@ -241,8 +247,8 @@ object SparkEntry {
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cst), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+      .join(cst, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -321,8 +327,10 @@ object SparkEntry {
     val p = t(s, dir, "part")
       .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
       .select(col("p_partkey"), col("p_brand"))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(lim), "l_partkey")
+    // part and the per-partkey averages both scale with the corpus —
+    // no forced broadcast (AQE decides at runtime size)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(lim, "l_partkey")
       .filter(col("l_quantity") < col("lim"))
       .groupBy(col("p_brand"))
       .agg(round(dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"),

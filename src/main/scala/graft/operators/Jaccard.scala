@@ -26,10 +26,12 @@ import graft.plans.ArrayExpressions
   * the prefix explode is map-side on top of it; the prefix self-join
   * shuffles only (hash, id, sz) rows and its two sides collapse into
   * a ReusedExchange; size-compatibility (J ≥ t ⟹ t·|B| ≤ |A| ≤
-  * |B|/t) prunes inside the join condition. The verify joins
-  * broadcast the O(docs) set table — at corpus sizes beyond broadcast
-  * reach, bucket both sides on the id instead (Sink.writeBucketed)
-  * and the joins stay exchange-free.
+  * |B|/t) prunes inside the join condition. The verify joins carry NO
+  * broadcast hint: the set table is O(corpus), and a forced broadcast
+  * is an OOM at scale (measured: the 100× ScaleGen corpus killed the
+  * job at 500k docs). AQE broadcasts it when it is ACTUALLY small at
+  * runtime and shuffles on the doc id otherwise; pre-bucketed corpora
+  * (Sink.writeBucketed) keep the verify joins exchange-free.
   */
 object Jaccard {
 
@@ -66,9 +68,17 @@ object Jaccard {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     val inter = ArrayExpressions.sortedIntersectSize(col("ha"), col("hb"))
+    // SHUFFLE_HASH, not sort-merge: SMJ would SORT the set table —
+    // including the multi-KB hash arrays — on every verify join,
+    // spill-bound at scale (measured 70× sf1's time for 10× its data
+    // on the 100× corpus); a hash build per partition never sorts the
+    // array payload. AQE still turns these into broadcasts when the
+    // set table is runtime-small.
     cand
-      .join(broadcast(sets.select(col("id").as("doc_a"), col("hs").as("ha"), col("sz").as("sza"))), "doc_a")
-      .join(broadcast(sets.select(col("id").as("doc_b"), col("hs").as("hb"), col("sz").as("szb"))), "doc_b")
+      .join(sets.select(col("id").as("doc_a"), col("hs").as("ha"), col("sz").as("sza"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("hs").as("hb"), col("sz").as("szb"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("jaccard",
         round(inter.cast("double") / (col("sza") + col("szb") - inter), 6))
       .filter(col("jaccard") >= threshold)
