@@ -621,6 +621,17 @@ object SparkEntry {
         n = 3, maxHamming = 7, chunks = 8)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** C3b SimHash at the WEB-SCALE configuration: hamming ≤ 3 with
+    * 5-of-8 chunk combination banding (Manku et al. WWW'07) — the
+    * 40-bit band key cuts candidate volume to n²·56/2⁴⁰ vs the
+    * single-chunk ham ≤ 7 band's n²/64, which saturates at corpus
+    * scale (SURVEY §6 sf10 post-mortem). Same fingerprints as C3;
+    * only the band join differs. */
+  private def c3b(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDupPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, maxHamming = 3, chunks = 8, agree = 5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** C4 exact n-gram Jaccard join: prefix-filtered inverted index,
     * every pair with J ≥ 0.5 — no probabilistic misses. */
   private def c4(s: SparkSession, dir: String): DataFrame =
@@ -1124,6 +1135,7 @@ object SparkEntry {
     "c1_dedup_exact" -> (c1 _),
     "c2_dedup_minhash" -> (c2 _),
     "c3_dedup_simhash" -> (c3 _),
+    "c3b_simhash_ham3" -> (c3b _),
     "c4_dedup_ngram_jaccard" -> (c4 _),
     "c5_dedup_embedding" -> (c5 _),
     "c6_ann_bruteforce" -> (c6 _),
@@ -1418,6 +1430,34 @@ object SparkEntry {
         |  CAST(len(list_filter(range(1,65), i -> substr(a.sig,i,1) <> substr(b.sig,i,1))) AS BIGINT) AS hamming
         |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
         |WHERE len(list_filter(range(1,65), i -> substr(a.sig,i,1) <> substr(b.sig,i,1))) <= 7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // same brute-force signature SQL as c3; only the radius differs —
+    // the Spark side must find the identical pair set through the
+    // 5-of-8 combination bands (losslessness of the banding is the
+    // thing under test)
+    "c3b_simhash_ham3" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
+        |bits AS (
+        |  SELECT doc_id, i.i AS i,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + i.i // 4, 1)) - 1)
+        |               >> (i.i % 4)) & 1 = 1
+        |         THEN 1 ELSE -1 END AS v
+        |  FROM hashed, (SELECT unnest(range(0,64)) AS i) i),
+        |sums AS (SELECT doc_id, i, sum(v) AS sv FROM bits GROUP BY doc_id, i),
+        |simhash AS (
+        |  SELECT doc_id, string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+        |  FROM sums GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_filter(range(1,65), i -> substr(a.sig,i,1) <> substr(b.sig,i,1))) AS BIGINT) AS hamming
+        |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(range(1,65), i -> substr(a.sig,i,1) <> substr(b.sig,i,1))) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "c4_dedup_ngram_jaccard" ->
       """WITH toks AS (

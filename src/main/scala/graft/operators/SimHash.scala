@@ -84,49 +84,92 @@ object SimHash {
   /** Codegen'd Hamming distance between two packed fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup pairs within `maxHamming` (requires maxHamming <
-    * chunks for losslessness). Returns (doc_a, doc_b, hamming). */
+  /** Near-dup pairs within `maxHamming`. Returns (doc_a, doc_b,
+    * hamming).
+    *
+    * Banding is the pigeonhole principle generalized to `agree`-chunk
+    * COMBINATIONS (Manku, Jain & Das Sarma, "Detecting Near-Duplicates
+    * for Web Crawling", WWW'07 §3): a pair within hamming `h` differs
+    * in at most `h` chunks, so it agrees exactly on some
+    * (chunks − h)-subset — keying the self-join on every
+    * C(chunks, agree) combination is lossless whenever
+    * `maxHamming ≤ chunks − agree`.
+    *
+    * Why `agree` matters at scale: candidate volume for near-uniform
+    * signatures is ~ n²/2 · C(chunks, agree) / 2^(width·agree).
+    * The default single-chunk band at ham ≤ 7 (agree = 1) is
+    * n²·8/2⁸ = n²/64 — saturated at corpus scale (measured: 4·10⁹
+    * candidates, 89 s at 500k docs) and NOT improvable: radius 7 of
+    * 64 bits leaves no selective banding (any wider key needs
+    * agree ≥ 2 ⟹ maxHamming ≤ 6). The web-scale configuration is a
+    * SMALLER radius with a wider key: ham ≤ 3 with agree = 5 of 8
+    * keys on 40 bits — n²·56/2⁴⁰, ~6·10⁸× more selective — which is
+    * exactly the regime Manku et al. ran at 8·10⁹ documents.
+    */
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
-                   n: Int = 3, maxHamming: Int = 7, chunks: Int = 8): DataFrame = {
-    require(maxHamming < chunks, "pigeonhole: need maxHamming < chunks")
+                   n: Int = 3, maxHamming: Int = 7, chunks: Int = 8,
+                   agree: Int = 1): DataFrame = {
+    require(agree >= 1 && agree <= chunks, "need 1 <= agree <= chunks")
+    require(maxHamming <= chunks - agree,
+      "pigeonhole: need maxHamming <= chunks - agree")
     require(64 % chunks == 0, "chunks must divide 64")
     val width = 64 / chunks
     // distinct shingles per doc: the (id, sh) agg rides the exploded
     // shuffle's id-partitioning — no extra exchange
     val ex = Shingles.exploded(docs, id, text, n).dropDuplicates("id", "sh")
     val sigs = fingerprints(ex, "id", "sh")
-    val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until chunks).map(c =>
-        shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))): _*))
-        .as(Seq("ci", "cv")))
-    // Emit each pair ONLY at its first agreeing chunk instead of
-    // deduplicating afterwards: a pure filter replaces a shuffle over
-    // every chunk collision. "No agreeing chunk below ci" = the XOR
-    // of the fingerprints, with all bytes ≥ ci forced to 0xFF, has no
-    // zero byte — the classic branch-free zero-byte test.
-    val loMask = array((0 until chunks).map(c =>
-      lit(if (c == 0) 0L else (1L << (c * width)) - 1)): _*)
-    val xorLow = {
-      val x = col("a.sig").bitwiseXOR(col("b.sig"))
-      x.bitwiseOR(bitwise_not(element_at(loMask, col("a.ci") + 1)))
-    }
-    val hasZeroByteBelow =
-      (xorLow - lit(0x0101010101010101L)).bitwiseAND(bitwise_not(xorLow))
-        .bitwiseAND(lit(0x8080808080808080L)) =!= 0
-    // (the byte trick needs 8-bit chunks; other widths dedup instead)
-    // SHUFFLE_HASH forces both sides through an identical
-    // hashpartitioning(ci, cv) exchange, which AQE collapses into ONE
-    // computed pipeline + a ReusedExchange — a broadcast join would
-    // build the entire fingerprint pipeline a second time for the
-    // build side (2× the scan/shingle/aggregate work AND 2× the
+    def chunkVal(c: Int): Column =
+      shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))
+    // SHUFFLE_HASH on the band join: forces both sides through an
+    // identical hashpartitioning(ci, cv) exchange, which AQE collapses
+    // into ONE computed pipeline + a ReusedExchange — a broadcast join
+    // would build the entire fingerprint pipeline a second time for
+    // the build side (2× the scan/shingle/aggregate work AND 2× the
     // codegen of the wide aggregate).
-    val base = chunked.as("a").hint("shuffle_hash").join(chunked.as("b"),
-      col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-        col("a.id") < col("b.id") &&
-        (if (width == 8) !hasZeroByteBelow else lit(true)))
-      .select(col("a.id").as("doc_a"), col("a.sig").as("siga"),
-        col("b.id").as("doc_b"), col("b.sig").as("sigb"))
-    val cand = if (width == 8) base else base.distinct()
+    def bandJoin(chunked: DataFrame, extraCond: Column): DataFrame =
+      chunked.as("a").hint("shuffle_hash").join(chunked.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id") && extraCond)
+        .select(col("a.id").as("doc_a"), col("a.sig").as("siga"),
+          col("b.id").as("doc_b"), col("b.sig").as("sigb"))
+    val cand = if (agree == 1) {
+      val chunked = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until chunks).map(chunkVal): _*)).as(Seq("ci", "cv")))
+      // Emit each pair ONLY at its first agreeing chunk instead of
+      // deduplicating afterwards: a pure filter replaces a shuffle
+      // over every chunk collision. "No agreeing chunk below ci" =
+      // the XOR of the fingerprints, with all bytes ≥ ci forced to
+      // 0xFF, has no zero byte — the classic branch-free zero-byte
+      // test. (Needs 8-bit chunks; other widths dedup instead.)
+      val loMask = array((0 until chunks).map(c =>
+        lit(if (c == 0) 0L else (1L << (c * width)) - 1)): _*)
+      val xorLow = {
+        val x = col("a.sig").bitwiseXOR(col("b.sig"))
+        x.bitwiseOR(bitwise_not(element_at(loMask, col("a.ci") + 1)))
+      }
+      val hasZeroByteBelow =
+        (xorLow - lit(0x0101010101010101L)).bitwiseAND(bitwise_not(xorLow))
+          .bitwiseAND(lit(0x8080808080808080L)) =!= 0
+      val base = bandJoin(chunked,
+        if (width == 8) !hasZeroByteBelow else lit(true))
+      if (width == 8) base else base.distinct()
+    } else {
+      // Combination banding: one (ci, cv) row per agree-subset, cv =
+      // the member chunk values packed side by side into one long
+      // (agree·width ≤ 64 always, since agree ≤ chunks). A qualifying
+      // pair can agree on several subsets, so dedup the candidates —
+      // cheap here BECAUSE the wide key makes collisions rare.
+      val combos = (0 until chunks).combinations(agree).toSeq
+      require(combos.size <= 4096,
+        s"C($chunks, $agree) = ${combos.size} bands — too many; " +
+          "use fewer chunks or a different agree")
+      val packed = combos.map(_.zipWithIndex.map { case (c, j) =>
+        shiftleft(chunkVal(c), j * width)
+      }.reduce(_.bitwiseOR(_)))
+      val chunked = sigs.select(col("id"), col("sig"),
+        posexplode(array(packed: _*)).as(Seq("ci", "cv")))
+      bandJoin(chunked, lit(true)).distinct()
+    }
     cand.withColumn("hamming", hamming(col("siga"), col("sigb")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))

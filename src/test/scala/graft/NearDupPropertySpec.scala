@@ -80,4 +80,37 @@ class NearDupPropertySpec extends SparkSpec {
       assert(heavy.subsetOf(got.keySet), s"seed=$seed missing=${heavy -- got.keySet}")
     }
   }
+
+  test("SimHash combination banding is lossless: agree=5 at ham<=3 equals the " +
+    "single-chunk pair set filtered to ham<=3") {
+    import graft.operators.SimHash
+    for (seed <- Seq(7L, 1234L)) {
+      // the generated docs' planted 1-word-change near-dups land ~5-9
+      // bits apart, so plant VERBATIM copies too — their ham-0 pairs
+      // guarantee the radius-3 ball is non-empty
+      val base = corpus(seed)
+      val docs = (base ++ base.take(3).map { case (i, t) => (200L + i, t) })
+        .toDF("doc_id", "text")
+      // agree=1 at ham<=7 is the exact reference (its losslessness is
+      // pinned by NearDupSpec + the c3 oracle); any pair it finds at
+      // hamming <= 3 must also surface through the 5-of-8 bands
+      val want = SimHash.nearDupPairs(docs, col("doc_id"), col("text"))
+        .filter(col("hamming") <= 3)
+        .as[(Long, Long, Long)].collect().toSet
+      val got = SimHash.nearDupPairs(docs, col("doc_id"), col("text"),
+          n = 3, maxHamming = 3, chunks = 8, agree = 5)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"seed=$seed")
+      assert(want.nonEmpty, s"seed=$seed: corpus has no ham<=3 pairs to test")
+    }
+  }
+
+  test("SimHash rejects an unsound banding configuration") {
+    val docs = corpus(7L).toDF("doc_id", "text")
+    // maxHamming=4 > chunks-agree=3 could miss pairs — must refuse
+    intercept[IllegalArgumentException] {
+      graft.operators.SimHash.nearDupPairs(docs, col("doc_id"), col("text"),
+        n = 3, maxHamming = 4, chunks = 8, agree = 5)
+    }
+  }
 }
