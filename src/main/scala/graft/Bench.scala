@@ -26,9 +26,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle-partition count scales with DATA, not cores: 32 is right
+    // for sf0.1 (partitions fit executor memory) but at sf10 (100×) the
+    // big self-join shuffles spill tens of GB when squeezed into 32
+    // partitions. On a real cluster AQE splits from a high initial
+    // partition number; locally the knob lets scale runs set e.g. 256
+    // (AQE, on by default in Spark 4, coalesces the small stages back
+    // down, so only the genuinely big shuffles keep the fan-out).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -147,7 +156,8 @@ object Bench {
       s""""metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s""""reps":$reps,"cpus":"$cpus","n_queries":${results.size},""" +
+      s""""reps":$reps,"cpus":"$cpus","shuffle_partitions":"$shufflePartitions",""" +
+      s""""n_queries":${results.size},""" +
       s""""calib":$calib,"calib_pre":$calibPre,"calib_post":$calibPost,""" +
       s""""calib_ref":"min-of-3 bit_xor(xxhash64(id)) over range(2^28), warmed",""" +
       s""""loadavg_pre":"$loadPre","loadavg_post":"$loadPost",""" +

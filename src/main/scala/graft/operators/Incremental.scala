@@ -42,9 +42,12 @@ object Incremental {
 
   /** Signature tables for a doc set: bands (id, bi, bk) — one row per
     * band for the bucketed store layout — and sets (id, s) with the
-    * sorted distinct-shingle array for exact verification. Short docs
-    * (< n tokens) get no band rows and an empty set: they can never
-    * near-match anything and always survive the gate. */
+    * sorted distinct xxhash64-shingle LONG array for exact
+    * verification (8 bytes/element — the persistent store and the
+    * per-arrival verify shuffle are ~6× leaner than with md5 hex
+    * strings; see Shingles.hashSets). Short docs (< n tokens) get no
+    * band rows and an empty set: they can never near-match anything
+    * and always survive the gate. */
   def signatures(docs: DataFrame, id: Column, text: Column,
                  n: Int = 3, k: Int = 8, bandRows: Int = 2): (DataFrame, DataFrame) = {
     val ex = Shingles.exploded(docs.select(id.as("id"), text.as("txt")),
@@ -52,8 +55,8 @@ object Incremental {
     val sig = MinHash.signatureAgg(ex, "id", "sh", k)
     val bands = sig.select(col("id"),
       posexplode(MinHash.bandArray(k, bandRows)).as(Seq("bi", "bk")))
-    val sets = docs.select(id.as("id")).join(Shingles.sets(ex), Seq("id"), "left")
-      .select(col("id"), coalesce(col("s"), array().cast("array<string>")).as("s"))
+    val sets = docs.select(id.as("id")).join(Shingles.hashSets(ex), Seq("id"), "left")
+      .select(col("id"), coalesce(col("s"), array().cast("array<bigint>")).as("s"))
     (bands, sets)
   }
 

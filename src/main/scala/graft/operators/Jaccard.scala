@@ -10,7 +10,8 @@ import graft.plans.ArrayExpressions
   * pair with Jaccard ≥ t is found. Candidate generation uses the
   * classic exactness-preserving PREFIX FILTER (Chaudhuri et al.
   * SSJoin / Bayardo AllPairs): with every doc's shingle-hash set
-  * sorted in the global md5 order, only the first
+  * sorted in the global xxhash64 order (any fixed total order
+  * preserves the filter's exactness), only the first
   * |S| − ⌈t·|S|⌉ + 1 hashes are indexed as candidate generators. For
   * any pair with J ≥ t the overlap is ≥ ⌈t·|S|⌉ on both sides, so the
   * two prefixes must share a hash — no qualifying pair is missed,
@@ -41,12 +42,12 @@ object Jaccard {
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // per-doc ASC-sorted distinct hash array + size, in one exchange
-    // (map-side partial collect_set collapses duplicate shingles)
-    val sets = Shingles.exploded(docs, id, text, n)
-      .select(col("id"), md5(col("sh")).as("h"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_set(col("h"))).as("hs"))
-      .select(col("id"), col("hs"), size(col("hs")).as("sz"))
+    // (map-side partial collect_set collapses duplicate shingles).
+    // xxhash64 longs, not md5 hex strings: the verify joins below
+    // ship one array per candidate pair, so element width IS the
+    // operator's shuffle volume (see Shingles.hashSets).
+    val sets = Shingles.hashSets(Shingles.exploded(docs, id, text, n))
+      .select(col("id"), col("s").as("hs"), size(col("s")).as("sz"))
     // prefix index: first sz − ⌈t·sz⌉ + 1 hashes of the sorted set,
     // with each hash's position for the PPJoin positional filter
     val plen = (col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)

@@ -60,7 +60,11 @@ object MinHash {
                    n: Int = 3, k: Int = 8, bandRows: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
     val ex = Shingles.exploded(docs, id, text, n)
-    val sh = Shingles.sets(ex)
+    // hashed long sets for the verify step (the SIGNATURE stays
+    // md5-based for engine portability — see the object scaladoc;
+    // the verify arrays are internal, so they take the 8-byte
+    // representation that keeps the candidate-pair shuffle lean)
+    val sh = Shingles.hashSets(ex)
     val sig = signatureAgg(ex, "id", "sh", k)
     val banded = sig.select(col("id"), posexplode(bandArray(k, bandRows)).as(Seq("bi", "bk")))
     val cand = banded.as("a").join(banded.as("b"),

@@ -43,6 +43,24 @@ object Shingles {
   def sets(exploded: DataFrame): DataFrame =
     exploded.groupBy(col("id")).agg(sort_array(collect_set(col("sh"))).as("s"))
 
+  /** HASHED distinct-shingle set per id: ascending-sorted array of
+    * xxhash64(shingle) longs. This is the SCALE representation for
+    * the verify step: 8 bytes/element instead of a ~48-byte md5 hex
+    * string, so the candidate-verify joins — which ship one set per
+    * candidate PAIR, the near-dup family's dominant shuffle — move
+    * ~6× fewer bytes, and the native merge scan compares longs, not
+    * strings (measured on the 100× ScaleGen corpus: the string form
+    * spilled > 70 GB and could exhaust local disk). Exactness caveat:
+    * two distinct shingles colliding in 64 bits could perturb one
+    * set size or one intersection count; at 10⁸ verified pairs of
+    * ~10²-shingle docs the probability of ANY collision affecting a
+    * run is ~10⁻⁷ (the md5-string form carried the same caveat at
+    * 2⁻¹²⁸). Hash values never surface in results — callers emit ids
+    * and scores only. */
+  def hashSets(exploded: DataFrame): DataFrame =
+    exploded.groupBy(col("id"))
+      .agg(sort_array(collect_set(xxhash64(col("sh")))).as("s"))
+
   /** Repetition statistics per document (SURVEY C14, Gopher-style
     * quality rules): fraction of tokens taken by the most frequent
     * token, and of word 2-grams by the most frequent 2-gram. High

@@ -119,4 +119,19 @@ class PropertySpec extends SparkSpec {
       .as[Int].collect().toSeq
     assert(got == want)
   }
+
+  test("sortedIntersectSize on long arrays equals set intersection size") {
+    // the near-dup verifiers pass sorted xxhash64 sets — include
+    // negative longs (xxhash64 spans the full range) and both the
+    // interpreted and codegen paths via the plain select
+    val setG = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      .flatMap(x => Gen.oneOf(x, x % 16))) // force overlap density
+      .map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(setG, setG), 200)
+    val want = pairs.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    val got = pairs.toDF("a", "b")
+      .select(ArrayExpressions.sortedIntersectSize(col("a"), col("b")))
+      .as[Int].collect().toSeq
+    assert(got == want)
+  }
 }
