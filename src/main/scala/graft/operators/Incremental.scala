@@ -37,6 +37,12 @@ import graft.plans.ArrayExpressions
   * never reshuffled, never rescanned whole. One row per (id, band)
   * keeps the payload a pair of md5 hexes; the shingle sets needed for
   * exact verification live one-row-per-doc beside it.
+  *
+  * Store schema note: sets are array<bigint> (xxhash64 — see
+  * `signatures`). A store persisted by a pre-long-hash build
+  * (array<string> md5 sets) is incompatible: rebuild it by
+  * re-signing the raw docs (bands are unchanged, so only sets/
+  * needs rewriting).
   */
 object Incremental {
 
