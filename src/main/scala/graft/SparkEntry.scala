@@ -1028,6 +1028,39 @@ object SparkEntry {
       docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250), col("text"))
   }
 
+  /** C44 Gopher composite filter: the published rule gate (Rae et al.
+    * 2021) over C9 + C14 statistics — keep verdict plus the named
+    * failed rules, so the output both filters and audits. Thresholds
+    * tuned so the synthetic corpus genuinely splits (minWords 25,
+    * minStop 0.03, maxTopToken 0.15 — the corpus stats straddle each
+    * bound; Gopher's own web-calibrated values are the defaults in
+    * `Quality.GopherParams`). */
+  private def c44(s: SparkSession, dir: String): DataFrame =
+    Quality.gopherFilter(t(s, dir, "documents"), col("doc_id"), col("text"),
+        Quality.GopherParams(minWords = 25, minStop = 0.03, maxTopToken = 0.15))
+      .select(col("id").as("doc_id"), col("word_count"), col("mean_word_len"),
+        col("stopword_ratio"), col("top_token_frac"), col("top_bigram_frac"),
+        col("keep").cast("long").as("keep"), col("fail_reasons"))
+      .orderBy(col("doc_id"))
+
+  /** C45 line-level boilerplate dedup (CCNet/RefinedWeb): plant a
+    * per-source header, a corpus-wide footer and a per-doc unique
+    * line around each text, then drop every line whose normalized
+    * form appears in ≥ 2 distinct docs — the footer and headers
+    * vanish from ALL docs, unique lines survive (see
+    * operators.Lines). */
+  private def c45(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat_ws("\n",
+      concat(lit("shared header for "), col("source")),
+      col("text"),
+      lit("copyright footer all rights reserved"),
+      concat(lit("doc "), col("doc_id"), lit(" unique trailing line")))
+    operators.Lines.removeDupLines(t(s, dir, "documents"), col("doc_id"), planted)
+      .select(col("id").as("doc_id"), col("n_lines"), col("kept_lines"),
+        col("removed_frac"), col("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C36 SemDeDup: semantic dedup over embeddings — keep-first within
     * coarse-quantizer clusters at rounded cosine ≥ 0.4 (Abbas et al.
     * 2023's shape; see Similarity.semDedup). nCells = 0 ⇒ ADAPTIVE
@@ -1192,7 +1225,9 @@ object SparkEntry {
     "c40_mixture_plan" -> (c40 _),
     "c41_host_stats" -> (c41 _),
     "c42_generation_novelty" -> (c42 _),
-    "c43_distribution_drift" -> (c43 _))
+    "c43_distribution_drift" -> (c43 _),
+    "c44_gopher_filter" -> (c44 _),
+    "c45_line_dedup" -> (c45 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1897,6 +1932,77 @@ object SparkEntry {
         |    CAST(s AS DOUBLE) / (n_new::DOUBLE + 0.5 * v) +
         |    ln((n_old::DOUBLE + 0.5 * v) / (n_new::DOUBLE + 0.5 * v)), 6) END AS kl_nats
         |FROM agg""".stripMargin,
+    // c44 = c9's components + c14's fractions, then the five named
+    // rules; reason names listed alphabetically in both engines
+    "c44_gopher_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS toks,
+        |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS rawtoks
+        |  FROM documents),
+        |comp AS (
+        |  SELECT doc_id,
+        |    CAST(len(rawtoks) AS BIGINT) AS word_count,
+        |    CASE WHEN len(rawtoks) = 0 THEN 0.0
+        |         ELSE round(list_sum(list_transform(rawtoks, x -> len(x)))::DOUBLE / len(rawtoks), 6) END AS mean_word_len,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len(toks), 6) END AS stopword_ratio
+        |  FROM base),
+        |tok1 AS (SELECT doc_id, tokval, count(*) c FROM (SELECT doc_id, unnest(toks) AS tokval FROM base) GROUP BY 1,2),
+        |f1 AS (SELECT doc_id, round(max(c)::DOUBLE/sum(c), 6) AS top_token_frac FROM tok1 GROUP BY 1),
+        |big AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i]||' '||toks[i+1])) AS bg FROM base),
+        |tok2 AS (SELECT doc_id, bg, count(*) c FROM big GROUP BY 1,2),
+        |f2 AS (SELECT doc_id, round(max(c)::DOUBLE/sum(c), 6) AS top_bigram_frac FROM tok2 GROUP BY 1),
+        |j AS (
+        |  SELECT comp.doc_id, word_count, mean_word_len, stopword_ratio,
+        |    coalesce(top_token_frac, 0.0) AS top_token_frac,
+        |    coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+        |  FROM comp LEFT JOIN f1 USING (doc_id) LEFT JOIN f2 USING (doc_id)),
+        |r AS (
+        |  SELECT *, concat_ws(',',
+        |    CASE WHEN NOT (mean_word_len >= 3.0 AND mean_word_len <= 10.0) THEN 'mean_word_len' END,
+        |    CASE WHEN NOT (top_bigram_frac <= 0.2) THEN 'repetition_bigram' END,
+        |    CASE WHEN NOT (top_token_frac <= 0.15) THEN 'repetition_token' END,
+        |    CASE WHEN NOT (stopword_ratio >= 0.03) THEN 'stopword_ratio' END,
+        |    CASE WHEN NOT (word_count >= 25 AND word_count <= 100000) THEN 'word_count' END) AS fail_reasons
+        |  FROM j)
+        |SELECT doc_id, word_count, mean_word_len, stopword_ratio,
+        |  top_token_frac, top_bigram_frac,
+        |  CAST(CASE WHEN fail_reasons = '' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |  fail_reasons
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // c45 = plant header/footer/unique lines, then drop every line
+    // whose trimmed-lower-ws-collapsed form is in >= 2 distinct docs
+    "c45_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    'shared header for ' || source || chr(10) || text || chr(10) ||
+        |    'copyright footer all rights reserved' || chr(10) ||
+        |    'doc ' || doc_id || ' unique trailing line' AS ptext
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(string_split(ptext, chr(10))) AS line,
+        |         unnest(range(1, len(string_split(ptext, chr(10))) + 1)) AS p
+        |  FROM planted),
+        |norm AS (
+        |  SELECT doc_id, p, line,
+        |    trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS nl
+        |  FROM lines),
+        |hot AS (SELECT nl FROM (
+        |  SELECT nl, count(DISTINCT doc_id) AS nd FROM norm WHERE nl <> '' GROUP BY 1)
+        |  WHERE nd >= 2),
+        |kept AS (SELECT doc_id, p, line FROM norm ANTI JOIN hot USING (nl)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+        |         string_agg(line, chr(10) ORDER BY p) AS kept_text
+        |  FROM kept GROUP BY 1)
+        |SELECT pl.doc_id,
+        |  CAST(len(string_split(ptext, chr(10))) AS BIGINT) AS n_lines,
+        |  coalesce(kept_lines, 0) AS kept_lines,
+        |  round((len(string_split(ptext, chr(10))) - coalesce(kept_lines, 0))::DOUBLE
+        |        / len(string_split(ptext, chr(10))), 6) AS removed_frac,
+        |  coalesce(kept_text, '') AS kept_text
+        |FROM planted pl LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "c21_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, lang,

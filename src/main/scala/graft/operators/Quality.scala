@@ -57,4 +57,62 @@ object Quality {
       .withColumn("n_urls", urls.cast("long"))
       .withColumn("n_phones", phones.cast("long"))
   }
+
+  /** Thresholds for `gopherFilter` — defaults are the published
+    * Gopher rule values (Rae et al. 2021, appendix A1.1) where the
+    * rule maps 1:1 onto a C9/C14 statistic; `minWords`/`minStop`/
+    * `maxTopToken` are per-corpus knobs (Gopher's 50-word floor and
+    * "≥ 2 stop words" are web-page calibrated). */
+  final case class GopherParams(minWords: Long = 50, maxWords: Long = 100000,
+                                minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                                minStop: Double = 0.0, maxTopToken: Double = 1.0,
+                                maxTopBigram: Double = 0.2)
+
+  /** Composite document filter (SURVEY C44) — the Gopher paper's
+    * rule-based quality gate (Rae et al. 2021) assembled from the
+    * engine's own statistics: C9's `scored` counts/ratios plus C14's
+    * repetition fractions, each rule a named predicate, the verdict
+    * one conjunction. This is the gate real corpus pipelines run
+    * FIRST (before dedup, before model-based scoring): cheap, fully
+    * explainable, and tunable per corpus.
+    *
+    * Output: (id, word_count, mean_word_len, stopword_ratio,
+    * top_token_frac, top_bigram_frac, keep, fail_reasons) — one row
+    * per input doc; `fail_reasons` is the comma-joined
+    * alphabetically-sorted list of failed rule names ('' when all
+    * pass), so downstream can both filter (`keep`) and AUDIT (group
+    * by reason) in one pass.
+    *
+    * Shape: C9's components are one native map-side `TextStats`
+    * pass; C14's fractions add their two per-(id, gram) hash
+    * aggregations (map-side partialed, AQE-splittable — see
+    * `Shingles.repetitionStats`); the rule evaluation itself is pure
+    * projection. One equi-join on id ties them together — at 100 TB
+    * this is a co-partitioned hash join on the dedup key the rest of
+    * the pipeline already shuffles on, and nothing here is
+    * corpus-pairwise. */
+  def gopherFilter(df: DataFrame, id: Column, text: Column,
+                   p: GopherParams = GopherParams()): DataFrame = {
+    val stats = scored(df.select(id.as("id"), text.as("text")), col("text"))
+      .select(col("id"), col("word_count"), col("mean_word_len"), col("stopword_ratio"))
+    val rep = Shingles.repetitionStats(df, id, text)
+    val joined = stats.join(rep, Seq("id"), "left")
+      .select(col("id"), col("word_count"), col("mean_word_len"), col("stopword_ratio"),
+        coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+    // each rule: (name, passes) — reasons sort alphabetically so the
+    // output string is deterministic regardless of evaluation order
+    val rules: Seq[(String, Column)] = Seq(
+      "mean_word_len" -> (col("mean_word_len") >= p.minMeanWordLen &&
+        col("mean_word_len") <= p.maxMeanWordLen),
+      "repetition_bigram" -> (col("top_bigram_frac") <= p.maxTopBigram),
+      "repetition_token" -> (col("top_token_frac") <= p.maxTopToken),
+      "stopword_ratio" -> (col("stopword_ratio") >= p.minStop),
+      "word_count" -> (col("word_count") >= p.minWords && col("word_count") <= p.maxWords))
+    val fails = array(rules.map { case (name, ok) =>
+      when(!ok, lit(name)).otherwise(lit(null).cast("string")) }: _*)
+    joined
+      .withColumn("fail_reasons", concat_ws(",", filter(fails, r => r.isNotNull)))
+      .withColumn("keep", col("fail_reasons") === "")
+  }
 }
