@@ -1028,6 +1028,19 @@ object SparkEntry {
       docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250), col("text"))
   }
 
+  /** C46 DSIR importance weights: log(p_target/p_raw) per doc under
+    * hashed-ngram (md5-prefix bucket) unigram models — target = the
+    * English slice, raw = the whole corpus, so positive logw marks
+    * English-looking docs (see operators.Dsir; Xie et al. 2023). */
+  private def c46(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = operators.Dsir.train(docs.filter(col("lang") === "en"), docs,
+      col("doc_id"), col("text"), prefixLen = 3)
+    operators.Dsir.score(docs, col("doc_id"), col("text"), model)
+      .select(col("id").as("doc_id"), col("n_feats"), col("logw"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C44 Gopher composite filter: the published rule gate (Rae et al.
     * 2021) over C9 + C14 statistics — keep verdict plus the named
     * failed rules, so the output both filters and audits. Thresholds
@@ -1227,7 +1240,8 @@ object SparkEntry {
     "c42_generation_novelty" -> (c42 _),
     "c43_distribution_drift" -> (c43 _),
     "c44_gopher_filter" -> (c44 _),
-    "c45_line_dedup" -> (c45 _))
+    "c45_line_dedup" -> (c45 _),
+    "c46_dsir_weights" -> (c46 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -1932,6 +1946,36 @@ object SparkEntry {
         |    CAST(s AS DOUBLE) / (n_new::DOUBLE + 0.5 * v) +
         |    ln((n_old::DOUBLE + 0.5 * v) / (n_new::DOUBLE + 0.5 * v)), 6) END AS kl_nats
         |FROM agg""".stripMargin,
+    // c46 = DSIR: features are md5-3-hex-prefix buckets (B = 4096)
+    // of word uni+bigrams; lambda rounds to 8, per-doc sums run in
+    // DECIMAL over the rounded terms (the Spark side is identical)
+    "c46_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, substr(md5(g), 1, 3) AS b FROM (
+        |    SELECT doc_id, unnest(t) AS g FROM toks
+        |    UNION ALL
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1])) AS g FROM toks)),
+        |tcnt AS (
+        |  SELECT b, count(*) AS ct FROM feats
+        |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+        |rcnt AS (SELECT b, count(*) AS cr FROM feats GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT coalesce(sum(ct), 0) FROM tcnt) AS nt,
+        |  (SELECT coalesce(sum(cr), 0) FROM rcnt) AS nr),
+        |lam AS (
+        |  SELECT b, round(ln((coalesce(ct, 0) + 0.5) / (nt + 0.5 * 4096)) -
+        |                  ln((cr + 0.5) / (nr + 0.5 * 4096)), 8) AS lam
+        |  FROM rcnt LEFT JOIN tcnt USING (b) CROSS JOIN tot),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |         sum(CAST(lam AS DECIMAL(20,8))) AS s
+        |  FROM feats JOIN lam USING (b) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+        |  round(CAST(coalesce(s, 0) AS DOUBLE), 6) AS logw
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     // c44 = c9's components + c14's fractions, then the five named
     // rules; reason names listed alphabetically in both engines
     "c44_gopher_filter" ->

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR data selection (SURVEY C46) — hashed n-gram importance
+  * weighting (Xie et al., "Data Selection for Language Models via
+  * Importance Resampling", NeurIPS 2023): score every raw document
+  * by log(p_target/p_raw) under bag-of-hashed-ngram unigram models
+  * of a small TARGET corpus (the domain you want more of) and the
+  * RAW corpus. High log-weight docs look like the target; resampling
+  * by the weights (C33/C40's machinery) retargets the mixture
+  * without training a classifier.
+  *
+  * Features are word unigrams + bigrams of `lower(text)` hashed into
+  * a FIXED bucket space — the hash is an md5-hex PREFIX (`prefixLen`
+  * hex chars ⇒ 16^prefixLen buckets), so the oracle reproduces it
+  * exactly (SURVEY §4.1: oracle-visible hashes are md5-only).
+  * Bucketing is what makes the method corpus-size-free: both models
+  * are ≤ B rows no matter how big the corpora are.
+  *
+  * Portability discipline (§4): per-bucket log-ratios λ(b) round to
+  * 8 decimals in the model; per-doc sums run in DECIMAL over those
+  * rounded terms (the one order-sensitive reduction), cast to double
+  * and round 6 at the end — bit-identical across engines.
+  *
+  * Shape at 100 TB: two feature explodes (map-side, native
+  * WordNgrams) feeding bucket-count hash aggs whose results are ≤ B
+  * rows; the totals are driver scalars of those COUNT tables (never
+  * a corpus rescan — C39/C43's rule); scoring is one map-side
+  * explode + broadcast join on the B-row model + one per-doc agg.
+  * Nothing is pairwise, and the only corpus-sized shuffle is the
+  * per-doc aggregation on id.
+  */
+object Dsir {
+
+  /** (b, lam) model table (≤ 16^prefixLen rows, broadcastable) plus
+    * the unseen-bucket fallback — λ for a bucket absent from BOTH
+    * corpora (only reachable when scoring docs outside `raw`). */
+  final case class Model(table: DataFrame, unkLam: Double, prefixLen: Int)
+
+  /** Hashed features with multiplicity: md5-hex prefixes of the word
+    * unigrams AND bigrams of lower(text). explode_outer keeps
+    * feature-less docs (null/short text) as a single null row so
+    * scorers can emit them with n_feats = 0. */
+  private def feats(df: DataFrame, id: Column, text: Column,
+                    prefixLen: Int): DataFrame = {
+    val t = graft.plans.TextExpressions
+    df.select(id.as("id"),
+      explode_outer(concat(t.wordNgrams(lower(text), 1),
+        t.wordNgrams(lower(text), 2))).as("g"))
+      .select(col("id"), substring(md5(col("g")), 1, prefixLen).as("b"))
+  }
+
+  /** Train the per-bucket log-ratio model:
+    * λ(b) = round(ln((c_t(b)+0.5)/(N_t+0.5·B)) −
+    *              ln((c_r(b)+0.5)/(N_r+0.5·B)), 8).
+    * N_t/N_r are driver scalars summed from the ≤ B-row count
+    * tables; the add-half smoothing denominator uses the FIXED
+    * bucket count B, so the model is defined for any bucket. */
+  def train(target: DataFrame, raw: DataFrame, id: Column, text: Column,
+            prefixLen: Int = 3): Model = {
+    require(prefixLen >= 1 && prefixLen <= 8,
+      s"prefixLen must be in [1,8], got $prefixLen")
+    val b = math.pow(16.0, prefixLen)
+    val tc = feats(target, id, text, prefixLen).filter(col("b").isNotNull)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct")).localCheckpoint(true)
+    val rc = feats(raw, id, text, prefixLen).filter(col("b").isNotNull)
+      .groupBy(col("b")).agg(count(lit(1)).as("cr")).localCheckpoint(true)
+    // totals: scalars of the bucket-count tables, never a corpus rescan
+    val nt = tc.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0).toDouble
+    val nr = rc.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0).toDouble
+    val table = tc.join(rc, Seq("b"), "full_outer")
+      .select(col("b"),
+        round(log((coalesce(col("ct"), lit(0L)) + 0.5) / (nt + 0.5 * b)) -
+          log((coalesce(col("cr"), lit(0L)) + 0.5) / (nr + 0.5 * b)), 8).as("lam"))
+    val unk = BigDecimal(math.log(0.5 / (nt + 0.5 * b)) -
+        math.log(0.5 / (nr + 0.5 * b)))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Model(table, unk, prefixLen)
+  }
+
+  /** (id, n_feats, logw) per document: logw = Σ λ(bucket) over the
+    * doc's features WITH multiplicity, decimal-summed, rounded 6.
+    * Feature-less docs score 0.0 (no evidence either way — weight 1,
+    * unlike C28's pessimistic floor, because DSIR resampling should
+    * not favor or bury empty docs). */
+  def score(docs: DataFrame, id: Column, text: Column, model: Model): DataFrame = {
+    val perFeat = feats(docs, id, text, model.prefixLen)
+      .join(broadcast(model.table), Seq("b"), "left")
+      .select(col("b").isNotNull.as("has"),
+        when(col("b").isNull, null)
+          .otherwise(coalesce(col("lam"), lit(model.unkLam)))
+          .cast("decimal(20,8)").as("lp"),
+        col("id"))
+    perFeat.groupBy(col("id"))
+      .agg(count(col("lp")).as("n_feats"),
+        coalesce(sum(col("lp")), lit(BigDecimal(0))).as("s"))
+      .select(col("id"), col("n_feats"),
+        round(col("s").cast("double"), 6).as("logw"))
+  }
+}
