@@ -397,6 +397,40 @@ object EventStream {
       }
       .start()
 
+  /** D13: in-flight DSIR relevance gate — the streaming twin of
+    * C46's importance weighting. Each micro-batch is scored with the
+    * SAME `Dsir.score` the batch query runs, against a FROZEN
+    * log-ratio model (train offline: target = the domain you want,
+    * raw = a reference crawl; the λ table is ≤ 16^prefixLen rows, so
+    * the broadcast join costs the same at any corpus size), and docs
+    * whose log(p_target/p_raw) falls below `minLogw` never land —
+    * the ingest-time form of "only keep crawl that looks like the
+    * target domain". Where D12 rejects junk ANY corpus would refuse,
+    * D13 STEERS the mixture toward a chosen target distribution.
+    * foreachBatch because the per-doc score is an aggregation (D9's
+    * argument); replays are absorbed by the idempotent keyed merge
+    * (D6's argument). */
+  def dsirGateSink(docs: DataFrame, idName: String, text: Column,
+                   model: graft.operators.Dsir.Model, minLogw: Double,
+                   path: String, partCol: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val keep = graft.operators.Dsir
+            .score(batch, col(idName), text, model)
+            .filter(col("logw") >= minLogw)
+            .select(col("id").as(idName))
+          val survivors = batch.join(keep, Seq(idName), "left_semi")
+          if (!survivors.isEmpty)
+            graft.operators.Upsert.mergeWritePartitioned(
+              survivors, Seq(idName), Seq(col(idName)), path, partCol)
+        }
+      }
+      .start()
+
   /** D10: continuous near-dup ingest gate — the streaming form of
     * C34. Each micro-batch is gated through the SAME
     * `Incremental.gate` the batch operator runs (banded minhash

@@ -421,6 +421,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D13 dsirGateSink: frozen-model relevance gate equals the batch C46 rule") {
+    import org.apache.spark.sql.functions.col
+    // frozen model: target = cooking-ish docs, raw = cooking + legal
+    val cook = (1L to 20L).map(i =>
+      IngestDoc(i, "en", "simmer the onion butter garlic sauce then season and serve warm"))
+    val legal = (21L to 40L).map(i =>
+      IngestDoc(i, "en", "the party hereto shall indemnify pursuant to clause four herein"))
+    val model = graft.operators.Dsir.train(
+      spark.createDataFrame(cook), spark.createDataFrame(cook ++ legal),
+      col("doc_id"), col("text"))
+    val incoming = Seq(
+      IngestDoc(100L, "en", "simmer garlic butter sauce and season to serve"),
+      IngestDoc(101L, "en", "the party shall indemnify pursuant to clause herein"),
+      IngestDoc(102L, "en", "warm onion sauce then serve"))
+    val batchScores = graft.operators.Dsir.score(
+        spark.createDataFrame(incoming), col("doc_id"), col("text"), model)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val cutoff = (batchScores(100L).min(batchScores(102L)) + batchScores(101L)) / 2
+    assert(batchScores(101L) < cutoff, "off-target doc must score below the cutoff")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-d13").toString
+    val input = MemoryStream[IngestDoc](spark)(Encoders.product[IngestDoc])
+    val q = EventStream.dsirGateSink(input.toDF(), "doc_id", col("text"),
+      model, cutoff, dir + "/corpus", "lang", dir + "/ckpt")
+    try {
+      input.addData(incoming: _*)
+      q.processAllAvailable()
+      val landed = spark.read.parquet(dir + "/corpus").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(landed == Set(100L, 102L))
+      // identical to the batch rule on the same input
+      val batchKeep = batchScores.filter(_._2 >= cutoff).keySet
+      assert(landed == batchKeep)
+    } finally q.stop()
+  }
+
   test("D11 splitSink: in-flight split equals the batch rule; partitioned layout") {
     import org.apache.spark.sql.functions.col
     val docs = (1L to 200L).map(i => IngestDoc(i, "en", s"doc number $i"))
