@@ -207,4 +207,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
     assert(p.contains("pid"), p)
   }
+
+  test("c44/c45/c46 corpus gates: equi-joins only, no nested loop or cartesian") {
+    for (q <- Seq("c44_gopher_filter", "c45_line_dedup", "c46_dsir_weights")) {
+      val p = finalPlan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // corpus-side joins must hash, never sort the doc payloads (c46's
+    // B-row model build legitimately full-outer-joins two tiny count
+    // tables, so the sort ban scopes to the two corpus-join queries)
+    for (q <- Seq("c44_gopher_filter", "c45_line_dedup"))
+      assert(!finalPlan(q).contains("SortMergeJoin"), s"$q must hash-join, not sort")
+    // c45's hot-line removal must stay the ANTI equi-join — a per-doc
+    // membership array scan would be O(lines x hot) per doc
+    assert(finalPlan("c45_line_dedup").contains("LeftAnti"))
+    // c46's model join must broadcast the B-row lambda table (never
+    // shuffle the corpus-sized feature side on the bucket key)
+    val p46 = finalPlan("c46_dsir_weights")
+    assert(p46.contains("BroadcastHashJoin"), p46)
+  }
 }
