@@ -1041,6 +1041,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C47 training-sequence packing: the epoch materialization step —
+    * documents in a deterministic md5-seeded shuffle order,
+    * concatenated and cut into fixed 512-token context windows; one
+    * row per (doc, window) segment with in-doc token offsets.
+    * Boundary docs legitimately span two windows (GPT-2/3, T5
+    * concat-and-split). Distributed prefix sum + map-side explode —
+    * never a global window (see operators.Packing.packSequences). */
+  private def c47(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packSequences(t(s, dir, "documents"),
+        col("doc_id"), TextFunctions.wordCount(col("text")),
+        seqLen = 512L, seed = "epoch1")
+      .select(col("id").as("doc_id"), col("seq_id"), col("begin_tok"), col("end_tok"))
+      .orderBy(col("doc_id"), col("seq_id"))
+
   /** C44 Gopher composite filter: the published rule gate (Rae et al.
     * 2021) over C9 + C14 statistics — keep verdict plus the named
     * failed rules, so the output both filters and audits. Thresholds
@@ -1241,7 +1255,8 @@ object SparkEntry {
     "c43_distribution_drift" -> (c43 _),
     "c44_gopher_filter" -> (c44 _),
     "c45_line_dedup" -> (c45 _),
-    "c46_dsir_weights" -> (c46 _))
+    "c46_dsir_weights" -> (c46 _),
+    "c47_pack_sequences" -> (c47 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -2108,6 +2123,24 @@ object SparkEntry {
         |  CAST(floor(coalesce(sum(tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS shard
         |FROM w ORDER BY doc_id""".stripMargin,
+    // c47 = concat-and-split sequence packing: the oracle is the
+    // naive global-window form of the same md5-seeded order; the
+    // LATERAL generate_series enumerates the windows a doc spans
+    "c47_pack_sequences" ->
+      """WITH w AS (SELECT doc_id,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |       ELSE len(regexp_extract_all(text, '\S+')) END AS BIGINT) AS tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, tokens,
+        |  CAST(coalesce(sum(tokens) OVER (
+        |    ORDER BY md5(concat('epoch1:', CAST(doc_id AS VARCHAR))), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM w WHERE tokens > 0)
+        |SELECT doc_id, CAST(s.seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(0, s.seq_id*512 - start) AS BIGINT) AS begin_tok,
+        |  CAST(least(tokens, (s.seq_id+1)*512 - start) AS BIGINT) AS end_tok
+        |FROM o, LATERAL unnest(generate_series(start//512, (start+tokens-1)//512)) AS s(seq_id)
+        |ORDER BY doc_id, seq_id""".stripMargin,
     // c29 = c19 with a Bloom prefilter that cannot change the result
     // — the oracle is the same collision count
     "c29_decontaminate_bloom" ->

@@ -32,6 +32,15 @@ class DegenerateInputSpec extends SparkSpec {
     assert(one.toSeq == Seq((5L, 0L)))
   }
 
+  test("Packing.packSequences on empty, zero-weight and single-row inputs") {
+    assert(Packing.packSequences(noDocs, col("doc_id"), lit(1L), 10L, "e").count() == 0)
+    val zero = Seq((5L, "x")).toDF("doc_id", "text")
+    assert(Packing.packSequences(zero, col("doc_id"), lit(0L), 10L, "e").count() == 0)
+    val one = Packing.packSequences(zero, col("doc_id"), lit(25L), 10L, "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(one.toSeq == Seq((0L, 0L, 10L), (1L, 10L, 20L), (2L, 20L, 25L)))
+  }
+
   test("Sketches on empty input: no group rows, no phantom '*' estimates") {
     val d = Sketches.distinctByGroup(noDocs, col("text"), col("doc_id"))
       .collect()

@@ -200,12 +200,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("c30 shard packing: windows are per-range-partition, never global") {
-    val p = plan("c30_shard_pack")
-    // a global-order window would show an empty partition spec:
-    // "Window [...], [id ASC..." with SinglePartition exchange
-    assert(!p.contains("SinglePartition"), p)
-    assert(p.contains("pid"), p)
+  test("c30/c47 packing: windows are per-range-partition, never global") {
+    for (q <- Seq("c30_shard_pack", "c47_pack_sequences")) {
+      val p = plan(q)
+      // a global-order window would show an empty partition spec:
+      // "Window [...], [id ASC..." with SinglePartition exchange
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+      assert(p.contains("pid"), s"$q:\n$p")
+    }
   }
 
   test("c44/c45/c46 corpus gates: equi-joins only, no nested loop or cartesian") {
