@@ -157,16 +157,19 @@ object SparkEntry {
       .orderBy(col("event_id"))
 
   /** A12 retention purge (duplicate_remover.py:199). The cutoff is
-    * applied in the RAW nanos domain so it reaches the parquet scan
-    * (PushedFilters) — a filter on the converted timestamp would scan
-    * everything at 100 TB. Equivalence is exact for whole-second
-    * cutoffs (see Tables.tsNanos). */
-  private def a12(s: SparkSession, dir: String): DataFrame =
+    * applied in the STORED domain of the time column (long nanos or
+    * native timestamp — see Tables.storedTsLit) so it reaches the
+    * parquet scan (PushedFilters) — a filter on a CONVERTED column
+    * would scan everything at 100 TB. Equivalence is exact for
+    * whole-second cutoffs. */
+  private def a12(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.loadEventsRaw(s, dir)
     Tables.eventsFromRaw(
-      Cleanup.retention(Tables.loadEventsRaw(s, dir), col("ts"),
-        Tables.tsNanos("2024-01-05 00:00:00")))
+      Cleanup.retention(raw, col("ts"),
+        Tables.storedTsLit(raw, "ts", "2024-01-05 00:00:00")))
       .select(col("event_id"), fmtTs(col("ts")).as("ts"))
       .orderBy(col("event_id"))
+  }
 
   /** A13 statistics dashboard (duplicate_remover.py:246-283),
     * including the orphaned-links counter (py:274-278): events whose
@@ -181,11 +184,11 @@ object SparkEntry {
   }
 
   /** A14 incremental processing mode (dag.py:56-60): 7-day lookback
-    * window from a reference instant, applied raw-side for scan
-    * pushdown (same rationale as A12) via ModeFilter.applyRaw. */
+    * window from a reference instant, applied stored-side for scan
+    * pushdown (same rationale as A12) via ModeFilter.applyStored. */
   private def a14(s: SparkSession, dir: String): DataFrame =
-    operators.ModeFilter.applyRaw(Tables.loadEventsRaw(s, dir), col("ts"),
-        "incremental", Tables.tsNanos("2024-01-15 00:00:00"), 7)
+    operators.ModeFilter.applyStored(Tables.loadEventsRaw(s, dir), "ts",
+        "incremental", "2024-01-15 00:00:00", 7)
       .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("event_type"))
 

@@ -16,36 +16,67 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-    // rejects natively: read as long nanos, truncate to micros —
-    // exactly what DuckDB/Arrow do when narrowing ns → µs.
+    // events.ts has shipped in TWO physical forms across testdata
+    // generations: parquet TIMESTAMP(NANOS) (which Spark's reader
+    // rejects natively — read as long nanos via the legacy knob) and
+    // plain TIMESTAMP(MICROS)/_NTZ. The loader adapts to whatever the
+    // file stores, so the engine's `ts` is always a session
+    // TimestampType — E16's schema-drift tolerance applied to the
+    // registry's own tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") eventsFromRaw(df) else df
   }
 
-  /** Raw `events` (ts still the parquet nanos long) — for
-    * pushdown-sensitive event-time filters: a predicate on the raw
-    * long column reaches the parquet scan (and prunes row groups /
-    * partitions), which a predicate on the CONVERTED timestamp never
-    * does (it's a computed column to Catalyst). */
+  /** Raw `events` (ts in its STORED type — nanos long for legacy
+    * TIMESTAMP(NANOS) files, timestamp[_ntz] for current ones) — for
+    * pushdown-sensitive event-time filters: a predicate built in the
+    * stored type reaches the parquet scan (and prunes row groups /
+    * partitions), which a predicate on a CONVERTED column never does
+    * (it's a computed column to Catalyst). */
   def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
   }
 
   /** Nanos-since-epoch of a UTC 'yyyy-MM-dd HH:mm:ss' literal —
-    * the raw-domain image of a timestamp cutoff. Exact for whole
-    * seconds, so raw >= tsNanos(c) ⟺ converted ts >= c. */
+    * the raw-domain image of a timestamp cutoff for nanos-long
+    * columns. Exact for whole seconds, so raw >= tsNanos(c) ⟺
+    * converted ts >= c. */
   def tsNanos(ts: String): Long =
     java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
 
-  /** Standard shape from raw events: ts truncated to micros. */
-  def eventsFromRaw(df: DataFrame): DataFrame =
-    df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** A cutoff literal in the STORED type of `df`'s time column, so
+    * the comparison stays on the stored column and is pushed to the
+    * scan whichever physical form the file uses: long nanos for
+    * legacy TIMESTAMP(NANOS) reads, TIMESTAMP_NTZ for ntz columns,
+    * session timestamp otherwise. `ts` is 'yyyy-MM-dd HH:mm:ss[.S]'
+    * interpreted as UTC (the session zone of record). */
+  def storedTsLit(df: DataFrame, colName: String, ts: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema(colName).dataType match {
+      case LongType         => lit(tsNanos(ts))
+      case TimestampNTZType => lit(ts).cast(TimestampNTZType)
+      case _                => lit(ts).cast("timestamp")
+    }
+  }
+
+  /** Standard shape from raw events: ts as a session TimestampType,
+    * whatever the stored form — nanos longs truncate to micros
+    * (exactly what DuckDB/Arrow do when narrowing ns → µs), ntz
+    * reinterprets its wall clock in the session zone (UTC here, so
+    * values are identical to the legacy conversion). */
+  def eventsFromRaw(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
+  }
 
   /** Load any supported lake format with an optional explicit schema
     * (csv/json need one for stable types; parquet carries its own). */

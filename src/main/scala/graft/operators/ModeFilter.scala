@@ -24,11 +24,35 @@ object ModeFilter {
 
   private val DayNanos = 86400L * 1000000000L
 
-  /** Raw-nanos-domain modes (for tables whose time column is a
-    * parquet nanos long, see Tables.loadEventsRaw): the comparison
-    * stays on the STORED column, so it reaches the parquet scan as a
-    * pushed filter and prunes row groups — a filter on the converted
-    * timestamp never does. Backs the A14 query. */
+  /** Stored-domain modes (see Tables.loadEventsRaw): cutoff instants
+    * are computed DRIVER-side and compared as literals in the time
+    * column's STORED type — long nanos for legacy TIMESTAMP(NANOS)
+    * files, timestamp[_ntz] for current ones — so the predicate
+    * reaches the parquet scan as a pushed filter and prunes row
+    * groups either way. Backs the A14 query. */
+  def applyStored(df: DataFrame, colName: String, mode: String,
+                  now: String, lookbackDays: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (df.schema(colName).dataType == LongType)
+      return applyRaw(df, col(colName), mode, graft.Tables.tsNanos(now), lookbackDays)
+    val t = java.time.LocalDateTime.parse(now.replace(' ', 'T'))
+    def fmt(dt: java.time.LocalDateTime): String =
+      dt.toString.replace('T', ' ')
+    def cut(dt: java.time.LocalDateTime): Column =
+      graft.Tables.storedTsLit(df, colName, fmt(dt))
+    mode match {
+      case "incremental" => df.filter(col(colName) >= cut(t.minusDays(lookbackDays)))
+      case "refresh_old" => df.filter(col(colName) < cut(t.minusDays(lookbackDays)))
+      case "daily" =>
+        val d0 = t.toLocalDate.atStartOfDay
+        df.filter(col(colName) >= cut(d0) && col(colName) < cut(d0.plusDays(1)))
+      case "full"  => df
+      case other   => throw new IllegalArgumentException(s"unknown mode: $other")
+    }
+  }
+
+  /** Raw-nanos-domain modes (the legacy TIMESTAMP(NANOS)-as-long
+    * special case of applyStored). */
   def applyRaw(df: DataFrame, tsNanos: Column, mode: String,
                nowNanos: Long, lookbackDays: Int): DataFrame = {
     val lookback = lookbackDays * DayNanos

@@ -100,7 +100,7 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("a12/a14 event-time filters are pushed to the scan (raw nanos)") {
+  test("a12/a14 event-time filters are pushed to the scan (stored domain)") {
     val p12 = plan("a12_retention")
     assert(p12.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p12)
     val p14 = plan("a14_mode_incremental")
