@@ -24,6 +24,49 @@ class WideningSpec extends SparkSpec {
     assert(qs.forall(_.matches("[a-z0-9_]+")), qs.filterNot(_.matches("[a-z0-9_]+")))
   }
 
+  test("E1 events time handling adapts to nanos-long and timestamp ts forms") {
+    // the testdata's events.ts has shipped both as parquet
+    // TIMESTAMP(NANOS) (Spark-visible as a raw long under the legacy
+    // knob) and as TIMESTAMP(MICROS)/_NTZ — the loader and the
+    // stored-domain cutoffs must treat the two forms identically,
+    // and the current corpus only exercises one of them
+    val dir = Files.createTempDirectory("graft-tsforms").toString
+    val rows = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-10 12:30:00"),
+      (3L, "2024-01-20 23:59:59")).toDF("event_id", "s")
+    rows.select(col("event_id"), expr("cast(s as timestamp_ntz)").as("ts"))
+      .write.parquet(s"$dir/ntz")
+    rows.select(col("event_id"),
+        (expr("cast(cast(s as timestamp) as long)") * 1000000000L).as("ts"))
+      .write.parquet(s"$dir/nanos")
+    val ntz = spark.read.parquet(s"$dir/ntz")
+    val nanos = spark.read.parquet(s"$dir/nanos")
+    assert(ntz.schema("ts").dataType != nanos.schema("ts").dataType)
+    // eventsFromRaw lands both on the same session timestamps
+    def shaped(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      Tables.eventsFromRaw(df)
+        .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(shaped(ntz) == shaped(nanos))
+    assert(shaped(ntz).map(_._2) == rows.select("s").as[String].collect().toSeq)
+    // stored-domain cutoff keeps the same rows in both forms, and the
+    // predicate reaches the parquet scan (the 100 TB point of the
+    // stored domain) for both
+    def kept(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val f = df.filter(col("ts") >= Tables.storedTsLit(df, "ts", "2024-01-10 00:00:00"))
+      val plan = f.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), plan)
+      f.select("event_id").as[Long].collect().toSeq.sorted
+    }
+    assert(kept(ntz) == Seq(2L, 3L))
+    assert(kept(ntz) == kept(nanos))
+    // the mode filter dispatches the same way
+    def mode(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      operators.ModeFilter.applyStored(df, "ts", "incremental", "2024-01-20 00:00:00", 7)
+        .select("event_id").as[Long].collect().toSeq.sorted
+    assert(mode(ntz) == Seq(3L))
+    assert(mode(ntz) == mode(nanos))
+  }
+
   test("C13 scrub redacts emails, urls, phones with typed tokens") {
     val df = Seq("mail a.b+c@x-corp.io or call +44-20-7946-0958 via https://x.io/a?b=1 end").toDF("t")
     val got = df.select(TextFunctions.scrub(col("t"))).as[String].head()
