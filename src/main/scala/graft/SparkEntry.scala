@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{HtmlFunctions, TextFunctions}
+import graft.functions.{HtmlFunctions, TextFunctions, UrlFunctions}
 import graft.operators.{Cleanup, Dedup, Jaccard, MinHash, Quality, Sessionize, Shingles, SimHash, Similarity, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -540,19 +540,39 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("rank"), col("term"), col("score"))
       .orderBy(col("doc_id"), col("rank"))
 
-  /** C19 train/eval decontamination: distinct 5-gram collisions of
+  /** C19 train/eval decontamination: distinct n-gram collisions of
     * each train doc (doc_id % 100 ≠ 0) against the synthetic eval
     * split (doc_id % 100 = 0); zero-collision docs kept via left
-    * join. The shipped shape of the benchmark-leak scrub. */
+    * join. The shipped shape of the benchmark-leak scrub. n = 3: the
+    * regenerated corpus shares no 5-grams across the split, and an
+    * all-zero gate would pin nothing. */
   private def c19(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val train = docs.filter(col("doc_id") % 100 =!= 0)
     val eval = docs.filter(col("doc_id") % 100 === 0)
     val shared = operators.Contamination.sharedGrams(
-      train, eval, col("doc_id"), lower(col("text")), 5)
+      train, eval, col("doc_id"), lower(col("text")), 3)
     train.select(col("doc_id")).join(shared.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
       .orderBy(col("doc_id"))
+  }
+
+  /** C49 multi-benchmark decontamination attribution: C19's collision
+    * check against THREE named benchmarks at once, reporting which
+    * benchmark each train doc leaks (see
+    * Contamination.sharedGramsByBenchmark). Eval docs (id % 100 = 0)
+    * are assigned round-robin to benchmarks by id block; n = 3 (the
+    * synthetic corpus shares no 5-grams across that split, and an
+    * attribution query must attribute something). */
+  private def c49(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 100 =!= 0)
+    val eval = docs.filter(col("doc_id") % 100 === 0)
+    val bench = concat(lit("bench"), (col("doc_id") / 100).cast("long") % 3)
+    operators.Contamination.sharedGramsByBenchmark(
+        train, eval, col("doc_id"), lower(col("text")), bench, 3)
+      .select(col("id").as("doc_id"), col("benchmark"), col("shared_grams"))
+      .orderBy(col("doc_id"), col("benchmark"))
   }
 
   /** C30 token-budget shard packing: docs → fixed-budget training
@@ -575,7 +595,7 @@ object SparkEntry {
     val train = docs.filter(col("doc_id") % 100 =!= 0)
     val eval = docs.filter(col("doc_id") % 100 === 0)
     val shared = operators.Contamination.sharedGramsPrefiltered(
-      train, eval, col("doc_id"), lower(col("text")), 5, expectedEvalGrams = 200000L)
+      train, eval, col("doc_id"), lower(col("text")), 3, expectedEvalGrams = 200000L)
     train.select(col("doc_id")).join(shared.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
       .orderBy(col("doc_id"))
@@ -1058,6 +1078,35 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("seq_id"), col("begin_tok"), col("end_tok"))
       .orderBy(col("doc_id"), col("seq_id"))
 
+  /** C48 URL canonicalization + canonical-URL grouping: the first
+    * dedup gate of a CommonCrawl-style pipeline — the same page
+    * arrives under many raw spellings (scheme/host case, default
+    * ports, fragments, tracker params, param order, trailing slash)
+    * and URL-level dedup must key on ONE canonical form (see
+    * functions.UrlFunctions). Variants are planted deterministically
+    * per doc (the a1/a2/c13/c41 convention): v1 always, the
+    * case/param-order twin v2 on even ids (same canonical as v1), an
+    * http mirror v3 on ids divisible by 3 (its own canonical — the
+    * scheme IS the origin). Pure map-side canonicalization + one
+    * hash agg on the canonical key. */
+  private def c48(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val v1 = base.select(col("doc_id"), concat(lit("https://"), col("source"),
+      lit(".example.org:443/p/"), col("doc_id"),
+      lit("/?utm_source=feed&b=2&a=1#sec")).as("url"))
+    val v2 = base.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
+      concat(lit("HTTPS://"), upper(col("source")), lit(".Example.ORG/p/"),
+        col("doc_id"), lit("?a=1&b=2")).as("url"))
+    val v3 = base.filter(col("doc_id") % 3 === 0).select(col("doc_id"),
+      concat(lit("http://"), col("source"), lit(".example.org:80/p/"),
+        col("doc_id"), lit("?b=2&a=1&fbclid=x")).as("url"))
+    v1.unionByName(v2).unionByName(v3)
+      .select(col("doc_id"), UrlFunctions.canonicalize(col("url")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_raw"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** C44 Gopher composite filter: the published rule gate (Rae et al.
     * 2021) over C9 + C14 statistics — keep verdict plus the named
     * failed rules, so the output both filters and audits. Thresholds
@@ -1259,7 +1308,9 @@ object SparkEntry {
     "c44_gopher_filter" -> (c44 _),
     "c45_line_dedup" -> (c45 _),
     "c46_dsir_weights" -> (c46 _),
-    "c47_pack_sequences" -> (c47 _))
+    "c47_pack_sequences" -> (c47 _),
+    "c48_url_canonical" -> (c48 _),
+    "c49_decontaminate_attrib" -> (c49 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -2106,9 +2157,9 @@ object SparkEntry {
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
         |  FROM documents),
         |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-3),
-        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS s
-        |  FROM toks WHERE len(t) >= 5),
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
         |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 100 = 0),
         |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 100 <> 0),
         |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_grams
@@ -2144,6 +2195,59 @@ object SparkEntry {
         |  CAST(least(tokens, (s.seq_id+1)*512 - start) AS BIGINT) AS end_tok
         |FROM o, LATERAL unnest(generate_series(start//512, (start+tokens-1)//512)) AS s(seq_id)
         |ORDER BY doc_id, seq_id""".stripMargin,
+    // c48 = URL canonicalization: the oracle replays the same five
+    // rules (fragment, scheme/host case, default port, tracker-param
+    // drop + sort, trailing slash) in DuckDB string/list functions;
+    // starts_with (not LIKE 'utm_%' — '_' is a LIKE wildcard)
+    "c48_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT doc_id, 'https://' || source || '.example.org:443/p/' || doc_id ||
+        |         '/?utm_source=feed&b=2&a=1#sec' AS url FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'HTTPS://' || upper(source) || '.Example.ORG/p/' || doc_id ||
+        |         '?a=1&b=2' FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'http://' || source || '.example.org:80/p/' || doc_id ||
+        |         '?b=2&a=1&fbclid=x' FROM documents WHERE doc_id % 3 = 0),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([Hh][Tt][Tt][Pp][Ss]?)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[^:/?#]+://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''), '^[^:/?#]+://[^/?#]+([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1) AS rawq
+        |  FROM raw),
+        |canon AS (
+        |  SELECT doc_id, scheme || '://' ||
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END ||
+        |    CASE WHEN rawpath = '' OR rawpath = '/' THEN '/'
+        |         ELSE regexp_replace(rawpath, '/$', '') END ||
+        |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+        |  FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |      p -> p <> '' AND NOT starts_with(regexp_extract(p, '^([^=]*)', 1), 'utm_')
+        |        AND regexp_extract(p, '^([^=]*)', 1) NOT IN ('fbclid','gclid','msclkid','ref'))), '&') AS q
+        |    FROM parts))
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+    // c49 = c19's collision check attributed per benchmark: same
+    // gram construction at n=3, eval grams deduped per benchmark name
+    "c49_decontaminate_attrib" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ev AS (SELECT DISTINCT 'bench' || CAST((doc_id // 100) % 3 AS VARCHAR) AS benchmark,
+        |              unnest(s) AS g
+        |       FROM sh WHERE doc_id % 100 = 0),
+        |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 100 <> 0)
+        |SELECT tr.doc_id, ev.benchmark, CAST(count(*) AS BIGINT) AS shared_grams
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY 1, 2 ORDER BY doc_id, benchmark""".stripMargin,
     // c29 = c19 with a Bloom prefilter that cannot change the result
     // — the oracle is the same collision count
     "c29_decontaminate_bloom" ->
@@ -2151,9 +2255,9 @@ object SparkEntry {
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
         |  FROM documents),
         |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-3),
-        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS s
-        |  FROM toks WHERE len(t) >= 5),
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
         |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 100 = 0),
         |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 100 <> 0),
         |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_grams

@@ -41,6 +41,28 @@ object Contamination {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("shared_grams"))
 
+  /** Per (train doc, BENCHMARK) attribution (SURVEY C49): distinct
+    * shared `n`-grams against EACH of many named benchmarks in one
+    * pass — production pipelines gate against dozens of eval sets at
+    * once and must report WHICH benchmark a doc leaks (drop the doc,
+    * or quarantine the benchmark), which `sharedGrams`' single
+    * aggregate count cannot say. Same inverted-index shape: the eval
+    * side dedups grams per benchmark (explode keyed on the benchmark
+    * name, so a gram shared by two eval docs of one benchmark counts
+    * once), the train side joins on the gram hash — still ONE
+    * shuffle, still benchmark-sized on the build side at 100 TB.
+    * Returns (id, benchmark, shared_grams), contaminated pairs only. */
+  def sharedGramsByBenchmark(train: DataFrame, eval: DataFrame, id: Column,
+                             text: Column, benchmark: Column, n: Int): DataFrame = {
+    val evalGrams = Shingles.exploded(eval, benchmark, text, n)
+      .select(col("id").as("benchmark"), md5(col("sh")).as("h"))
+      .distinct()
+    grams(train, id, text, n)
+      .join(evalGrams, "h")
+      .groupBy(col("id"), col("benchmark"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   private def grams(df: DataFrame, id: Column, text: Column, n: Int) =
     Shingles.exploded(df, id, text, n)
       .select(col("id"), md5(col("sh")).as("h"))

@@ -13,6 +13,30 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq(3, 0, 0, 1, 3))
   }
 
+  test("C48 canonicalize collapses URL variants and preserves real distinctions") {
+    import graft.functions.UrlFunctions
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("u").select(UrlFunctions.canonicalize(col("u"))).as[String].collect().toSeq
+    // the five rules, each via a variant of the same page
+    assert(canon(
+      "https://Site.Example.ORG:443/a/b/?utm_source=x&b=2&a=1#frag",
+      "HTTPS://site.example.org/a/b?a=1&b=2",
+      "https://site.example.org/a/b/?b=2&fbclid=zz&a=1"
+    ).distinct == Seq("https://site.example.org/a/b?a=1&b=2"))
+    // distinctions that MUST survive: scheme, non-default port, path
+    // case, non-tracker params
+    assert(canon("http://site.example.org/a").head == "http://site.example.org/a")
+    assert(canon("https://site.example.org:8443/a").head == "https://site.example.org:8443/a")
+    assert(canon("https://site.example.org/A").head != canon("https://site.example.org/a").head)
+    assert(canon("https://s.org/p?x=1").head != canon("https://s.org/p?x=2").head)
+    // root and empty paths land on '/'; all-tracker query drops the '?'
+    assert(canon("https://s.org", "https://s.org/", "https://s.org/?utm_a=1")
+      .distinct == Seq("https://s.org/"))
+    // malformed / non-http input is NULL, never an aliasable key
+    assert(Seq("notaurl", "ftp://x/y", "").toDF("u")
+      .select(UrlFunctions.canonicalize(col("u"))).collect().forall(_.isNullAt(0)))
+  }
+
   test("extractTags lowercases and dedups keeping content") {
     val df = Seq("see #Foo and #BAR then #foo again").toDF("t")
     val got = df.select(TextFunctions.extractTags(col("t"))).as[Seq[String]].head()
