@@ -229,4 +229,23 @@ class PlanSpec extends SparkSpec {
     val p46 = finalPlan("c46_dsir_weights")
     assert(p46.contains("BroadcastHashJoin"), p46)
   }
+
+  test("c48 url canonicalization: map-side, no join, one grouping exchange") {
+    // the adaptive plan string repeats exchanges in its "Initial
+    // Plan" echo — scope the count to the finalized section
+    val p = finalPlan("c48_url_canonical").split("== Initial Plan ==")(0)
+    // the canonical key is computed in the scan stage; grouping it is
+    // the ONLY exchange besides the output sort — any join here means
+    // the canonicalizer stopped being a pure expression
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("c49 per-benchmark decontamination: equi-join on the gram hash only") {
+    val p = finalPlan("c49_decontaminate_attrib")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // corpus-sized gram join must hash, never sort corpus payloads
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
