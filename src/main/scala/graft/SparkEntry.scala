@@ -575,6 +575,21 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("benchmark"))
   }
 
+  /** C50 semantic decontamination: train embeddings (vec_id % 100 ≠
+    * 0) too close in cosine to any eval embedding (vec_id % 100 = 0)
+    * — the embedding rung of the decontamination ladder (C19 exact
+    * grams → C37 shingle near-match → this); best eval match per
+    * contaminated doc. Threshold 0.3 sits inside the synthetic
+    * corpus's cross-split cosine tail so the gate pins real rows. */
+  private def c50(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    operators.Contamination.semanticMatches(
+        e.filter(col("vec_id") % 100 =!= 0), e.filter(col("vec_id") % 100 === 0),
+        col("vec_id"), col("embedding"), threshold = 0.3)
+      .select(col("id").as("vec_id"), col("eval_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   /** C30 token-budget shard packing: docs → fixed-budget training
     * shards by exclusive prefix sum of whitespace token counts in
     * doc_id order — two-phase distributed prefix sum, never a global
@@ -1310,7 +1325,8 @@ object SparkEntry {
     "c46_dsir_weights" -> (c46 _),
     "c47_pack_sequences" -> (c47 _),
     "c48_url_canonical" -> (c48 _),
-    "c49_decontaminate_attrib" -> (c49 _))
+    "c49_decontaminate_attrib" -> (c49 _),
+    "c50_decontaminate_semantic" -> (c50 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -2248,6 +2264,22 @@ object SparkEntry {
         |SELECT tr.doc_id, ev.benchmark, CAST(count(*) AS BIGINT) AS shared_grams
         |FROM tr JOIN ev USING (g)
         |GROUP BY 1, 2 ORDER BY doc_id, benchmark""".stripMargin,
+    // c50 = best cosine eval match per contaminated train embedding;
+    // same ::DOUBLE-promoted scoring SQL as c6, rounded per §4.1
+    "c50_decontaminate_semantic" ->
+      """WITH tr AS (SELECT vec_id, embedding AS tv FROM embeddings WHERE vec_id % 100 <> 0),
+        |ev AS (SELECT vec_id AS eval_id, embedding AS ev FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (
+        |  SELECT tr.vec_id, ev.eval_id,
+        |    round(
+        |      list_sum(list_transform(range(1,65), i -> tr.tv[i]::DOUBLE * ev.ev[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(range(1,65), i -> tr.tv[i]::DOUBLE * tr.tv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(range(1,65), i -> ev.ev[i]::DOUBLE * ev.ev[i]::DOUBLE)))), 6) AS cosine
+        |  FROM tr, ev),
+        |r AS (SELECT vec_id, eval_id, cosine,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rnk
+        |      FROM s WHERE cosine >= 0.3)
+        |SELECT vec_id, eval_id, cosine FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
     // c29 = c19 with a Bloom prefilter that cannot change the result
     // — the oracle is the same collision count
     "c29_decontaminate_bloom" ->

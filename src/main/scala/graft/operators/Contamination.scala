@@ -127,4 +127,48 @@ object Contamination {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
+
+  /** SEMANTIC decontamination (SURVEY C50): train docs whose
+    * EMBEDDING is too close (rounded cosine ≥ threshold) to any eval
+    * embedding — the third rung of the decontamination ladder after
+    * exact n-gram collisions (C19) and shingle near-match (C37):
+    * a translated, heavily-paraphrased, or summarized benchmark item
+    * shares no shingles at all but still lands next to the original
+    * in embedding space (the SemDeDup/D4 observation applied to
+    * benchmark leakage).
+    *
+    * Returns one row per CONTAMINATED train doc: (id, eval_id,
+    * cosine) for its best match — highest cosine, smallest eval id on
+    * ties — the same contract as `fuzzyMatches`, so callers compose
+    * the two gates uniformly. Zero-norm vectors on either side never
+    * match (cosine undefined — the engine-wide contract).
+    *
+    * Scale: the eval side is benchmark-sized at any corpus size — it
+    * is BROADCAST, and each train partition scans it with the
+    * allocation-free `rawGate` prefilter (one fused native dot +
+    * compare per candidate; only near-threshold survivors pay the
+    * exact decimal round). The train side never shuffles; the per-doc
+    * argmax window moves contaminated rows only. This deliberately
+    * mirrors C6's broadcast brute-force shape, not C5's cell join:
+    * against a fixed small eval set, a linear scan per row IS the
+    * optimal plan, and there is no index to amortize. */
+  def semanticMatches(train: DataFrame, eval: DataFrame, id: Column,
+                      vec: Column, threshold: Double): DataFrame = {
+    import graft.plans.VectorExpressions
+    val tr = train.select(id.as("id"), vec.cast("array<double>").as("tv"))
+      .withColumn("tn", VectorExpressions.norm(col("tv")))
+      .filter(col("tn") > 0)
+    val ev = eval.select(id.as("eval_id"), vec.cast("array<double>").as("ev"))
+      .withColumn("en", VectorExpressions.norm(col("ev")))
+      .filter(col("en") > 0)
+    val cosine =
+      round(VectorExpressions.dot(col("tv"), col("ev")) / (col("tn") * col("en")), 6)
+    val w = Window.partitionBy(col("id")).orderBy(col("cosine").desc, col("eval_id"))
+    tr.join(broadcast(ev),
+        Similarity.rawGate(VectorExpressions.dot(col("tv"), col("ev")),
+          col("tn"), col("en"), threshold) && cosine >= threshold)
+      .select(col("id"), col("eval_id"), cosine.as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
 }

@@ -107,6 +107,26 @@ class IncrementalSpec extends SparkSpec {
     assert(got2.length == 1 && got2.head._2 == 0L && got2.head._3 == 1.0)
   }
 
+  test("semanticMatches flags close embeddings, honors zero-norm and tie contracts") {
+    def vdf(rows: Seq[(Long, Seq[Double])]) = rows.toDF("id", "v")
+    val eval = vdf(Seq(0L -> Seq(1.0, 0.0), 50L -> Seq(1.0, 0.0), // identical pair: tie → id 0
+      60L -> Seq(0.0, 0.0))) // zero-norm eval can never match
+    val train = vdf(Seq(
+      1L -> Seq(0.9, 0.1),  // cos vs e0 ≈ 0.994 → contaminated
+      2L -> Seq(0.0, 1.0),  // orthogonal → clean
+      3L -> Seq(0.0, 0.0))) // zero-norm train never matches
+    val got = Contamination.semanticMatches(train, eval, col("id"), col("v"), 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L), s"only doc 1 is contaminated: ${got.toSeq}")
+    // two equally-close eval docs: best = (cosine desc, eval id asc)
+    assert(got.head._2 == 0L && got.head._3 >= 0.99)
+    // threshold is inclusive on the ROUNDED cosine (the §4.1 contract)
+    val exact = Contamination.semanticMatches(
+      vdf(Seq(1L -> Seq(1.0, 1.0))), vdf(Seq(9L -> Seq(1.0, 0.0))),
+      col("id"), col("v"), 0.707107).as[(Long, Long, Double)].collect()
+    assert(exact.map(_._3).toSeq == Seq(0.707107), s"rounded-edge pair must pass: ${exact.toSeq}")
+  }
+
   test("batch signatures returned by gate equal signatures() of the same docs") {
     val b = corpus.take(6)
     val (_, bb, bs) = Incremental.gate(
