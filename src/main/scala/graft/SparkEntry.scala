@@ -590,6 +590,27 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** C51 host-graph PageRank: crawl-quality host weighting over a
+    * deterministic citation fixture — doc d cites doc (d²+3) mod N
+    * (N = max id + 1, ids dense; QUADRATIC so in-degrees are skewed
+    * — a linear permutation leaves every host at identical rank and
+    * the pin would be vacuous), giving a host→host edge per doc;
+    * weights = citation counts. 3 iterations, damping 85%, ranks in
+    * 10^12 fixed-point units (integer arithmetic is the §4.1
+    * portability discipline — float PageRank isn't reproducible
+    * across engines or partitionings). */
+  private def c51(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val edges = docs
+      .select(((col("doc_id") * col("doc_id") + 3) % n).as("cid"), col("source").as("src"))
+      .join(docs.select(col("doc_id").as("cid"), col("source").as("dst")), "cid")
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    operators.PageRank.ranks(edges, col("src"), col("dst"), col("w"), iters = 3)
+      .select(col("node").as("host"), col("rank").as("rank_fp"))
+      .orderBy(col("host"))
+  }
+
   /** C30 token-budget shard packing: docs → fixed-budget training
     * shards by exclusive prefix sum of whitespace token counts in
     * doc_id order — two-phase distributed prefix sum, never a global
@@ -1326,7 +1347,8 @@ object SparkEntry {
     "c47_pack_sequences" -> (c47 _),
     "c48_url_canonical" -> (c48 _),
     "c49_decontaminate_attrib" -> (c49 _),
-    "c50_decontaminate_semantic" -> (c50 _))
+    "c50_decontaminate_semantic" -> (c50 _),
+    "c51_host_pagerank" -> (c51 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -2280,6 +2302,32 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rnk
         |      FROM s WHERE cosine >= 0.3)
         |SELECT vec_id, eval_id, cosine FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    // c51 = three unrolled fixed-point PageRank iterations; integer
+    // floor division throughout, so the numbers are engine-exact
+    "c51_host_pagerank" ->
+      """WITH nmax AS (SELECT max(doc_id)+1 AS c FROM documents),
+        |e AS (
+        |  SELECT d.source AS src, c.source AS dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM documents d JOIN documents c ON c.doc_id = (d.doc_id*d.doc_id+3) % (SELECT c FROM nmax)
+        |  GROUP BY 1,2),
+        |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst AS node FROM e),
+        |deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |con AS (SELECT ((1000000000000 * 15) // 100) // (SELECT n FROM nn) AS base,
+        |               1000000000000 // (SELECT n FROM nn) AS r0),
+        |i1 AS (SELECT e.dst AS node, sum(((SELECT r0 FROM con) * e.w) // d.deg) AS cs
+        |       FROM e JOIN deg d USING (src) GROUP BY 1),
+        |r1 AS (SELECT nodes.node, (SELECT base FROM con) + (coalesce(i1.cs,0)*85)//100 AS rank
+        |       FROM nodes LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, sum((r1.rank * e.w) // d.deg) AS cs
+        |       FROM e JOIN deg d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT nodes.node, (SELECT base FROM con) + (coalesce(i2.cs,0)*85)//100 AS rank
+        |       FROM nodes LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, sum((r2.rank * e.w) // d.deg) AS cs
+        |       FROM e JOIN deg d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT nodes.node, (SELECT base FROM con) + (coalesce(i3.cs,0)*85)//100 AS rank
+        |       FROM nodes LEFT JOIN i3 USING (node))
+        |SELECT node AS host, CAST(rank AS BIGINT) AS rank_fp FROM r3 ORDER BY host""".stripMargin,
     // c29 = c19 with a Bloom prefilter that cannot change the result
     // — the oracle is the same collision count
     "c29_decontaminate_bloom" ->

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Host-graph PageRank (SURVEY C51): the crawl-quality weighting a
+  * web-scale corpus pipeline runs over its HOST link graph — the
+  * published recipe behind Common Crawl's host-level ranking
+  * (harmonic/PageRank centrality releases) and the "domain quality"
+  * prior that corpus mixers weight sampling by. The reference
+  * pipeline keys everything on per-channel/link provenance
+  * (pasta-pipeline `dags/processors/telegraph_processor.py:128`,
+  * `db_loader.py:98`) but has no notion of cross-host endorsement;
+  * this adds the standard one.
+  *
+  * This is the engine's second ITERATIVE graph operator (beside
+  * C22's pointer-doubling components, Components.scala:53) and it
+  * follows the same discipline: per-iteration `localCheckpoint` so
+  * the plan stays O(1) deep instead of growing by two joins per
+  * iteration, edges iterated by reference, only scalars on the
+  * driver.
+  *
+  * Arithmetic is FIXED-POINT INTEGER on purpose: ranks live in
+  * `unit` = 10^12 units as BIGINTs, every division is a floor
+  * division, every product stays in long range (contract below).
+  * Floating-point PageRank is not reproducible across engines or
+  * even across partitionings (float addition is not associative);
+  * integer sums are exact and associative, so the SAME numbers come
+  * out of Spark at any parallelism and of the DuckDB oracle — the
+  * engine-wide determinism discipline (SURVEY §4.1), applied to the
+  * one algorithm people usually accept as "approximately equal".
+  *
+  * Semantics, all deterministic:
+  *  - rank_0(v) = unit div N for every node (N = |nodes|);
+  *  - rank_{i+1}(v) = base + (d · Σ_{(u,v,w)∈E} (rank_i(u)·w div
+  *    outdeg(u))) div 100, with base = (unit·(100−d) div 100) div N
+  *    and outdeg(u) = Σ w over u's out-edges — WEIGHTED PageRank
+  *    (an edge with weight w is w parallel endorsements);
+  *  - nodes with no out-edges leak their mass (the classic
+  *    simplification; add self-loops upstream for the re-feeding
+  *    variant) — leaked mass shrinks the total, it never moves.
+  *
+  * Scale: each iteration is ONE equi-join of the rank table (node-
+  * sized — hosts, not documents) against the edge list on src plus
+  * ONE aggregation by dst — the Pregel shape, no driver traffic but
+  * the initial node count. Overflow contract: rank ≤ unit, so
+  * rank·w needs w ≤ Long.MaxValue/unit ≈ 9·10^6 per edge; lower
+  * `unit` if edge weights exceed that (hosts with 10^6+ distinct
+  * linking pages at 100 TB: use unit = 10^9).
+  */
+object PageRank {
+
+  /** Weighted fixed-point PageRank over `iters` iterations.
+    * Input: (src, dst, weight) edge rows, weights cast to long;
+    * parallel (src,dst) duplicates are summed. Returns (node,
+    * rank) with rank in `unit` fixed-point units. */
+  def ranks(edges: DataFrame, src: Column, dst: Column, weight: Column,
+            iters: Int, dampingPct: Int = 85,
+            unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct in [0,100], got $dampingPct")
+    val e = edges.select(src.as("src"), dst.as("dst"), weight.cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank", lit(0L))
+    // outdeg rides the edge row so each iteration's contribution is
+    // one projection after the rank join — no second join per step
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    val ew = e.join(deg, "src").localCheckpoint(true)
+    val base = (unit * (100 - dampingPct) / 100) / n // scala long div = floor for positives
+    var r = nodes.withColumn("rank", lit(unit / n))
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(r, ew("src") === r("node"))
+        .select(col("dst").as("node"),
+          expr("(rank * w) div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"(coalesce(cs, 0L) * $dampingPct) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+}
