@@ -143,32 +143,60 @@ object Contamination {
     * the two gates uniformly. Zero-norm vectors on either side never
     * match (cosine undefined — the engine-wide contract).
     *
-    * Scale: the eval side is benchmark-sized at any corpus size — it
-    * is BROADCAST, and each train partition scans it with the
-    * allocation-free `rawGate` prefilter (one fused native dot +
-    * compare per candidate; only near-threshold survivors pay the
-    * exact decimal round). The train side never shuffles; the per-doc
-    * argmax window moves contaminated rows only. This deliberately
-    * mirrors C6's broadcast brute-force shape, not C5's cell join:
-    * against a fixed small eval set, a linear scan per row IS the
-    * optimal plan, and there is no index to amortize. */
+    * Scale: the eval side is benchmark-sized at any corpus size, so
+    * it is collected and shipped as a PLAN-LITERAL MATRIX (the same
+    * model-sized-driver-traffic class as C5/C16's centroids) and the
+    * whole operator becomes ONE map-side projection over the train
+    * scan: the native `BestCosineMatch` kernel (VectorExpressions)
+    * computes every eval dot, the rounded-cosine max, and the
+    * first-tie index in a single codegen call per row; only flagged
+    * rows reach the (tiny, broadcast) index→eval_id join. No shuffle,
+    * no join against the corpus. Two rejected alternatives, both
+    * measured at 100× scale: a broadcast nested-loop join (condition
+    * evaluated outside whole-stage codegen — ~40 s) and a zip_with/
+    * array_max projection (HOFs are interpreted CodegenFallback and
+    * the optimizer re-inlines them per reference — minutes). The
+    * eval matrix is indexed in ascending eval_id order, so the
+    * kernel's "first max position" = smallest eval id on rounded
+    * ties — `fuzzyMatches`' exact tie contract. */
   def semanticMatches(train: DataFrame, eval: DataFrame, id: Column,
                       vec: Column, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     import graft.plans.VectorExpressions
+    val spark = train.sparkSession
     val tr = train.select(id.as("id"), vec.cast("array<double>").as("tv"))
-      .withColumn("tn", VectorExpressions.norm(col("tv")))
-      .filter(col("tn") > 0)
     val ev = eval.select(id.as("eval_id"), vec.cast("array<double>").as("ev"))
       .withColumn("en", VectorExpressions.norm(col("ev")))
       .filter(col("en") > 0)
-    val cosine =
-      round(VectorExpressions.dot(col("tv"), col("ev")) / (col("tn") * col("en")), 6)
-    val w = Window.partitionBy(col("id")).orderBy(col("cosine").desc, col("eval_id"))
-    tr.join(broadcast(ev),
-        Similarity.rawGate(VectorExpressions.dot(col("tv"), col("ev")),
-          col("tn"), col("en"), threshold) && cosine >= threshold)
-      .select(col("id"), col("eval_id"), cosine.as("cosine"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("eval_id"))
+    val evRows = ev.collect() // benchmark-sized by contract
+    if (evRows.isEmpty)
+      return tr.limit(0).crossJoin(ev.select(col("eval_id")))
+        .select(col("id"), col("eval_id"), lit(0.0).as("cosine"))
+    val mat: Seq[Seq[Double]] = evRows.map(_.getSeq[Double](1).toSeq).toSeq
+    val norms: Seq[Double] = evRows.map(_.getDouble(2)).toSeq
+    // idx → eval_id keeps the id's ORIGINAL type (no silent cast —
+    // the C22 lesson); one row per eval doc, broadcast below
+    val evIdx = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        evRows.zipWithIndex.map { case (r, i) => Row(i, r.get(0)) }.toSeq, 1),
+      StructType(Seq(StructField("idx", IntegerType, nullable = false),
+        ev.schema("eval_id"))))
+    // zero-norm train vectors: the kernel returns NULL (the engine-
+    // wide zero-norm contract), and the isNotNull filter drops them.
+    // The checkpoint is a deliberate optimizer BARRIER: the filter
+    // and the two struct-field projections below would each re-inline
+    // the kernel (alias substitution, no CSE — measured 3× the scan
+    // cost at 100×); materializing (id, best) runs it exactly once
+    // per row, and the stored frame is two scalars per doc.
+    val scored = tr
+      .select(col("id"),
+        VectorExpressions.bestCosineMatch(col("tv"), mat, norms).as("best"))
+      .localCheckpoint(true)
+      .filter(col("best").isNotNull && col("best.cosine") >= threshold)
+      .select(col("id"), col("best.idx").as("idx"), col("best.cosine").as("cosine"))
+    scored.join(broadcast(evIdx), "idx")
+      .select(col("id"), col("eval_id"), col("cosine"))
   }
 }

@@ -45,7 +45,7 @@ object Similarity {
     * + multiply + compare and NO allocation; only near-threshold
     * survivors pay the exact decimal round, which stays the deciding
     * conjunct so results are bit-identical. */
-  private[operators] def rawGate(dot: Column, na: Column, nb: Column, threshold: Double): Column =
+  private def rawGate(dot: Column, na: Column, nb: Column, threshold: Double): Column =
     dot >= lit(threshold - 1e-6) * na * nb
 
   /** (vec_a, vec_b, cosine) for all pairs with rounded cosine ≥ t.

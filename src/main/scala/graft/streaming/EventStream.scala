@@ -52,6 +52,27 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** D14: streaming canonical-URL dedup gate — C48's canonicalizer
+    * (functions.UrlFunctions) applied IN-FLIGHT, then D3's
+    * watermark-bounded keep-first on the canonical key: the
+    * CommonCrawl-style first dedup gate run at ingest, so no later
+    * stage ever sees URL-variant duplicates of a page. Malformed
+    * URLs (NULL canonical) are DROPPED rather than deduped — a
+    * shared null key would collapse unrelated garbage onto one
+    * surviving row. Input needs (ts: timestamp, `urlCol`: string);
+    * the emitted rows carry the canonical key for downstream joins.
+    * Scale: the canonicalization is pure map-side expression work in
+    * the same stage as the source; state is one row per DISTINCT
+    * canonical URL inside the lateness horizon, not per raw spelling. */
+  def urlDedup(pages: DataFrame, urlCol: String,
+               watermark: String = "2 hours"): DataFrame =
+    pages
+      .withColumn("canonical_url",
+        graft.functions.UrlFunctions.canonicalize(col(urlCol)))
+      .filter(col("canonical_url").isNotNull)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("canonical_url"))
+
   /** A click (left side of the D4 attribution join). */
   case class Click(user_id: Long, click_id: Long, click_ts: Timestamp)
 

@@ -170,6 +170,27 @@ class WideningSpec extends SparkSpec {
     assert(orcBack == want)
   }
 
+  test("D14 urlDedup: variants collapse on the canonical key; malformed rows drop") {
+    import WideningSpec.Page
+    val input = MemoryStream[Page](spark)(Encoders.product[Page])
+    val q = EventStream.urlDedup(input.toDF(), "url", watermark = "1 hour")
+      .writeStream.format("memory").queryName("d14_out")
+      .outputMode(OutputMode.Append).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      input.addData(
+        Page(t("2024-01-01 10:00:00"), "https://Site.ORG:443/a/?utm_source=x&b=2&a=1#f"),
+        Page(t("2024-01-01 10:00:05"), "https://site.org/a?a=1&b=2"), // same canonical
+        Page(t("2024-01-01 10:00:10"), "https://site.org/other"),
+        Page(t("2024-01-01 10:00:15"), "not a url at all"))          // NULL → dropped
+      q.processAllAvailable()
+      val got = spark.sql("SELECT canonical_url, count(*) c FROM d14_out GROUP BY 1")
+        .as[(String, Long)].collect().toMap
+      assert(got == Map("https://site.org/a?a=1&b=2" -> 1L,
+        "https://site.org/other" -> 1L), got.toString)
+    } finally q.stop()
+  }
+
   test("D3 streaming dedup keeps first occurrence within watermark") {
     val input = MemoryStream[EventStream.Event](spark)(Encoders.product[EventStream.Event])
     val q = EventStream.dedup(input.toDF(), Seq("event_id"), watermark = "1 hour")
@@ -189,4 +210,9 @@ class WideningSpec extends SparkSpec {
       assert(ids == Map(100L -> 1L, 200L -> 1L)) // dup event_id 100 dropped twice
     } finally q.stop()
   }
+}
+
+object WideningSpec {
+  /** A crawled page row for the D14 gate (top-level: encoder TypeTag). */
+  case class Page(ts: Timestamp, url: String)
 }
