@@ -611,6 +611,22 @@ object SparkEntry {
       .orderBy(col("host"))
   }
 
+  /** C52 trained quality classifier: multinomial NB over word
+    * unigrams, trained on labeled seed splits (pos = id%10==1, neg =
+    * id%10==2 — the curated-vs-crawl seed pair of the GPT-3 recipe),
+    * scoring EVERY doc with prior + per-token log-odds and a keep
+    * verdict at cutoff 0. C46's portability discipline: 8-rounded
+    * model terms, decimal per-doc sums. */
+  private def c52(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = operators.Classifier.train(
+      docs.filter(col("doc_id") % 10 === 1), docs.filter(col("doc_id") % 10 === 2),
+      col("doc_id"), col("text"))
+    operators.Classifier.score(docs, col("doc_id"), col("text"), model)
+      .select(col("id").as("doc_id"), col("n_hits"), col("logodds"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C30 token-budget shard packing: docs → fixed-budget training
     * shards by exclusive prefix sum of whitespace token counts in
     * doc_id order — two-phase distributed prefix sum, never a global
@@ -1348,7 +1364,8 @@ object SparkEntry {
     "c48_url_canonical" -> (c48 _),
     "c49_decontaminate_attrib" -> (c49 _),
     "c50_decontaminate_semantic" -> (c50 _),
-    "c51_host_pagerank" -> (c51 _))
+    "c51_host_pagerank" -> (c51 _),
+    "c52_quality_classifier" -> (c52 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -2302,6 +2319,33 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rnk
         |      FROM s WHERE cosine >= 0.3)
         |SELECT vec_id, eval_id, cosine FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    // c52 = NB classifier replayed in SQL: same token split, add-one
+    // smoothing over the joint seed vocab, 8-rounded log-odds,
+    // decimal per-doc sums + prior (the c46 discipline)
+    "c52_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |pc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cp FROM occ WHERE doc_id % 10 = 1 GROUP BY 1),
+        |nc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cn FROM occ WHERE doc_id % 10 = 2 GROUP BY 1),
+        |joint AS (SELECT tok, cp, cn FROM pc FULL OUTER JOIN nc USING (tok)),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM joint) AS v,
+        |               (SELECT CAST(coalesce(sum(cp),0) AS BIGINT) FROM pc) AS np,
+        |               (SELECT CAST(coalesce(sum(cn),0) AS BIGINT) FROM nc) AS nn,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 10 = 1) AS dp,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 10 = 2) AS dn),
+        |w AS (SELECT tok, round(ln((coalesce(cp,0) + 1.0) / (np + v)) -
+        |                        ln((coalesce(cn,0) + 1.0) / (nn + v)), 8) AS w
+        |      FROM joint CROSS JOIN tot),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |               sum(CAST(w AS DECIMAL(20,8))) AS s
+        |        FROM occ JOIN w USING (tok) GROUP BY 1),
+        |pri AS (SELECT round(ln(dp::DOUBLE / dn), 8) AS prior FROM tot)
+        |SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+        |  round(CAST(coalesce(s, 0) AS DOUBLE) + (SELECT prior FROM pri), 6) AS logodds,
+        |  (round(CAST(coalesce(s, 0) AS DOUBLE) + (SELECT prior FROM pri), 6) > 0.0) AS keep
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     // c51 = three unrolled fixed-point PageRank iterations; integer
     // floor division throughout, so the numbers are engine-exact
     "c51_host_pagerank" ->

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier (SURVEY C52) — the supervised stage of
+  * a web-corpus pipeline: GPT-3 filtered Common Crawl with a
+  * classifier trained on curated positives vs crawl negatives (Brown
+  * et al. 2020, Appendix A), and CCNet/LLaMA ship the same idea as a
+  * fastText model. C9/C44 are RULE gates; this LEARNS the decision
+  * from labeled seed sets, as a multinomial Naive Bayes over word
+  * unigrams — the linear model fastText reduces to for this task —
+  * expressed entirely as aggregations, so training is two count
+  * passes, not an iterative solver.
+  *
+  * Relationship to DSIR (C46): both score log-likelihood ratios; C46
+  * hashes features into a fixed bucket space and targets RESAMPLING
+  * weights, this keeps the explicit seed vocabulary, adds class
+  * PRIORS from the labeled doc counts, and emits a keep/drop verdict
+  * — the filter-stage contract.
+  *
+  * Portability discipline = C46's exactly (§4.1): per-token log-odds
+  * round to 8 decimals in the model, per-doc sums run in DECIMAL
+  * over the rounded terms, final score cast double and rounded 6.
+  * Out-of-vocabulary tokens contribute nothing (fastText inference
+  * without subwords does the same); docs with NO in-vocab tokens
+  * score exactly the prior.
+  *
+  * Shape at 100 TB: seed corpora are curated samples — small by
+  * construction — so training aggregates seed-sized data into a
+  * vocabulary-sized model table; V and the token totals are driver
+  * scalars OF THAT TABLE (never a corpus rescan, C39/C43's rule).
+  * Scoring is one map-side explode + a broadcast join on the model +
+  * one per-doc aggregation — identical to C46's scoring shape.
+  */
+object Classifier {
+
+  /** (tok, w) log-odds table (seed-vocabulary-sized, broadcastable)
+    * plus the log prior-odds ln(|pos docs| / |neg docs|), rounded 8. */
+  final case class Model(table: DataFrame, prior: Double)
+
+  /** Word-unigram occurrences (with multiplicity) of lower(text);
+    * explode_outer keeps token-less docs as one null row so scoring
+    * can emit every doc. */
+  private def toks(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"),
+      explode_outer(graft.plans.TextExpressions.wordNgrams(lower(text), 1)).as("tok"))
+
+  /** Train on labeled seeds: per joint-vocabulary token,
+    * w(tok) = round(ln((c_pos+1)/(N_pos+V)) − ln((c_neg+1)/(N_neg+V)), 8)
+    * (add-one smoothing over the joint vocab, so every vocab token is
+    * defined for both classes); prior = round(ln(D_pos/D_neg), 8).
+    * N/V/D are driver scalars of the vocab-sized count tables and the
+    * seed-sized inputs. */
+  def train(pos: DataFrame, neg: DataFrame, id: Column, text: Column): Model = {
+    val pc = toks(pos, id, text).filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cp")).localCheckpoint(true)
+    val nc = toks(neg, id, text).filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cn")).localCheckpoint(true)
+    val joint = pc.join(nc, Seq("tok"), "full_outer").localCheckpoint(true)
+    val v = joint.count().toDouble
+    val np = pc.agg(coalesce(sum(col("cp")), lit(0L))).head().getLong(0).toDouble
+    val nn = nc.agg(coalesce(sum(col("cn")), lit(0L))).head().getLong(0).toDouble
+    val table = joint.select(col("tok"),
+      round(log((coalesce(col("cp"), lit(0L)) + 1.0) / (np + v)) -
+        log((coalesce(col("cn"), lit(0L)) + 1.0) / (nn + v)), 8).as("w"))
+    val dp = pos.count().toDouble
+    val dn = neg.count().toDouble
+    val prior = BigDecimal(math.log(dp / dn))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Model(table, prior)
+  }
+
+  /** (id, n_hits, logodds, keep) per document: logodds =
+    * round(prior + Σ w(tok) over in-vocab occurrences, 6) decimal-
+    * summed; keep = logodds > cutoff. n_hits counts the in-vocab
+    * occurrences, so a prior-only verdict (n_hits = 0) is auditable. */
+  def score(docs: DataFrame, id: Column, text: Column, model: Model,
+            cutoff: Double = 0.0): DataFrame =
+    toks(docs, id, text)
+      .join(broadcast(model.table), Seq("tok"), "left")
+      .select(col("id"), col("w").cast("decimal(20,8)").as("w"))
+      .groupBy(col("id"))
+      .agg(count(col("w")).as("n_hits"),
+        coalesce(sum(col("w")), lit(BigDecimal(0))).as("s"))
+      .select(col("id"), col("n_hits"),
+        round(col("s").cast("double") + model.prior, 6).as("logodds"))
+      .withColumn("keep", col("logodds") > cutoff)
+}
