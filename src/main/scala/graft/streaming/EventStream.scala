@@ -452,6 +452,36 @@ object EventStream {
       }
       .start()
 
+  /** D15: in-flight TRAINED-classifier gate (twin of C52) — the last
+    * rung of the streaming quality ladder: D7 applies rule gates,
+    * D12 an LM-perplexity cutoff, D13 a DSIR domain steer, and this
+    * one the supervised keep/drop verdict of a frozen
+    * `Classifier.Model` (train offline on labeled seeds; the
+    * vocab-sized log-odds table broadcasts identically at any corpus
+    * size). Docs with `logodds <= cutoff` never land. Same
+    * foreachBatch + idempotent-merge reasoning as D12/D13: scoring
+    * is an aggregation, replays are absorbed by the keyed merge. */
+  def classifierGateSink(docs: DataFrame, idName: String, text: Column,
+                         model: graft.operators.Classifier.Model, cutoff: Double,
+                         path: String, partCol: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val keep = graft.operators.Classifier
+            .score(batch, col(idName), text, model, cutoff)
+            .filter(col("keep"))
+            .select(col("id").as(idName))
+          val survivors = batch.join(keep, Seq(idName), "left_semi")
+          if (!survivors.isEmpty)
+            graft.operators.Upsert.mergeWritePartitioned(
+              survivors, Seq(idName), Seq(col(idName)), path, partCol)
+        }
+      }
+      .start()
+
   /** D10: continuous near-dup ingest gate — the streaming form of
     * C34. Each micro-batch is gated through the SAME
     * `Incremental.gate` the batch operator runs (banded minhash

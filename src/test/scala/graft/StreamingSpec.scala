@@ -457,6 +457,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D15 classifierGateSink: frozen trained model gates equal to the batch C52 rule") {
+    import org.apache.spark.sql.functions.col
+    // frozen model trained on labeled seeds: clean prose vs spam
+    val posSeed = (1L to 10L).map(i =>
+      IngestDoc(i, "en", "clear prose with careful argument and clean structure"))
+    val negSeed = (11L to 20L).map(i =>
+      IngestDoc(i, "en", "buy now spam click free winner prize offer deal"))
+    val model = graft.operators.Classifier.train(
+      spark.createDataFrame(posSeed), spark.createDataFrame(negSeed),
+      col("doc_id"), col("text"))
+    val incoming = Seq(
+      IngestDoc(100L, "en", "careful clean argument in clear prose"),
+      IngestDoc(101L, "en", "click free spam offer buy now"),
+      IngestDoc(102L, "en", "clean structure and careful prose"))
+    val batchRows = graft.operators.Classifier.score(
+        spark.createDataFrame(incoming), col("doc_id"), col("text"), model)
+      .collect().map(r => (r.getLong(0), (r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(batchRows(100L)._2 && !batchRows(101L)._2 && batchRows(102L)._2)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-d15").toString
+    val input = MemoryStream[IngestDoc](spark)(Encoders.product[IngestDoc])
+    val q = EventStream.classifierGateSink(input.toDF(), "doc_id", col("text"),
+      model, cutoff = 0.0, dir + "/corpus", "lang", dir + "/ckpt")
+    try {
+      input.addData(incoming: _*)
+      q.processAllAvailable()
+      val landed = spark.read.parquet(dir + "/corpus").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(landed == Set(100L, 102L))
+      // identical to the batch rule on the same input
+      assert(landed == batchRows.filter(_._2._2).keySet)
+    } finally q.stop()
+  }
+
   test("D11 splitSink: in-flight split equals the batch rule; partitioned layout") {
     import org.apache.spark.sql.functions.col
     val docs = (1L to 200L).map(i => IngestDoc(i, "en", s"doc number $i"))
