@@ -53,6 +53,13 @@ object Classifier {
     * N/V/D are driver scalars of the vocab-sized count tables and the
     * seed-sized inputs. */
   def train(pos: DataFrame, neg: DataFrame, id: Column, text: Column): Model = {
+    val dp = pos.count().toDouble
+    val dn = neg.count().toDouble
+    // an empty seed would make the prior ±Inf and every smoothing
+    // denominator degenerate — fail loudly at train time, not as NaN
+    // verdicts at scoring time
+    require(dp > 0 && dn > 0,
+      s"Classifier.train: both seed sets must be non-empty (pos=$dp, neg=$dn)")
     val pc = toks(pos, id, text).filter(col("tok").isNotNull)
       .groupBy(col("tok")).agg(count(lit(1)).as("cp")).localCheckpoint(true)
     val nc = toks(neg, id, text).filter(col("tok").isNotNull)
@@ -64,8 +71,6 @@ object Classifier {
     val table = joint.select(col("tok"),
       round(log((coalesce(col("cp"), lit(0L)) + 1.0) / (np + v)) -
         log((coalesce(col("cn"), lit(0L)) + 1.0) / (nn + v)), 8).as("w"))
-    val dp = pos.count().toDouble
-    val dn = neg.count().toDouble
     val prior = BigDecimal(math.log(dp / dn))
       .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
     Model(table, prior)

@@ -120,6 +120,31 @@ class DegenerateInputSpec extends SparkSpec {
       col("doc_id"), col("text")).count() == 0)
   }
 
+  test("semanticMatches / PageRank / Classifier degenerate inputs") {
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("id", "v")
+    val one = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v")
+    // empty eval flags nothing (and keeps the 3-column schema);
+    // empty train → empty; all-zero-norm eval behaves as empty
+    assert(Contamination.semanticMatches(one, noVecs, col("id"), col("v"), 0.5).count() == 0)
+    assert(Contamination.semanticMatches(noVecs, one, col("id"), col("v"), 0.5).count() == 0)
+    val zeroEv = Seq((9L, Array(0.0f, 0.0f))).toDF("id", "v")
+    val emptyOut = Contamination.semanticMatches(one, zeroEv, col("id"), col("v"), 0.5)
+    assert(emptyOut.columns.toSeq == Seq("id", "eval_id", "cosine") && emptyOut.count() == 0)
+    // classifier refuses an empty seed loudly instead of NaN verdicts
+    val noDocs2 = Seq.empty[(Long, String)].toDF("id", "t")
+    intercept[IllegalArgumentException] {
+      graft.operators.Classifier.train(noDocs2,
+        Seq((1L, "x")).toDF("id", "t"), col("id"), col("t"))
+    }
+    // token-less seeds train an empty vocab: every doc scores the prior
+    val blank = Seq((1L, "")).toDF("id", "t")
+    val m = graft.operators.Classifier.train(blank, blank, col("id"), col("t"))
+    val s = graft.operators.Classifier.score(
+        Seq((5L, "anything at all")).toDF("id", "t"), col("id"), col("t"), m)
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(s == ((5L, 0L, 0.0, false)))
+  }
+
   test("ReAgg on empty input: zero rows at every level, like native rollup") {
     // grouped aggregation over an empty input yields no groups at ANY
     // grouping set — native rollup emits nothing, not even a grand
