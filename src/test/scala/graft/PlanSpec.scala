@@ -230,6 +230,14 @@ class PlanSpec extends SparkSpec {
     assert(p46.contains("BroadcastHashJoin"), p46)
   }
 
+  test("c52 classifier scoring: model join broadcasts, never shuffles the corpus") {
+    val p = finalPlan("c52_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-sized token explode must hash-join the vocab-sized
+    // model — sorting the exploded corpus would be the 100 TB killer
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("c48 url canonicalization: map-side, no join, one grouping exchange") {
     // the adaptive plan string repeats exchanges in its "Initial
     // Plan" echo — scope the count to the finalized section
