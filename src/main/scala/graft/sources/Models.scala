@@ -72,6 +72,36 @@ object Models {
   def loadCoarse(spark: SparkSession, path: String): Seq[Seq[Double]] =
     loadPQ(spark, path).centroids.head
 
+  /** Publish a trained quality-classifier model (C52): the (tok, w)
+    * log-odds table plus ONE tok-NULL row carrying the prior (no
+    * real token is null — `Classifier.toks` filters them), so the
+    * whole model is a single engine-portable parquet table under the
+    * same marker-committed snapshot discipline as the codebooks.
+    * This is what makes the D15 ingest gate restartable: train
+    * offline, publish, and every gate restart reloads the exact
+    * frozen model (parquet doubles round-trip bit-for-bit). */
+  def saveClassifier(spark: SparkSession, model: graft.operators.Classifier.Model,
+                     path: String, keep: Int = 1): Long = {
+    val rows = model.table.select(col("tok"), col("w"))
+      .unionByName(spark.range(1)
+        .select(lit(null).cast("string").as("tok"), lit(model.prior).as("w")))
+    // vocab-sized (seed vocabulary — MBs, not corpus-scale): one file
+    write(spark, rows.repartition(1), path, keep)
+  }
+
+  /** Load the current classifier snapshot; the table stays a lazy
+    * scan of the snapshot (broadcast at scoring time), only the
+    * prior row is read eagerly. */
+  def loadClassifier(spark: SparkSession, path: String): graft.operators.Classifier.Model = {
+    val t = Versioned.read(spark, path)
+      .select(col("tok"), col("w").cast("double"))
+    val priorRows = t.filter(col("tok").isNull).select(col("w")).collect()
+    require(priorRows.length == 1,
+      s"Models.loadClassifier: expected exactly one prior row at $path, " +
+        s"got ${priorRows.length} — corrupt model table")
+    graft.operators.Classifier.Model(t.filter(col("tok").isNotNull), priorRows(0).getDouble(0))
+  }
+
   private def write(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
                     path: String, keep: Int): Long =
     Versioned.write(df, path, keep)

@@ -56,6 +56,25 @@ class ModelsSpec extends SparkSpec {
     assert(spark.read.parquet(v1Dir).count() == 2L * 4L)
   }
 
+  test("classifier model round-trips: identical scores from the loaded snapshot") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pos = Seq((1L, "good clean text"), (2L, "clean prose")).toDF("id", "t")
+    val neg = Seq((10L, "spam junk"), (11L, "junk junk click")).toDF("id", "t")
+    val trained = graft.operators.Classifier.train(pos, neg, col("id"), col("t"))
+    val path = Files.createTempDirectory("graft-models").toString + "/clf"
+    Models.saveClassifier(spark, trained, path)
+    val loaded = Models.loadClassifier(spark, path)
+    assert(loaded.prior == trained.prior)
+    val docs = Seq((100L, "clean text"), (101L, "junk click"), (102L, "zzz")).toDF("id", "t")
+    def scores(m: graft.operators.Classifier.Model) =
+      graft.operators.Classifier.score(docs, col("id"), col("t"), m)
+        .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(scores(loaded) == scores(trained))
+    // the prior row never leaks into the vocabulary
+    assert(loaded.table.filter(col("tok").isNull).count() == 0)
+  }
+
   test("dead cells (empty centroids) survive the round trip") {
     val path = Files.createTempDirectory("graft-models").toString + "/dead"
     val withDead = PQ.Model(2, 3, 4, Seq(
