@@ -58,6 +58,30 @@ object PageRank {
             iters: Int, dampingPct: Int = 85,
             unit: Long = 1000000000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    run(edges, src, dst, weight, dampingPct, unit,
+      maxIters = iters, tolUnits = -1L)._1
+  }
+
+  /** `ranks` iterated TO CONVERGENCE: stop when no node's rank moved
+    * by more than `tolUnits` fixed-point units in an iteration (the
+    * L∞ delta — an exact integer comparison, so "converged" means
+    * the same thing on every engine and partitioning), or at
+    * `maxIters`. Returns (ranks, iterations run). The delta check
+    * adds one driver scalar per iteration — same traffic class as
+    * the iteration's own aggregation. `tolUnits` must be ≥ 1: the
+    * floor arithmetic can oscillate by single units forever, so a
+    * zero tolerance may never terminate. */
+  def ranksConverged(edges: DataFrame, src: Column, dst: Column, weight: Column,
+                     tolUnits: Long, maxIters: Int = 50, dampingPct: Int = 85,
+                     unit: Long = 1000000000000L): (DataFrame, Int) = {
+    require(tolUnits >= 1, s"tolUnits must be >= 1, got $tolUnits")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    run(edges, src, dst, weight, dampingPct, unit, maxIters, tolUnits)
+  }
+
+  private def run(edges: DataFrame, src: Column, dst: Column, weight: Column,
+                  dampingPct: Int, unit: Long, maxIters: Int,
+                  tolUnits: Long): (DataFrame, Int) = {
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct in [0,100], got $dampingPct")
     val e = edges.select(src.as("src"), dst.as("dst"), weight.cast("long").as("w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
@@ -66,23 +90,34 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
-    if (n == 0) return nodes.withColumn("rank", lit(0L))
+    if (n == 0) return (nodes.withColumn("rank", lit(0L)), 0)
     // outdeg rides the edge row so each iteration's contribution is
     // one projection after the rank join — no second join per step
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
     val ew = e.join(deg, "src").localCheckpoint(true)
     val base = (unit * (100 - dampingPct) / 100) / n // scala long div = floor for positives
     var r = nodes.withColumn("rank", lit(unit / n))
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
       val contrib = ew.join(r, ew("src") === r("node"))
         .select(col("dst").as("node"),
           expr("(rank * w) div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-      r = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"(coalesce(cs, 0L) * $dampingPct) div 100")).as("rank"))
         .localCheckpoint(true)
+      if (tolUnits >= 0) {
+        // L∞ delta as a driver scalar; exact integers, so the stop
+        // decision is identical on every engine and partitioning
+        val delta = next.join(r.withColumnRenamed("rank", "prev"), "node")
+          .agg(max(abs(col("rank") - col("prev")))).head().getLong(0)
+        converged = delta <= tolUnits
+      }
+      r = next
+      it += 1
     }
-    r
+    (r, it)
   }
 }

@@ -72,6 +72,29 @@ class PageRankSpec extends SparkSpec {
     assert(a == reference(edges, 3))
   }
 
+  test("ranksConverged stops at a fixed point and matches the fixed-iter recurrence") {
+    val edges = Seq(
+      ("b", "a", 3L), ("c", "a", 1L), ("d", "a", 5L), ("e", "a", 1L),
+      ("b", "c", 1L), ("c", "d", 2L), ("a", "b", 2L))
+    // damping 85% contracts deltas by ~0.85/iteration from ~unit/n,
+    // so tol = 5e7 units (≈5e-5 of the mass) needs ~45 iterations
+    val tol = 50000000L
+    val (rdf, iters) = PageRank.ranksConverged(edges.toDF("s", "d", "w"),
+      col("s"), col("d"), col("w"), tolUnits = tol, maxIters = 60)
+    val got = rdf.as[(String, Long)].collect().toMap
+    assert(iters < 60, s"must converge before the cap, ran $iters")
+    // converged result = the fixed-iteration recurrence run that long
+    assert(got == reference(edges, iters), s"iters=$iters")
+    // one more iteration moves nothing by more than the tolerance
+    // (contraction: the post-stop delta only shrinks further)
+    val next = reference(edges, iters + 1)
+    assert(got.forall { case (k, v) => math.abs(next(k) - v) <= tol })
+    // a tight cap stops early and honestly reports it
+    val (_, capped) = PageRank.ranksConverged(edges.toDF("s", "d", "w"),
+      col("s"), col("d"), col("w"), tolUnits = 1L, maxIters = 2)
+    assert(capped == 2)
+  }
+
   test("degenerate inputs: empty graph, single self-loop") {
     assert(run(Nil, 3).isEmpty)
     val loop = run(Seq(("solo", "solo", 2L)), 3)
