@@ -627,6 +627,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C53 hashed random-projection doc embeddings: the model-free
+    * embedding generator (feature hashing × ±1 projection — SimHash's
+    * continuous cousin) that manufactures the vector column C5/C36/
+    * C50 consume. 16 dims, emitted as e0..e15 rounded doubles (flat
+    * columns hash-compare portably; the library API returns the
+    * array). Zero-norm docs → NULL embedding, n_toks preserved. */
+  private def c53(s: SparkSession, dir: String): DataFrame = {
+    val emb = operators.Embeddings.project(
+      t(s, dir, "documents"), col("doc_id"), col("text"), dims = 16)
+    emb.select(col("id").as("doc_id") +: col("n_toks") +:
+        (0 until 16).map(j => element_at(col("emb"), j + 1).as(s"e$j")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** C30 token-budget shard packing: docs → fixed-budget training
     * shards by exclusive prefix sum of whitespace token counts in
     * doc_id order — two-phase distributed prefix sum, never a global
@@ -1365,7 +1379,8 @@ object SparkEntry {
     "c49_decontaminate_attrib" -> (c49 _),
     "c50_decontaminate_semantic" -> (c50 _),
     "c51_host_pagerank" -> (c51 _),
-    "c52_quality_classifier" -> (c52 _))
+    "c52_quality_classifier" -> (c52 _),
+    "c53_doc_embeddings" -> (c53 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -2319,6 +2334,36 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rnk
         |      FROM s WHERE cosine >= 0.3)
         |SELECT vec_id, eval_id, cosine FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    // c53 = the hashed projection replayed: same md5 hex-char bit
+    // extraction as the c3 oracle, exact integer per-dim sums, one
+    // rounded division per element; zero-norm docs keep NULL dims
+    "c53_doc_embeddings" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |occ AS (SELECT doc_id, md5(unnest(t)) AS h FROM toks),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM occ GROUP BY 1),
+        |bits AS (
+        |  SELECT doc_id, j.j AS j,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + j.j // 4, 1)) - 1)
+        |               >> (j.j % 4)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM occ CROSS JOIN (SELECT unnest(range(0,16)) AS j) j),
+        |sums AS (SELECT doc_id, j, CAST(sum(sgn) AS BIGINT) AS s FROM bits GROUP BY 1,2),
+        |nrm AS (SELECT doc_id, sum(s*s) AS n2 FROM sums GROUP BY 1),
+        |emb AS (
+        |  SELECT s.doc_id,
+        |""".stripMargin +
+        (0 until 16).map(j =>
+          s"    max(CASE WHEN j = $j THEN CASE WHEN n2 = 0 THEN NULL " +
+          s"ELSE round(s::DOUBLE/sqrt(n2::DOUBLE), 6) END END) AS e$j").mkString(",\n") +
+        """
+        |  FROM sums s JOIN nrm USING (doc_id) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(cnt.n_toks, 0) AS n_toks,
+        |""".stripMargin +
+        (0 until 16).map(j => s"  e$j").mkString(",\n") +
+        """
+        |FROM documents d LEFT JOIN cnt USING (doc_id) LEFT JOIN emb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     // c52 = NB classifier replayed in SQL: same token split, add-one
     // smoothing over the joint seed vocab, 8-rounded log-odds,
     // decimal per-doc sums + prior (the c46 discipline)
