@@ -641,6 +641,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C53b — the closed loop, end to end: manufacture embeddings from
+    * raw text (C53) and semantically dedup on them (C36, exhaustive
+    * nCells = 1), so the whole text → vector → dedup chain sits under
+    * one DuckDB oracle (the c16b/c36b twin pattern). Near-dup doc
+    * families project to cosine ≈ 1, so the 0.95 gate drops real
+    * rows at every sf. */
+  private def c53b(s: SparkSession, dir: String): DataFrame = {
+    val emb = operators.Embeddings.project(
+        t(s, dir, "documents"), col("doc_id"), col("text"), dims = 16)
+      .filter(col("emb").isNotNull)
+    Similarity.semDedup(emb, col("id"), col("emb"),
+        threshold = 0.95, nCells = 1, iters = 0)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C30 token-budget shard packing: docs → fixed-budget training
     * shards by exclusive prefix sum of whitespace token counts in
     * doc_id order — two-phase distributed prefix sum, never a global
@@ -1380,7 +1396,8 @@ object SparkEntry {
     "c50_decontaminate_semantic" -> (c50 _),
     "c51_host_pagerank" -> (c51 _),
     "c52_quality_classifier" -> (c52 _),
-    "c53_doc_embeddings" -> (c53 _))
+    "c53_doc_embeddings" -> (c53 _),
+    "c53b_embed_semdedup" -> (c53b _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
@@ -2364,6 +2381,35 @@ object SparkEntry {
         """
         |FROM documents d LEFT JOIN cnt USING (doc_id) LEFT JOIN emb USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // c53b = the whole text → embedding → semantic-dedup chain under
+    // one oracle: c53's projection CTEs feeding c36b's exhaustive
+    // drop-if-smaller-id-neighbor rule over the 16 rounded dims
+    "c53b_embed_semdedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |occ AS (SELECT doc_id, md5(unnest(t)) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j.j AS j,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + j.j // 4, 1)) - 1)
+        |               >> (j.j % 4)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM occ CROSS JOIN (SELECT unnest(range(0,16)) AS j) j),
+        |sums AS (SELECT doc_id, j, CAST(sum(sgn) AS BIGINT) AS s FROM bits GROUP BY 1,2),
+        |nrm AS (SELECT doc_id, sum(s*s) AS n2 FROM sums GROUP BY 1),
+        |vec AS (SELECT s.doc_id, list(round(s.s::DOUBLE/sqrt(n.n2::DOUBLE),6) ORDER BY s.j) AS v
+        |        FROM sums s JOIN nrm n USING (doc_id) WHERE n.n2 > 0 GROUP BY s.doc_id),
+        |nn AS (SELECT doc_id, v,
+        |         sqrt(list_sum(list_transform(range(1,17), i -> v[i]*v[i]))) AS nrm
+        |       FROM vec),
+        |dropped AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM nn a JOIN nn b ON a.doc_id < b.doc_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0
+        |    AND round(list_sum(list_transform(range(1,17), i -> a.v[i]*b.v[i])) /
+        |          (a.nrm * b.nrm), 6) >= 0.95)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS cell
+        |FROM nn WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     // c52 = NB classifier replayed in SQL: same token split, add-one
     // smoothing over the joint seed vocab, 8-rounded log-odds,
     // decimal per-doc sums + prior (the c46 discipline)
