@@ -646,11 +646,20 @@ object SparkEntry {
     * nCells = 1), so the whole text → vector → dedup chain sits under
     * one DuckDB oracle (the c16b/c36b twin pattern). Near-dup doc
     * families project to cosine ≈ 1, so the 0.95 gate drops real
-    * rows at every sf. */
+    * rows at every sf. Input capped to doc_id < 2000: an exhaustive
+    * twin is a CORRECTNESS pin, and the cap keeps its all-pairs
+    * verify at a constant ~2·10⁶ candidates at every sf (uncapped it
+    * measured 162 s at sf1 — pair count, not an engine defect; c53
+    * itself carries the scaling evidence). */
   private def c53b(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint: semDedup references its input several times (norms,
+    // assignment, both pair-join sides) — materialize the ~2000
+    // manufactured vectors once instead of re-running the projection
     val emb = operators.Embeddings.project(
-        t(s, dir, "documents"), col("doc_id"), col("text"), dims = 16)
+        t(s, dir, "documents").filter(col("doc_id") < 2000),
+        col("doc_id"), col("text"), dims = 16)
       .filter(col("emb").isNotNull)
+      .localCheckpoint(true)
     Similarity.semDedup(emb, col("id"), col("emb"),
         threshold = 0.95, nCells = 1, iters = 0)
       .select(col("vec_id").as("doc_id"), col("cell"))
@@ -2387,7 +2396,7 @@ object SparkEntry {
     "c53b_embed_semdedup" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') AS t
-        |  FROM documents),
+        |  FROM documents WHERE doc_id < 2000),
         |occ AS (SELECT doc_id, md5(unnest(t)) AS h FROM toks),
         |bits AS (
         |  SELECT doc_id, j.j AS j,
