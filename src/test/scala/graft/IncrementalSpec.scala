@@ -125,6 +125,15 @@ class IncrementalSpec extends SparkSpec {
       vdf(Seq(1L -> Seq(1.0, 1.0))), vdf(Seq(9L -> Seq(1.0, 0.0))),
       col("id"), col("v"), 0.707107).as[(Long, Long, Double)].collect()
     assert(exact.map(_._3).toSeq == Seq(0.707107), s"rounded-edge pair must pass: ${exact.toSeq}")
+    // ties are decided on the ROUNDED cosine: two evals whose raw
+    // cosines differ by 3e-7 (same 6-decimal value) must resolve to
+    // the SMALLER id even though its raw cosine is the lower one
+    val y = math.sqrt(1.0 - 0.5 * 0.5)
+    val tie = Contamination.semanticMatches(
+      vdf(Seq(1L -> Seq(1.0, 0.0))),
+      vdf(Seq(5L -> Seq(0.5000001, y), 6L -> Seq(0.5000004, y))),
+      col("id"), col("v"), 0.4).as[(Long, Long, Double)].collect()
+    assert(tie.toSeq == Seq((1L, 5L, 0.5)), s"rounded tie must pick id 5: ${tie.toSeq}")
   }
 
   test("batch signatures returned by gate equal signatures() of the same docs") {

@@ -238,6 +238,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("c50/c53: native-kernel scans — no corpus join, no corpus sort-merge") {
+    // c50: the only join is the tiny idx→eval_id broadcast; the
+    // corpus side is a checkpointed kernel scan
+    val p50 = finalPlan("c50_decontaminate_semantic")
+    assert(!p50.contains("SortMergeJoin"), p50)
+    assert(p50.contains("BroadcastHashJoin"), p50)
+    // c53: pure map-side projection + ONE per-doc aggregation — any
+    // join means the projection stopped being expression-only
+    val p53 = finalPlan("c53_doc_embeddings").split("== Initial Plan ==")(0)
+    assert(!p53.contains("Join"), p53)
+    assert("Exchange hashpartitioning".r.findAllIn(p53).size <= 1, p53)
+  }
+
   test("c48 url canonicalization: map-side, no join, one grouping exchange") {
     // the adaptive plan string repeats exchanges in its "Initial
     // Plan" echo — scope the count to the finalized section
