@@ -168,6 +168,26 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes("UTF-8"))
     } catch { case e: Exception => System.err.println(s"[bench] $outPath not written: $e") }
+    // Per-round ARCHIVE copy: bench_out.json is overwritten by every
+    // run, so round N+1's first run would destroy round N's per-query
+    // record. The round number is inferred from the newest BENCH_r<N>
+    // stdout scrape the driver committed (absent in round 1 → r01);
+    // SPARK_GRAFT_ROUND overrides. Full driver runs only — a filtered
+    // local profiling run must not overwrite the round's archive.
+    if (args.isEmpty) try {
+      import scala.jdk.CollectionConverters._
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val seen = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+          .iterator().asScala
+          .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+          .toSeq
+        if (seen.isEmpty) 1 else seen.max + 1
+      }
+      val arch = f"bench_out_r$round%02d.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(arch),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"[bench] archive not written: $e") }
     spark.stop()
     println(line)
   }

@@ -568,7 +568,10 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val train = docs.filter(col("doc_id") % 100 =!= 0)
     val eval = docs.filter(col("doc_id") % 100 === 0)
-    val bench = concat(lit("bench"), (col("doc_id") / 100).cast("long") % 3)
+    // integer floor division (`div`), matching the oracle's `// 100`:
+    // double division + cast truncates, which diverges for negative or
+    // > 2^53 ids
+    val bench = concat(lit("bench"), expr("doc_id div 100") % 3)
     operators.Contamination.sharedGramsByBenchmark(
         train, eval, col("doc_id"), lower(col("text")), bench, 3)
       .select(col("id").as("doc_id"), col("benchmark"), col("shared_grams"))
@@ -778,6 +781,20 @@ object SparkEntry {
     val e = t(s, dir, "embeddings")
     Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
         col("vec_id"), col("embedding"), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** C7b LSH with the ONE-BUCKET signature (tables = 1, planes = 0):
+    * every vector collides, so the bucketed machinery — signature
+    * computation, bucket join, cross-table dedup, exact rank — must
+    * reproduce brute force exactly. That puts the whole LSH path
+    * under a DuckDB oracle (the c16b nprobe = nCells pattern); the
+    * production bucketing stays c7, recall-pinned by spec. */
+  private def c7b(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), k = 5, tables = 1, planes = 0)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -1343,6 +1360,7 @@ object SparkEntry {
     "c5_dedup_embedding" -> (c5 _),
     "c6_ann_bruteforce" -> (c6 _),
     "c7_ann_lsh" -> (c7 _),
+    "c7b_ann_lsh_exhaustive" -> (c7b _),
     "c16_ann_ivf" -> (c16 _),
     "c16b_ann_ivf_exhaustive" -> (c16b _),
     "c17_sample_split" -> (c17 _),
@@ -1711,6 +1729,21 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // one-bucket LSH ≡ brute force: same scoring SQL as c6, k = 5
+    "c7b_ann_lsh_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS cosine
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
     // exhaustive-probe IVF ≡ brute force: same scoring SQL, k = 5
     "c16b_ann_ivf_exhaustive" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

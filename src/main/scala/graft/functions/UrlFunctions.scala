@@ -61,9 +61,12 @@ object UrlFunctions {
     //    deterministic and oracle-portable (DuckDB list_sort agrees
     //    on ASCII)
     val keyOf = (p: Column) => regexp_extract(p, "^([^=]*)", 1)
+    // foldLeft over lit(false), not reduce: trackerParams = Seq.empty
+    // is legal public API ("only the utm_ prefix rule") and reduce on
+    // an empty Seq throws at plan-build time
     val kept = array_sort(filter(split(rawQuery, "&"), p =>
       p =!= "" && !keyOf(p).startsWith("utm_") &&
-        !trackerParams.map(t => keyOf(p) === t).reduce(_ || _)))
+        !trackerParams.map(t => keyOf(p) === t).foldLeft(lit(false))(_ || _)))
     val query = array_join(kept, "&")
     when(scheme === "" || hostPort === "", lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, path,

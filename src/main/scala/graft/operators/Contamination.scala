@@ -160,17 +160,35 @@ object Contamination {
     * kernel's "first max position" = smallest eval id on rounded
     * ties — `fuzzyMatches`' exact tie contract. */
   def semanticMatches(train: DataFrame, eval: DataFrame, id: Column,
-                      vec: Column, threshold: Double): DataFrame = {
+                      vec: Column, threshold: Double,
+                      maxEvalRows: Int = 1000000): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     import graft.plans.VectorExpressions
+    require(maxEvalRows >= 1, s"maxEvalRows must be >= 1, got $maxEvalRows")
     val spark = train.sparkSession
     val tr = train.select(id.as("id"), vec.cast("array<double>").as("tv"))
+    // Rows with a NULL ELEMENT inside the vector are dropped with the
+    // zero-norm rows (cosine undefined either way): the cast to
+    // array<double> preserves element nulls, and an eval array with
+    // one null element would NPE on primitive unboxing below even
+    // though its norm (computed over the non-null elements) passes.
     val ev = eval.select(id.as("eval_id"), vec.cast("array<double>").as("ev"))
+      .filter(!exists(col("ev"), e => e.isNull))
       .withColumn("en", VectorExpressions.norm(col("ev")))
       .filter(col("en") > 0)
       .orderBy(col("eval_id"))
-    val evRows = ev.collect() // benchmark-sized by contract
+    // The eval side is collected: it must be BENCHMARK-sized, never
+    // corpus-sized — a caller passing a corpus here would otherwise
+    // hit a silent driver OOM (the same guard class as Components'
+    // driverLimit). limit(max+1) keeps the refusal itself cheap: at
+    // most max+1 rows ever reach the driver, and no extra count job
+    // runs on the happy path.
+    val evRows = ev.limit(maxEvalRows + 1).collect()
+    require(evRows.length <= maxEvalRows,
+      s"semanticMatches eval side exceeds maxEvalRows=$maxEvalRows: the eval " +
+        "frame is collected to the driver by contract (benchmark-sized). " +
+        "Pass the benchmark set as `eval`, or raise maxEvalRows explicitly.")
     if (evRows.isEmpty)
       return tr.limit(0).crossJoin(ev.select(col("eval_id")))
         .select(col("id"), col("eval_id"), lit(0.0).as("cosine"))

@@ -91,6 +91,18 @@ object PageRank {
       .localCheckpoint(true)
     val n = nodes.count()
     if (n == 0) return (nodes.withColumn("rank", lit(0L)), 0)
+    // Overflow guard for the documented contract (object doc): rank ≤
+    // unit, so rank·w stays in long range only while every aggregated
+    // edge weight w ≤ Long.MaxValue/unit. Silent wrap would produce
+    // garbage ranks with no error — the one undetected-wrong-answer
+    // path this operator had; the check is one driver scalar in the
+    // same traffic class as n above. Callers with heavier edges lower
+    // `unit` (the error says so).
+    val maxW = e.agg(max(col("w"))).head().getLong(0)
+    require(maxW <= Long.MaxValue / unit,
+      s"PageRank overflow contract: max aggregated edge weight $maxW exceeds " +
+        s"Long.MaxValue/unit = ${Long.MaxValue / unit} (unit=$unit); rank*w " +
+        "would wrap. Lower `unit` (e.g. 1e9) or pre-scale edge weights.")
     // outdeg rides the edge row so each iteration's contribution is
     // one projection after the rank join — no second join per step
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("deg"))

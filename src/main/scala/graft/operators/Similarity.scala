@@ -242,9 +242,14 @@ object Similarity {
   }
 
   /** LSH signature for table `t`: `planes` sign bits of native-dot
-    * hyperplane projections, as a bit string. Fully codegen'd. */
+    * hyperplane projections, as a bit string. Fully codegen'd.
+    * `planes = 0` is the degenerate ONE-BUCKET signature (empty
+    * string): every vector collides, so `lshTopK` degrades to exact
+    * brute force — the configuration the oracle-checked c7b twin
+    * pins (the c16b nprobe = nCells pattern). */
   def lshSignature(vec: Column, t: Int, planes: Int, dims: Int): Column =
-    concat((0 until planes).map { p =>
+    if (planes <= 0) lit("")
+    else concat((0 until planes).map { p =>
       when(VectorExpressions.dot(vec, typedlit(hyperSigns(t, p, dims))) >= 0, "1").otherwise("0")
     }: _*)
 

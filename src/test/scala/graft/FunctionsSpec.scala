@@ -35,6 +35,12 @@ class FunctionsSpec extends SparkSpec {
     // malformed / non-http input is NULL, never an aliasable key
     assert(Seq("notaurl", "ftp://x/y", "").toDF("u")
       .select(UrlFunctions.canonicalize(col("u"))).collect().forall(_.isNullAt(0)))
+    // trackerParams = Seq.empty is legal public API (utm_ prefix rule
+    // only — previously a plan-build-time crash on reduce of empty)
+    val got = Seq("https://s.org/p?utm_source=x&fbclid=z&a=1").toDF("u")
+      .select(UrlFunctions.canonicalize(col("u"), trackerParams = Seq.empty))
+      .as[String].head()
+    assert(got == "https://s.org/p?a=1&fbclid=z", got)
   }
 
   test("extractTags lowercases and dedups keeping content") {

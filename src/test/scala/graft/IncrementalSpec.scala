@@ -136,6 +136,33 @@ class IncrementalSpec extends SparkSpec {
     assert(tie.toSeq == Seq((1L, 5L, 0.5)), s"rounded tie must pick id 5: ${tie.toSeq}")
   }
 
+  test("semanticMatches refuses a corpus-sized eval side and skips null-element vectors") {
+    def vdf(rows: Seq[(Long, Seq[Double])]) = rows.toDF("id", "v")
+    val train = vdf(Seq(1L -> Seq(1.0, 0.0)))
+    // the eval side is COLLECTED by contract (benchmark-sized): an
+    // over-limit eval frame must refuse loudly, never driver-OOM
+    val bigEval = vdf((0L until 10L).map(i => i -> Seq(1.0, 0.0)))
+    val err = intercept[IllegalArgumentException] {
+      Contamination.semanticMatches(train, bigEval, col("id"), col("v"), 0.5,
+        maxEvalRows = 5)
+    }
+    assert(err.getMessage.contains("maxEvalRows") &&
+      err.getMessage.contains("collected"), err.getMessage)
+    // at the limit exactly: no refusal
+    assert(Contamination.semanticMatches(train, bigEval, col("id"), col("v"),
+      0.5, maxEvalRows = 10).count() == 1)
+    // an eval vector with a NULL ELEMENT joins the zero-norm rows in
+    // the "cosine undefined" bucket (previously: NPE on unboxing);
+    // the remaining valid eval vector still matches
+    val nullEval = Seq(7L, 9L).toDF("id")
+      .withColumn("v", when(col("id") === 7L,
+          array(lit(1.0), lit(null).cast("double")))
+        .otherwise(array(lit(1.0), lit(0.0))))
+    val got = Contamination.semanticMatches(train, nullEval, col("id"), col("v"), 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 9L, 1.0)), s"null-element eval row skipped: ${got.toSeq}")
+  }
+
   test("batch signatures returned by gate equal signatures() of the same docs") {
     val b = corpus.take(6)
     val (_, bb, bs) = Incremental.gate(

@@ -18,13 +18,19 @@ class PackingSpec extends SparkSpec {
           lit(0)) / 500).cast("long"))
       .select("doc_id", "shard")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    for (parts <- Seq("3", "16")) {
+    // 1024 is the 100 TB-config case: the partition-offset lookup must
+    // stay an O(1)-depth literal-map expression, not a per-partition
+    // when-chain (1024+ branches deep — codegen splits or falls back,
+    // analysis cost grows per partition)
+    for (parts <- Seq("3", "16", "1024")) {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
-        val out = Packing.packByBudget(docs, col("doc_id"), col("tok"), 500L)
-          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val packed = Packing.packByBudget(docs, col("doc_id"), col("tok"), 500L)
+        val out = packed.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
         assert(out == expected, s"mismatch at $parts partitions")
+        assert(!packed.queryExecution.analyzed.toString.contains("CASE WHEN"),
+          s"partition offsets must be a map-literal lookup, not a when-chain ($parts parts)")
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
   }

@@ -95,6 +95,24 @@ class PageRankSpec extends SparkSpec {
     assert(capped == 2)
   }
 
+  test("overflow contract fails loudly, not with wrapped garbage ranks") {
+    // rank ≤ unit, so rank·w wraps once an aggregated edge weight
+    // exceeds Long.MaxValue/unit ≈ 9.2e6 at unit=1e12 — previously a
+    // SILENT wrong answer. The guard must name the contract…
+    val heavy = Seq(("a", "b", 10000000L), ("b", "a", 1L))
+    val err = intercept[IllegalArgumentException] { run(heavy, 2) }
+    assert(err.getMessage.contains("overflow contract"))
+    assert(err.getMessage.contains("unit"))
+    // …catch PARALLEL edges whose aggregated sum crosses the limit…
+    val split = Seq(("a", "b", 5000000L), ("a", "b", 5000000L), ("b", "a", 1L))
+    intercept[IllegalArgumentException] { run(split, 2) }
+    // …and the documented remedy (lower unit) must actually work
+    val ok = PageRank.ranks(heavy.toDF("s", "d", "w"), col("s"), col("d"),
+        col("w"), 2, unit = 1000000000L)
+      .as[(String, Long)].collect().toMap
+    assert(ok.values.forall(v => v >= 0 && v <= 1000000000L))
+  }
+
   test("degenerate inputs: empty graph, single self-loop") {
     assert(run(Nil, 3).isEmpty)
     val loop = run(Seq(("solo", "solo", 2L)), 3)

@@ -85,6 +85,21 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (_, v, c) => assert(brute(v) == c) }
   }
 
+  test("lshTopK one-bucket (planes=0) equals brute force exactly — the c7b pin") {
+    // the degenerate signature is the empty string: every vector
+    // collides, so the whole bucketed path (signature, bucket join,
+    // cross-table dedup, rank) must reproduce brute force bit-for-bit
+    val got = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 3),
+        col("vec_id"), col("embedding"), k = 4, tables = 1, planes = 0, dims = 8)
+      .select("query_id", "rank", "vec_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 3),
+        col("vec_id"), col("embedding"), 4)
+      .select("query_id", "rank", "vec_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == brute)
+  }
+
   test("ivfTopK scores match brute force on its candidates; near-dup found with full probe") {
     val got = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0),
         col("vec_id"), col("embedding"), k = 5, nCells = 3, nprobe = 3, iters = 2, dims = 8)
