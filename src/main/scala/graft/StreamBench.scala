@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Micro-batch rows fed to the gate sinks (top-level so
+  * `Encoders.product` derives its schema). */
+case class StreamDoc(doc_id: Long, lang: String, text: String)
+
+/** Streaming-throughput harness (dev tool, SURVEY §6): measures
+  * rows/second per MICRO-BATCH for the D-family gate sinks —
+  * D9 (decontamination), D10 (near-dup store gate), D13 (DSIR
+  * relevance), D15 (trained classifier) — at two batch sizes, so the
+  * O(batch) per-arrival claim each sink documents carries a measured
+  * curve instead of an argument: per-batch seconds should scale
+  * ~linearly with batch size (rows/s roughly constant), and D10's
+  * per-batch time must stay flat as its persistent store grows.
+  *
+  * Batch texts come from the sf dir's `documents` table with every
+  * whitespace token PREFIXED per (gate, batch) — the ScaleGen
+  * disjoint-vocabulary trick — so (a) every fed doc is globally
+  * unique (D10 survivors are real, the store grows honestly) and
+  * (b) no fed doc collides with the frozen eval/model tables, which
+  * keeps the measured work the gate's own join/score/merge cost.
+  * Model training (frozen by contract for all four sinks) is NOT
+  * measured.
+  *
+  * One JSON line to stdout + SPARK_GRAFT_STREAMBENCH_OUT (default
+  * streambench_out.json): per gate × batch size, the per-batch
+  * seconds (first measured batch can still carry residual JIT; a
+  * same-size warmup batch runs unmeasured first) and the median
+  * rows/s.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "streambench_out.json")
+    val batchSizes = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH_SIZES", "500,2000")
+      .split(",").map(_.trim.toInt).toSeq
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "6").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // source material: (lang, text) pool, driver-side (bench tool —
+    // bounded by the sf documents table, reused cyclically)
+    val pool = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    require(pool.nonEmpty, s"no documents in $sfDir")
+
+    // frozen gate models, trained once (excluded from timings):
+    val docsT = Tables.load(spark, sfDir, "documents")
+    val evalGrams = operators.Contamination.evalGramSet(
+        docsT.filter(col("doc_id") % 100 === 0), col("doc_id"),
+        lower(col("text")), 3)
+      .localCheckpoint(true)
+    val dsir0 = operators.Dsir.train(
+      docsT.filter(col("lang") === "en"), docsT, col("doc_id"), lower(col("text")))
+    val dsirModel = dsir0.copy(table = dsir0.table.localCheckpoint(true))
+    val clf0 = operators.Classifier.train(
+      docsT.filter(col("doc_id") % 10 === 1), docsT.filter(col("doc_id") % 10 === 2),
+      col("doc_id"), col("text"))
+    val clfModel = clf0.copy(table = clf0.table.localCheckpoint(true))
+
+    /** rows for micro-batch `k` of `size` docs: unique ids, every
+      * token prefixed with the (gate, batch) tag. */
+    def mkBatch(tag: String, k: Int, size: Int): Seq[StreamDoc] =
+      (0 until size).map { i =>
+        val (lang, text) = pool((k * size + i) % pool.length)
+        val pfx = s"$tag${k}·"
+        StreamDoc(k.toLong * size + i, lang,
+          text.split("\\s+").filter(_.nonEmpty).map(pfx + _).mkString(" "))
+      }
+
+    /** drive one (gate, batchSize) run: warmup batch 0 (unmeasured),
+      * then `nBatches` measured batches. Returns per-batch seconds. */
+    def run(gate: String, size: Int,
+            start: (MemoryStream[StreamDoc], String) => StreamingQuery): Seq[Double] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-sb-$gate-$size").toString
+      val input = MemoryStream[StreamDoc](spark)(Encoders.product[StreamDoc])
+      val q = start(input, dir)
+      try {
+        input.addData(mkBatch(s"${gate}s${size}w", 0, size): _*)
+        q.processAllAvailable() // warmup: codegen + sink setup
+        (1 to nBatches).map { k =>
+          input.addData(mkBatch(s"${gate}s$size", k, size): _*)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+      } finally q.stop()
+    }
+
+    val gates: Seq[(String, (MemoryStream[StreamDoc], String) => StreamingQuery)] = Seq(
+      "d9_decontamination" -> ((in, dir) =>
+        streaming.EventStream.decontaminationSink(in.toDF(), evalGrams, "doc_id",
+          lower(col("text")), n = 3, maxShared = 0, dir + "/corpus", "lang", dir + "/ckpt")),
+      "d10_neardup" -> ((in, dir) =>
+        streaming.EventStream.nearDupGateSink(in.toDF(), "doc_id", col("text"),
+          dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")),
+      "d13_dsir" -> ((in, dir) =>
+        streaming.EventStream.dsirGateSink(in.toDF(), "doc_id", lower(col("text")),
+          dsirModel, minLogw = -1000.0, dir + "/corpus", "lang", dir + "/ckpt")),
+      "d15_classifier" -> ((in, dir) =>
+        streaming.EventStream.classifierGateSink(in.toDF(), "doc_id", col("text"),
+          clfModel, cutoff = -1e9, dir + "/corpus", "lang", dir + "/ckpt")))
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    val results = for ((gate, start) <- gates; size <- batchSizes) yield {
+      val secs = run(gate, size, start)
+      val med = median(secs)
+      System.err.println(f"[streambench] $gate size=$size med=$med%.3f s " +
+        f"(${size / med}%.0f rows/s) secs=${secs.map(s => f"$s%.3f").mkString(",")}")
+      (gate, size, secs, med)
+    }
+    val json = results.groupBy(_._1).toSeq.sortBy(_._1).map { case (gate, rs) =>
+      val per = rs.sortBy(_._2).map { case (_, size, secs, med) =>
+        s""""batch_$size":{"secs":[${secs.map(s => f"$s%.3f").mkString(",")}],""" +
+          f""""median_sec":$med%.3f,"rows_per_sec":${size / med}%.0f}"""
+      }.mkString(",")
+      s""""$gate":{$per}"""
+    }.mkString(",")
+    val line = s"""{"gates":{$json},"n_batches":$nBatches,"sf":"$sfDir","cpus":"$cpus"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[streambench] $outPath not written: $e") }
+    spark.stop()
+    println(line)
+  }
+}
