@@ -1282,9 +1282,18 @@ object SparkEntry {
     * all-seen store makes sequential ≡ global keep-first — so the
     * final snapshot must be EXACTLY c36b's survivor set, which is the
     * DuckDB oracle here: the entire train-store-reload-gate-publish
-    * composition is hash-pinned, not just its pieces. */
+    * composition is hash-pinned, not just its pieces.
+    *
+    * Input capped at a FIXED 2000-vector slice (c53b's convention): a
+    * one-cell correctness pin is all-pairs by construction AND lands
+    * on a single cell-key reducer, so an uncapped run at a scale sf
+    * rides an O(n²) single-task aggregation into the suite — at sf10
+    * the 200k-vector arrival 2 is 2·10¹⁰ pairs on ONE thread (found
+    * hung mid-warmup, round 8). The cap is a no-op at sf ≤ 0.1, keeps
+    * the pin constant-cost at every sf, and the oracle carries the
+    * same predicate. Scale-path SemDeDup is c36 (real cell counts). */
   private def c36c(s: SparkSession, dir: String): DataFrame = {
-    val em = t(s, dir, "embeddings")
+    val em = t(s, dir, "embeddings").filter(col("vec_id") < 2000)
     val arr1 = em.filter(col("vec_id") < 250)
     val arr2 = em.filter(col("vec_id") >= 250)
     val tmp = java.nio.file.Files.createTempDirectory("graft-c36c").toString
@@ -2635,12 +2644,13 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
     // c36c = two-arrival incremental SemDeDup against an all-seen
     // store under one stored nCells=1 codebook ⇒ sequential gating
-    // IS the global keep-first rule — same oracle as c36b
+    // IS the global keep-first rule — same oracle as c36b, over the
+    // same fixed 2000-vector slice the query caps itself to
     "c36c_semdedup_incremental" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(range(1,65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
-        |  FROM embeddings),
+        |  FROM embeddings WHERE vec_id < 2000),
         |dropped AS (
         |  SELECT DISTINCT b.vec_id
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
