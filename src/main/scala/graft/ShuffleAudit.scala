@@ -26,8 +26,13 @@ object ShuffleAudit {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    // SPARK_GRAFT_CODEC switches the shuffle/spill block codec (lz4 is
+    // Spark's default) — used to measure the compression tax high
+    // partition counts levy on the sorted-set verify shuffles
+    val codec = sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.io.compression.codec", codec)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
