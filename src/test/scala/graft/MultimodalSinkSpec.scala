@@ -9,7 +9,7 @@ import graft.sources.{Multimodal, Sink}
 class MultimodalSinkSpec extends SparkSpec {
   import spark.implicits._
 
-  test("C12 media schema + deterministic stub decode in batches") {
+  test("C12 media schema + batched decode: real pixels/samples, video stub") {
     val media = Multimodal.synthesize(spark, 30)
     assert(media.schema == Multimodal.mediaSchema)
     val feats = Multimodal.decodeFeatures(media, batchSize = 7)
@@ -21,6 +21,82 @@ class MultimodalSinkSpec extends SparkSpec {
     val again = Multimodal.decodeFeatures(media, batchSize = 11)
       .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
     rows.foreach { case (id, f) => assert(again(id) == f) }
+    // the distributed decode must agree with the local real decoders
+    val local = media.select("media_id", "kind", "content")
+      .as[(Long, String, Array[Byte])].collect().map { case (id, kind, c) =>
+        id -> (kind match {
+          case "image" => Multimodal.imageFeatures(c).get.toSeq
+          case "audio" => Multimodal.audioFeatures(c).get.toSeq
+          case _       => null
+        })
+      }.toMap
+    rows.foreach { case (id, f) =>
+      if (local(id) != null) assert(f == local(id), s"media $id") }
+    // image rows carry real dims in features[0..1] matching meta
+    val img = feats.filter(col("kind") === "image")
+      .select("meta.width", "meta.height", "features")
+      .as[(Int, Int, Seq[Float])].collect()
+    img.foreach { case (w, h, f) => assert(f(0) == w && f(1) == h) }
+  }
+
+  test("C12 real pixel decode: PNG exact round-trip, JPEG dims, resize") {
+    // solid-color PNG: means are exact, luma std is 0
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 10).foreach(y => (0 until 20).foreach(x => img.setRGB(x, y, 0x80C040)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val f = Multimodal.imageFeatures(png).get
+    assert(f(0) == 20f && f(1) == 10f)
+    assert(f(2) == 0x80.toFloat && f(3) == 0xC0.toFloat && f(4) == 0x40.toFloat)
+    assert(f(6) == 0f) // solid color → zero luma deviation
+    assert(f(7) == 2f) // aspect
+    // the 8-bin luma histogram concentrates in the bin of the color's luma
+    val luma = 0.299 * 0x80 + 0.587 * 0xC0 + 0.114 * 0x40
+    assert(f(8 + math.min((luma / 32).toInt, 7)) == 1f)
+    // JPEG (lossy): dims exact, channel means near the original
+    val bj = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bj)
+    val fj = Multimodal.imageFeatures(bj.toByteArray).get
+    assert(fj(0) == 20f && fj(1) == 10f)
+    assert(math.abs(fj(2) - 0x80) < 4 && math.abs(fj(3) - 0xC0) < 4)
+    // resize: longest side → 5, aspect preserved, color preserved
+    val small = Multimodal.resizeImage(png, 5).get
+    val fs = Multimodal.imageFeatures(small).get
+    assert(fs(0) == 5f && fs(1) == 3f)
+    assert(math.abs(fs(2) - 0x80) < 2 && math.abs(fs(4) - 0x40) < 2)
+    // junk and null are refused, not thrown
+    assert(Multimodal.imageFeatures(Array[Byte](1, 2, 3)) == None)
+    assert(Multimodal.imageFeatures(null) == None)
+    assert(Multimodal.resizeImage(Array[Byte](9, 9), 5) == None)
+  }
+
+  test("C12 real sample decode: WAV sine RMS, stereo fold, junk refused") {
+    // mono sine at amplitude 0.5 → rms ≈ 0.5/√2, peak ≈ 0.5
+    val wav = Multimodal.synthWav(seed = 1, rate = 16000, durMs = 500)
+    val f = Multimodal.audioFeatures(wav).get
+    assert(f(0) == 1f && f(1) == 16000f)
+    assert(f(2) == 500f) // durationMs from the actual sample count
+    assert(math.abs(f(3) - 0.5 / math.sqrt(2)) < 0.01, s"rms=${f(3)}")
+    assert(math.abs(f(4) - 0.5) < 0.01, s"peak=${f(4)}")
+    // stereo with L = +0.25, R = -0.25 folds to ~silent mono
+    val pcm = new Array[Byte](1000 * 4)
+    val (l, r) = ((0.25 * 32767).toInt, (-0.25 * 32767).toInt)
+    (0 until 1000).foreach { i =>
+      pcm(i * 4) = (l & 0xff).toByte; pcm(i * 4 + 1) = ((l >> 8) & 0xff).toByte
+      pcm(i * 4 + 2) = (r & 0xff).toByte; pcm(i * 4 + 3) = ((r >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 1000L)
+    val b2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, b2)
+    val fs = Multimodal.audioFeatures(b2.toByteArray).get
+    assert(fs(0) == 2f && math.abs(fs(3)) < 0.001, s"stereo fold rms=${fs(3)}")
+    assert(Multimodal.audioFeatures("nonsense".getBytes) == None)
+    assert(Multimodal.audioFeatures(null) == None)
   }
 
   test("C12 frame sampling explodes per-frame before decode") {
