@@ -14,18 +14,20 @@ import org.apache.spark.sql.types._
   * equivalent of Python's `mapInPandas` batch contract (batch shape =
   * `batchSize` items, schema preserved + feature column appended).
   *
-  * IMAGE and AUDIO decode are REAL: the JDK ships its own codecs —
-  * `javax.imageio` (PNG/JPEG/GIF/BMP pixels, headless) and
-  * `javax.sound.sampled` (WAV PCM samples) — so `imageFeatures` /
-  * `audioFeatures` / `resizeImage` operate on actual pixels and
-  * samples with zero extra dependencies. Only VIDEO frame decode
-  * remains a stub (`decodeStub`): no MP4/H.264 codec exists in the
-  * JDK, so the video arm derives a deterministic stand-in vector
-  * from the bytes' md5 — loudly documented, with the real plumbing
-  * (schema, batching, frame-sample explode) around it.
-  * `probeImage`/`probeMeta` remain the codec-FREE container-header
-  * parsers (dims/rates without touching pixels) a lake ingest uses
-  * to validate and route before paying for decode.
+  * DECODE IS REAL: the JDK ships its own codecs — `javax.imageio`
+  * (PNG/JPEG/GIF/BMP pixels, headless) and `javax.sound.sampled`
+  * (WAV PCM samples) — so `imageFeatures` / `audioFeatures` /
+  * `resizeImage` operate on actual pixels and samples with zero
+  * extra dependencies; and because an MJPEG AVI's frame chunks are
+  * standalone JPEGs, `probeVideo` / `videoFrames` /
+  * `decodeFrameFeatures` give REAL per-frame video decode for that
+  * (still-common) container too. The only stub left is
+  * `decodeStub`, the video arm's fallback for containers whose
+  * codecs the JDK lacks (MP4/H.264…) — the documented seam an
+  * external codec jar would replace. `probeImage`/`probeMeta`
+  * remain the codec-FREE container-header parsers (dims/rates
+  * without touching pixels) a lake ingest uses to validate and
+  * route before paying for decode.
   *
   * Scale: decode is pure map-side (zero shuffle); `partitionHint`
   * repartitions only when the caller asks (codec work is CPU-bound, so
@@ -55,10 +57,10 @@ object Multimodal {
 
   /** Deterministic synthetic media table (test/bench input): image
     * rows carry REAL PNG payloads (id-seeded gradient pixels), audio
-    * rows REAL 16-bit mono WAV payloads (id-seeded sine), so the real
-    * decoders below exercise end-to-end; video rows keep an opaque
-    * seeded blob (no JDK video codec — see `decodeStub`). Metadata
-    * matches the actual payload. */
+    * rows REAL 16-bit mono WAV payloads (id-seeded sine), video rows
+    * REAL MJPEG-AVI payloads (id-seeded gradient frames) — so every
+    * real decoder below exercises end-to-end. Metadata matches the
+    * actual payload. */
   def synthesize(spark: SparkSession, n: Int): DataFrame = {
     val kinds = Seq("image", "audio", "video")
     val rows = (0 until n).map { i =>
@@ -71,8 +73,8 @@ object Multimodal {
           val durMs = 1000L + i * 37L
           (synthWav(i, 16000, durMs), Row(null, null, 16000, durMs.asInstanceOf[AnyRef]))
         case _ =>
-          val blob = Array.tabulate[Byte](64 + i % 64)(j => ((i * 31 + j * 7) % 251).toByte)
-          (blob, Row(320, 240, null, (2000L + i * 53L).asInstanceOf[AnyRef]))
+          (synthAvi(i, 64, 48, 3 + i % 3),
+            Row(64, 48, null, (2000L + i * 53L).asInstanceOf[AnyRef]))
       }
       Row(i.toLong, kind, content, meta)
     }
@@ -120,11 +122,12 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** VIDEO-ONLY stub: deterministic stand-in features from the
-    * content's md5 — the one remaining honest stub (the JDK has no
-    * MP4/H.264 codec; drop one on the classpath and this is the
-    * single function to replace). Returns FeatureDim floats in
-    * [-1, 1). */
+  /** Fallback stub for video containers the JDK cannot decode
+    * (MP4/H.264…; MJPEG-AVI decodes for real — see `videoFrames`):
+    * deterministic stand-in features from the content's md5. The one
+    * remaining honest stub — drop a codec jar on the classpath and
+    * this is the single function to replace. Returns FeatureDim
+    * floats in [-1, 1). */
   private[sources] def decodeStub(content: Array[Byte]): Array[Float] = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(content)
     Array.tabulate(FeatureDim)(i => (d(i % d.length).toInt & 0xff) / 128.0f - 1.0f)
@@ -265,7 +268,19 @@ object Multimodal {
             else r.getString(kindIdx) match {
               case "image" => imageFeatures(content).orNull
               case "audio" => audioFeatures(content).orNull
-              case _       => decodeStub(content)
+              case _ =>
+                // video: REAL per-frame decode when the container is
+                // MJPEG-AVI (clip features = per-frame mean); other
+                // containers fall back to the documented stand-in —
+                // the seam an external MP4 codec would replace
+                val per = videoFrames(content).flatMap(imageFeatures)
+                if (per.nonEmpty) {
+                  val m = new Array[Float](FeatureDim)
+                  per.foreach { f =>
+                    var i = 0; while (i < FeatureDim) { m(i) += f(i); i += 1 } }
+                  var i = 0; while (i < FeatureDim) { m(i) /= per.length; i += 1 }
+                  m
+                } else decodeStub(content)
             }
           Row.fromSeq(r.toSeq :+ feats)
         }
@@ -417,4 +432,150 @@ object Multimodal {
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs))).as("frame_ms"))
       .withColumn("frame_idx", (col("frame_ms") / everyMs).cast("int"))
       .select(col("media_id"), col("frame_idx"), col("frame_ms"))
+
+  // ---- REAL video decode: MJPEG-in-AVI --------------------------------
+  // An AVI is a RIFF container; when the video stream's codec is MJPG,
+  // every frame chunk is a standalone JPEG — which javax.imageio CAN
+  // decode. So for this (real, still-common) format, frame decode is
+  // fully real with zero extra jars; `decodeStub` remains only for
+  // containers whose codecs the JDK lacks (MP4/H.264 etc).
+
+  private def leInt(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** REAL (codec-free) video container probe: walks the RIFF tree to
+    * the `avih` main header. Returns (format, width, height,
+    * total_frames) — format is "avi/<handler>" from the first video
+    * stream header (e.g. "avi/mjpg"). None for null/non-AVI/truncated
+    * payloads. */
+  def probeVideo(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    if (b == null || b.length < 24 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return None
+    var avih = -1
+    var handler = ""
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = fourcc(b, i)
+        val size = leInt(b, i + 4)
+        if (size < 0 || i + 8 + size > to) return
+        if (id == "LIST" && size >= 4) walk(i + 12, i + 8 + size)
+        else if (id == "avih") avih = i + 8
+        else if (id == "strh" && size >= 8 && fourcc(b, i + 8) == "vids" && handler.isEmpty)
+          handler = fourcc(b, i + 12).trim.toLowerCase(java.util.Locale.ROOT)
+        i += 8 + size + (size & 1)
+      }
+    }
+    try {
+      walk(12, math.min(b.length, 12 + leInt(b, 4) - 4))
+      if (avih < 0 || avih + 40 > b.length) None
+      else Some((s"avi/$handler", leInt(b, avih + 32), leInt(b, avih + 36),
+        leInt(b, avih + 16)))
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL frame extraction: the payload bytes of every video frame
+    * chunk (`##dc`/`##db`) in the `movi` list, in stream order. For
+    * an MJPEG AVI each element is a decodable JPEG. Empty for
+    * null/non-AVI payloads. */
+  def videoFrames(b: Array[Byte]): Vector[Array[Byte]] = {
+    if (b == null || b.length < 24 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return Vector.empty
+    val out = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = fourcc(b, i)
+        val size = leInt(b, i + 4)
+        if (size < 0 || i + 8 + size > to) return
+        if (id == "LIST" && size >= 4)
+          walk(i + 12, i + 8 + size, inMovi || fourcc(b, i + 8) == "movi")
+        else if (inMovi && id.length == 4 && id(2) == 'd' && (id(3) == 'c' || id(3) == 'b'))
+          out += java.util.Arrays.copyOfRange(b, i + 8, i + 8 + size)
+        i += 8 + size + (size & 1)
+      }
+    }
+    try { walk(12, math.min(b.length, 12 + leInt(b, 4) - 4), inMovi = false); out.result() }
+    catch { case _: Exception => Vector.empty }
+  }
+
+  /** One row per REAL decoded video frame: (media_id, frame_idx,
+    * features) — `videoFrames` extraction + per-frame `imageFeatures`,
+    * all map-side, so frame decode distributes per-row exactly like
+    * the `sampleFrames` contract promised. Undecodable frames are
+    * skipped; non-AVI payloads contribute no rows. */
+  def decodeFrameFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val contentIdx = media.schema.fieldIndex("content")
+    val idIdx = media.schema.fieldIndex("media_id")
+    media.filter(col("kind") === "video" && col("content").isNotNull)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(idIdx)
+          videoFrames(r.get(contentIdx).asInstanceOf[Array[Byte]]).iterator.zipWithIndex
+            .flatMap { case (fb, i) => imageFeatures(fb).map(f => Row(id, i, f)) }
+        }
+      }(enc)
+  }
+
+  /** Real MJPEG-AVI payload: deterministic per-id gradient frames,
+    * JDK-JPEG-encoded, wrapped in a standard RIFF/AVI container
+    * (avih + vids strh/strf headers, movi 00dc chunks). */
+  private[graft] def synthAvi(seed: Int, w: Int, h: Int, frames: Int, fps: Int = 10): Array[Byte] = {
+    val jpegs = (0 until frames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val s = seed * 31 + f * 17
+          img.setRGB(x, y, (((s * 37 + x * 3) % 256) << 16) |
+            (((s * 11 + y * 5) % 256) << 8) | ((s * 53 + x + y) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def pad(n: Int) = n + (n & 1)
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + jpegs.map(j => 8 + pad(j.length)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = buf.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); buf.putInt(riffSize); cc("AVI ")
+    cc("LIST"); buf.putInt(hdrlSize); cc("hdrl")
+    cc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+    buf.putInt(frames).putInt(0).putInt(1).putInt(0)
+    buf.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); buf.putInt(strlSize); cc("strl")
+    cc("strh"); buf.putInt(56)
+    cc("vids"); cc("MJPG"); buf.putInt(0)
+    buf.putShort(0).putShort(0).putInt(0)
+    buf.putInt(1).putInt(fps).putInt(0).putInt(frames)
+    buf.putInt(0).putInt(0).putInt(0)
+    buf.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    cc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    cc("MJPG"); buf.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); buf.putInt(moviSize); cc("movi")
+    jpegs.foreach { j =>
+      cc("00dc"); buf.putInt(j.length); buf.put(j)
+      if ((j.length & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
 }

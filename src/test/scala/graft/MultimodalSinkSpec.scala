@@ -22,16 +22,19 @@ class MultimodalSinkSpec extends SparkSpec {
       .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
     rows.foreach { case (id, f) => assert(again(id) == f) }
     // the distributed decode must agree with the local real decoders
+    // (video = per-frame mean of the real MJPEG frame features)
     val local = media.select("media_id", "kind", "content")
       .as[(Long, String, Array[Byte])].collect().map { case (id, kind, c) =>
         id -> (kind match {
           case "image" => Multimodal.imageFeatures(c).get.toSeq
           case "audio" => Multimodal.audioFeatures(c).get.toSeq
-          case _       => null
+          case _ =>
+            val per = Multimodal.videoFrames(c).flatMap(Multimodal.imageFeatures)
+            assert(per.nonEmpty, s"video $id should decode for real")
+            (0 until Multimodal.FeatureDim).map(i => per.map(_(i)).sum / per.length)
         })
       }.toMap
-    rows.foreach { case (id, f) =>
-      if (local(id) != null) assert(f == local(id), s"media $id") }
+    rows.foreach { case (id, f) => assert(f == local(id), s"media $id") }
     // image rows carry real dims in features[0..1] matching meta
     val img = feats.filter(col("kind") === "image")
       .select("meta.width", "meta.height", "features")
@@ -70,6 +73,49 @@ class MultimodalSinkSpec extends SparkSpec {
     assert(Multimodal.imageFeatures(Array[Byte](1, 2, 3)) == None)
     assert(Multimodal.imageFeatures(null) == None)
     assert(Multimodal.resizeImage(Array[Byte](9, 9), 5) == None)
+  }
+
+  test("C12 real video decode: MJPEG-AVI probe, frame extraction, per-frame rows") {
+    val avi = Multimodal.synthAvi(seed = 3, w = 32, h = 24, frames = 4)
+    // container probe reads the avih header + vids handler
+    assert(Multimodal.probeVideo(avi) == Some(("avi/mjpg", 32, 24, 4)))
+    // every extracted frame chunk is a standalone, decodable JPEG
+    val frames = Multimodal.videoFrames(avi)
+    assert(frames.length == 4)
+    frames.foreach { fb =>
+      assert(Multimodal.probeImage(fb).map(_._1) == Some("jpeg"))
+      val f = Multimodal.imageFeatures(fb).get
+      assert(f(0) == 32f && f(1) == 24f)
+    }
+    // non-AVI payloads are refused, not thrown
+    assert(Multimodal.probeVideo("RIFFxxxxWAVE".getBytes) == None)
+    assert(Multimodal.probeVideo(Array[Byte](1, 2, 3)) == None)
+    assert(Multimodal.probeVideo(null) == None)
+    assert(Multimodal.videoFrames("garbage".getBytes).isEmpty)
+
+    // distributed per-frame rows agree with local per-frame decode
+    val rows = Seq(
+      Row(7L, "video", avi, null),
+      Row(8L, "video", Array[Byte](9, 9, 9), null), // undecodable → no rows
+      Row(9L, "image", Multimodal.synthPng(1, 8, 8), null)) // filtered out
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val out = Multimodal.decodeFrameFeatures(df)
+      .select("media_id", "frame_idx", "features")
+      .as[(Long, Int, Seq[Float])].collect().sortBy(_._2)
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((7L, 0), (7L, 1), (7L, 2), (7L, 3)))
+    out.foreach { case (_, i, f) =>
+      assert(f == Multimodal.imageFeatures(frames(i)).get.toSeq) }
+
+    // a container the JDK cannot decode falls back to the documented
+    // stand-in seam (same features as the stub, deterministically)
+    val blob = Array.tabulate[Byte](64)(j => (j * 7).toByte)
+    val stubRow = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "video", blob, null)), 1),
+      Multimodal.mediaSchema)
+    val sf = Multimodal.decodeFeatures(stubRow).select("features")
+      .as[Seq[Float]].head()
+    assert(sf.length == Multimodal.FeatureDim)
   }
 
   test("C12 real sample decode: WAV sine RMS, stereo fold, junk refused") {
