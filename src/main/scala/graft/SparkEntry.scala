@@ -654,6 +654,27 @@ object SparkEntry {
     * verify at a constant ~2·10⁶ candidates at every sf (uncapped it
     * measured 162 s at sf1 — pair count, not an engine defect; c53
     * itself carries the scaling evidence). */
+  /** C12 multimodal decode, end-to-end: a deterministic synthetic
+    * media table (REAL PNG/WAV/MJPEG-AVI payloads — `sfDir` is
+    * unused; media aren't part of the TPC-H-ish corpus) through the
+    * batched REAL decoders, aggregated per kind. Rows-only: no SQL
+    * engine can decode pixels/samples, so there is no portable
+    * oracle — the per-value pins live in MultimodalSinkSpec
+    * (exact PNG round-trip, sine RMS, per-frame agreement). */
+  private def c12(s: SparkSession, dir: String): DataFrame = {
+    val media = sources.Multimodal.synthesize(s, 240)
+    sources.Multimodal.decodeFeatures(media, batchSize = 32)
+      .filter(col("features").isNotNull)
+      .select(col("kind"),
+        element_at(col("features"), 1).as("f0"),
+        element_at(col("features"), 4).as("rms_or_meanG"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("f0")), 4).as("avg_f0"),
+        round(avg(col("rms_or_meanG")), 4).as("avg_f3"))
+      .orderBy(col("kind"))
+  }
+
   private def c53b(s: SparkSession, dir: String): DataFrame = {
     // checkpoint: semDedup references its input several times (norms,
     // assignment, both pair-join sides) — materialize the ~2000
@@ -1433,7 +1454,8 @@ object SparkEntry {
     "c51_host_pagerank" -> (c51 _),
     "c52_quality_classifier" -> (c52 _),
     "c53_doc_embeddings" -> (c53 _),
-    "c53b_embed_semdedup" -> (c53b _))
+    "c53b_embed_semdedup" -> (c53b _),
+    "c12_media_features" -> (c12 _))
 
   /** DuckDB-runnable oracle SQL per query (SURVEY §4). */
   def oracleSql: Map[String, String] = Map(
