@@ -2203,7 +2203,7 @@ object SparkEntry {
         |         sum(CAST(lam AS DECIMAL(20,8))) AS s
         |  FROM feats JOIN lam USING (b) GROUP BY 1)
         |SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
-        |  round(CAST(coalesce(s, 0) AS DOUBLE), 6) AS logw
+        |  CAST(round(coalesce(s, 0), 6) AS DOUBLE) AS logw
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     // c44 = c9's components + c14's fractions, then the five named
     // rules; reason names listed alphabetically in both engines
@@ -2507,8 +2507,8 @@ object SparkEntry {
         |        FROM occ JOIN w USING (tok) GROUP BY 1),
         |pri AS (SELECT round(ln(dp::DOUBLE / dn), 8) AS prior FROM tot)
         |SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
-        |  round(CAST(coalesce(s, 0) AS DOUBLE) + (SELECT prior FROM pri), 6) AS logodds,
-        |  (round(CAST(coalesce(s, 0) AS DOUBLE) + (SELECT prior FROM pri), 6) > 0.0) AS keep
+        |  CAST(round(coalesce(s, 0) + (SELECT CAST(prior AS DECIMAL(20,8)) FROM pri), 6) AS DOUBLE) AS logodds,
+        |  (CAST(round(coalesce(s, 0) + (SELECT CAST(prior AS DECIMAL(20,8)) FROM pri), 6) AS DOUBLE) > 0.0) AS keep
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     // c51 = three unrolled fixed-point PageRank iterations; integer
     // floor division throughout, so the numbers are engine-exact

@@ -89,6 +89,13 @@ object Classifier {
       .agg(count(col("w")).as("n_hits"),
         coalesce(sum(col("w")), lit(BigDecimal(0))).as("s"))
       .select(col("id"), col("n_hits"),
-        round(col("s").cast("double") + model.prior, 6).as("logodds"))
+        // prior joins the sum IN DECIMAL (it is an exact 8-decimal
+        // value — Double.toString recovers it losslessly) and the
+        // 6-digit round happens in decimal too: rounding after a
+        // cast to double let a ....50 tie resolve differently per
+        // engine (found at sf0.1, exactly 1e-6 off on one doc)
+        round(col("s") + lit(new java.math.BigDecimal(
+            java.lang.Double.toString(model.prior))), 6)
+          .cast("double").as("logodds"))
       .withColumn("keep", col("logodds") > cutoff)
 }

@@ -97,6 +97,12 @@ object Dsir {
       .agg(count(col("lp")).as("n_feats"),
         coalesce(sum(col("lp")), lit(BigDecimal(0))).as("s"))
       .select(col("id"), col("n_feats"),
-        round(col("s").cast("double"), 6).as("logw"))
+        // round IN DECIMAL, cast after: the sum is an EXACT 8-decimal
+        // value, so casting first hands round() a double whose
+        // shortest decimal representation can land exactly on a
+        // ....50 tie that engines resolve differently (found at
+        // sf0.1: one doc off by exactly 1e-6). Decimal HALF_UP is
+        // identical in Spark and DuckDB.
+        round(col("s"), 6).cast("double").as("logw"))
   }
 }
