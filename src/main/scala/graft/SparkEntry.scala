@@ -891,6 +891,42 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C27b PQ/ADC with EXHAUSTIVE re-rank (rerank = ∞): every corpus
+    * vector survives the ADC cut, so the full PQ machinery — Lloyd
+    * codebooks, map-side encode, the broadcast ADC-table scan, the
+    * per-query window, the exact re-rank join — must reproduce brute
+    * force exactly regardless of codebook quality. That puts the PQ
+    * path under a DuckDB oracle end-to-end (the c16b nprobe = nCells
+    * pattern); the production rerank = 32 cut stays c27, with its
+    * recall + ADC≈cosine properties pinned in PQSpec. */
+  private def c27b(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = operators.PQ.train(e, col("vec_id"), col("embedding"), iters = 1)
+    val encoded = operators.PQ.encode(e, col("vec_id"), col("embedding"), model)
+    operators.PQ.adcTopK(encoded, e, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), model, k = 5, rerank = Int.MaxValue)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** C31b IVFADC with EXHAUSTIVE probe AND re-rank (nprobe = nCells,
+    * rerank = ∞): every (query, vector) pair is a candidate exactly
+    * once — the coarse-cell routing must neither drop nor duplicate
+    * any — and the exact re-rank must then equal brute force. The
+    * whole IVFADC layout (coarse quantizer, cell probing, code scan,
+    * re-rank) becomes DuckDB-checkable; the restricted nprobe = 4
+    * form stays c31, recall-pinned by PQSpec. */
+  private def c31b(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = operators.PQ.train(e, col("vec_id"), col("embedding"), iters = 1)
+    val coarse = operators.PQ.trainCoarse(e, col("vec_id"), col("embedding"))
+    operators.PQ.ivfAdcTopK(e, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), model, coarse, k = 5,
+        nprobe = coarse.length, rerank = Int.MaxValue)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** C17 deterministic sampling/split: reproducible 25% holdout via
     * lexicographic md5 threshold (never rand()), plus a 40% stratified
     * keep for en docs / 10% for the rest — all pure map-side. */
@@ -1425,10 +1461,12 @@ object SparkEntry {
     "c25_sketch_topk" -> (c25 _),
     "c26_sketch_overlap" -> (c26 _),
     "c27_ann_pq" -> (c27 _),
+    "c27b_ann_pq_exhaustive" -> (c27b _),
     "c28_lm_score" -> (c28 _),
     "c29_decontaminate_bloom" -> (c29 _),
     "c30_shard_pack" -> (c30 _),
     "c31_ann_ivfpq" -> (c31 _),
+    "c31b_ann_ivfpq_exhaustive" -> (c31b _),
     "c32_dup_spans" -> (c32 _),
     "c33_stratified_sample" -> (c33 _),
     "c34_incremental_gate" -> (c34 _),
@@ -1762,6 +1800,36 @@ object SparkEntry {
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
     // one-bucket LSH ≡ brute force: same scoring SQL as c6, k = 5
     "c7b_ann_lsh_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS cosine
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    // exhaustive-rerank PQ ≡ brute force: same scoring SQL, k = 5
+    "c27b_ann_pq_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS cosine
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    // exhaustive probe+rerank IVFADC ≡ brute force: same scoring SQL, k = 5
+    "c31b_ann_ivfpq_exhaustive" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
         |s AS (
         |  SELECT q.query_id, e.vec_id,

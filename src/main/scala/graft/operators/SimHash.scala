@@ -106,13 +106,36 @@ object SimHash {
     * keys on 40 bits — n²·56/2⁴⁰, ~6·10⁸× more selective — which is
     * exactly the regime Manku et al. ran at 8·10⁹ documents.
     */
+  /** Corpus-size ceiling for the `agree = 1` single-chunk band: the
+    * candidate volume is ~n²·chunks/2^width (n²/32 at the 8×8
+    * default — measured 4·10⁹ candidates / 89 s at 500k docs), so at
+    * 1M docs it is already ~3·10¹⁰ pairs and growing quadratically.
+    * Above this bound `nearDupPairs` REFUSES the quadratic
+    * configuration unless `allowQuadraticBand = true`, pointing at
+    * the scale-safe combination banding (smaller radius, wider key —
+    * e.g. maxHamming = 3, agree = 5) that lives in the same
+    * operator. A guard, not an auto-switch: silently shrinking the
+    * Hamming radius would change which pairs the caller gets. */
+  val QuadraticBandMaxDocs: Long = 1000000L
+
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
                    n: Int = 3, maxHamming: Int = 7, chunks: Int = 8,
-                   agree: Int = 1): DataFrame = {
+                   agree: Int = 1, allowQuadraticBand: Boolean = false): DataFrame = {
     require(agree >= 1 && agree <= chunks, "need 1 <= agree <= chunks")
     require(maxHamming <= chunks - agree,
       "pigeonhole: need maxHamming <= chunks - agree")
     require(64 % chunks == 0, "chunks must divide 64")
+    if (agree == 1 && !allowQuadraticBand) {
+      // one cheap count job (parquet row-count pushdown for table
+      // scans) buys refusing an n²/2^width band at corpus scale —
+      // the engine's one measured scale-killer if run unguarded
+      val nDocs = docs.count()
+      require(nDocs <= QuadraticBandMaxDocs,
+        s"SimHash.nearDupPairs: corpus has $nDocs docs > $QuadraticBandMaxDocs — " +
+          s"the agree = 1 single-chunk band is quadratic (~n^2*$chunks/2^${64 / chunks} " +
+          "candidate pairs). Use combination banding (e.g. maxHamming = 3, agree = 5) " +
+          "for corpus-scale runs, or pass allowQuadraticBand = true to override")
+    }
     val width = 64 / chunks
     // distinct shingles per doc: the (id, sh) agg rides the exploded
     // shuffle's id-partitioning — no extra exchange

@@ -21,13 +21,18 @@ import org.apache.spark.sql.types._
   * extra dependencies; and because an MJPEG AVI's frame chunks are
   * standalone JPEGs, `probeVideo` / `videoFrames` /
   * `decodeFrameFeatures` give REAL per-frame video decode for that
-  * (still-common) container too. The only stub left is
-  * `decodeStub`, the video arm's fallback for containers whose
-  * codecs the JDK lacks (MP4/H.264…) — the documented seam an
-  * external codec jar would replace. `probeImage`/`probeMeta`
-  * remain the codec-FREE container-header parsers (dims/rates
-  * without touching pixels) a lake ingest uses to validate and
-  * route before paying for decode.
+  * (still-common) container too. Video in containers whose codecs
+  * the JDK lacks (MP4/H.264…) is NOT fabricated: it yields null
+  * features with `decoded = false` (the `decodeStub` stand-in runs
+  * only behind an explicit opt-in, and never flips the flag) — the
+  * documented seam an external codec jar would replace.
+  * `probeImage`/`probeMeta` remain the codec-FREE container-header
+  * parsers (dims/rates without touching pixels) a lake ingest uses
+  * to validate and route before paying for decode; `decodeImage`
+  * consults header dims first and refuses decompression bombs
+  * (`MaxDecodePixels`), and the RIFF walks are depth-capped
+  * (`RiffMaxDepth`), so one hostile row degrades to null instead of
+  * killing an executor.
   *
   * Scale: decode is pure map-side (zero shuffle); `partitionHint`
   * repartitions only when the caller asks (codec work is CPU-bound, so
@@ -37,12 +42,36 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  // executors have no display; ImageIO must neither probe a desktop
-  // nor spill scratch files into java.io.tmpdir per task
-  System.setProperty("java.awt.headless", "true")
-  javax.imageio.ImageIO.setUseCache(false)
+  // Executors have no display; ImageIO must neither probe a desktop
+  // nor spill scratch files into java.io.tmpdir per task. Deferred to
+  // first actual codec use (not class load) so merely linking this
+  // object mutates nothing. CAVEAT: `java.awt.headless` only takes
+  // effect if AWT is not yet initialized, and `setUseCache` is
+  // JVM-global — strict deployments should set
+  // `-Djava.awt.headless=true` via spark.executor.extraJavaOptions
+  // instead and this init becomes a no-op re-statement.
+  private lazy val codecInit: Unit = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   val FeatureDim = 16
+
+  /** Decompression-bomb guard: refuse to decode images whose HEADER
+    * dims exceed this many pixels (default 64 Mpx ≈ a 256 MB ARGB
+    * buffer — above any legitimate photo, far below the multi-GB a
+    * crafted 60000×60000 PNG would allocate). Checked via the
+    * ImageReader header parse BEFORE any pixel allocation. */
+  val MaxDecodePixels: Long = 64L << 20
+
+  /** RIFF LIST nesting cap for the AVI walks: real files nest 2-3
+    * deep; a crafted payload of nested 12-byte LISTs (a few hundred
+    * KB buys tens of thousands of levels) must degrade to
+    * None/empty like any other undecodable input, not blow the task
+    * stack (StackOverflowError is an Error — it would escape the
+    * NonFatal guards and kill the job from one bad row). */
+  val RiffMaxDepth: Int = 64
 
   /** Canonical media schema: opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -73,8 +102,14 @@ object Multimodal {
           val durMs = 1000L + i * 37L
           (synthWav(i, 16000, durMs), Row(null, null, 16000, durMs.asInstanceOf[AnyRef]))
         case _ =>
-          (synthAvi(i, 64, 48, 3 + i % 3),
-            Row(64, 48, null, (2000L + i * 53L).asInstanceOf[AnyRef]))
+          // duration derived from the REAL payload (frames / fps) so
+          // `meta` never promises more frames than `videoFrames`
+          // can extract — sampleFrames driven by this meta emits
+          // exactly as many slots as frames exist
+          val frames = 3 + i % 3
+          val fps = 10
+          (synthAvi(i, 64, 48, frames, fps),
+            Row(64, 48, null, (frames * 1000L / fps).asInstanceOf[AnyRef]))
       }
       Row(i.toLong, kind, content, meta)
     }
@@ -83,6 +118,7 @@ object Multimodal {
 
   /** Real PNG payload: deterministic per-id gradient, JDK-encoded. */
   private[graft] def synthPng(seed: Int, w: Int, h: Int): Array[Byte] = {
+    codecInit
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -122,23 +158,50 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Fallback stub for video containers the JDK cannot decode
+  /** Stand-in features for video containers the JDK cannot decode
     * (MP4/H.264…; MJPEG-AVI decodes for real — see `videoFrames`):
-    * deterministic stand-in features from the content's md5. The one
-    * remaining honest stub — drop a codec jar on the classpath and
-    * this is the single function to replace. Returns FeatureDim
-    * floats in [-1, 1). */
+    * deterministic md5-derived floats in [-1, 1). NOT used by
+    * default: `decodeFeatures` emits null features for undecodable
+    * video (the same contract as undecodable images/audio) so
+    * fabricated vectors can never be mistaken for pixel-derived ones
+    * downstream — this stub runs only behind the explicit
+    * `stubUndecodableVideo = true` opt-in (plumbing tests / dry
+    * runs), and even then the row's `decoded` flag stays false.
+    * Drop a codec jar on the classpath and this is the single seam
+    * to replace with a real decoder. */
   private[sources] def decodeStub(content: Array[Byte]): Array[Float] = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(content)
     Array.tabulate(FeatureDim)(i => (d(i % d.length).toInt & 0xff) / 128.0f - 1.0f)
   }
 
   /** REAL pixel decode via the JDK's own codecs (PNG/JPEG/GIF/BMP —
-    * javax.imageio, headless). None for null/undecodable bytes. */
-  def decodeImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    * javax.imageio, headless). None for null/undecodable bytes AND
+    * for bomb payloads: the reader's header-only getWidth/getHeight
+    * (no pixel allocation) gates w*h against `maxPixels` before the
+    * decode pays for buffers, so a tiny PNG declaring 60000×60000
+    * degrades to None instead of an executor OutOfMemoryError. */
+  def decodeImage(b: Array[Byte],
+                  maxPixels: Long = MaxDecodePixels): Option[java.awt.image.BufferedImage] =
     if (b == null) None
-    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
-    catch { case _: Exception => None }
+    else try {
+      codecInit
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0).toLong
+            val h = reader.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > maxPixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL image features from decoded pixels — FeatureDim floats:
     * [width, height, meanR, meanG, meanB, meanLuma, stdLuma, aspect,
@@ -246,15 +309,24 @@ object Multimodal {
         hist.map(c => (c.toDouble / n).toFloat)
     }
 
-  /** Append a `features array<float>` column, decoding in explicit
-    * micro-batches of `batchSize` items per partition (the batch
-    * contract a vectorized/stateful codec needs — model weights load
-    * once per batch group, not once per row). Dispatch by kind:
-    * image → REAL pixel features, audio → REAL sample features,
-    * video → the documented stand-in. Null or undecodable content →
-    * null features. */
-  def decodeFeatures(media: DataFrame, batchSize: Int = 32): DataFrame = {
-    val outSchema = media.schema.add("features", ArrayType(FloatType), nullable = true)
+  /** Append `features array<float>` + `decoded boolean` columns,
+    * decoding in explicit micro-batches of `batchSize` items per
+    * partition (the batch contract a vectorized/stateful codec needs
+    * — model weights load once per batch group, not once per row).
+    * Dispatch by kind: image → REAL pixel features, audio → REAL
+    * sample features, video → REAL per-frame MJPEG-AVI decode
+    * (clip features = per-frame mean). Null or undecodable content →
+    * null features with `decoded = false` — including video in
+    * containers the JDK lacks a codec for, so a corpus consumer can
+    * never confuse a fabricated vector with a pixel-derived one.
+    * `stubUndecodableVideo = true` opts such rows into the
+    * deterministic `decodeStub` stand-in (plumbing tests only);
+    * their `decoded` flag stays false either way. */
+  def decodeFeatures(media: DataFrame, batchSize: Int = 32,
+                     stubUndecodableVideo: Boolean = false): DataFrame = {
+    val outSchema = media.schema
+      .add("features", ArrayType(FloatType), nullable = true)
+      .add("decoded", BooleanType, nullable = false)
     val enc = RowEncoder.encoderFor(outSchema)
     val contentIdx = media.schema.fieldIndex("content")
     val kindIdx = media.schema.fieldIndex("kind")
@@ -263,26 +335,29 @@ object Multimodal {
         // per-batch setup would go here (codec init / model load)
         batch.iterator.map { r =>
           val content = r.get(contentIdx).asInstanceOf[Array[Byte]]
-          val feats =
-            if (content == null) null
+          val (feats, real) =
+            if (content == null) (null, false)
             else r.getString(kindIdx) match {
-              case "image" => imageFeatures(content).orNull
-              case "audio" => audioFeatures(content).orNull
+              case "image" =>
+                val f = imageFeatures(content); (f.orNull, f.isDefined)
+              case "audio" =>
+                val f = audioFeatures(content); (f.orNull, f.isDefined)
               case _ =>
                 // video: REAL per-frame decode when the container is
-                // MJPEG-AVI (clip features = per-frame mean); other
-                // containers fall back to the documented stand-in —
-                // the seam an external MP4 codec would replace
+                // MJPEG-AVI; containers without a JDK codec are NOT
+                // decoded — null features (or the explicit stand-in
+                // under the opt-in), flagged decoded = false
                 val per = videoFrames(content).flatMap(imageFeatures)
                 if (per.nonEmpty) {
                   val m = new Array[Float](FeatureDim)
                   per.foreach { f =>
                     var i = 0; while (i < FeatureDim) { m(i) += f(i); i += 1 } }
                   var i = 0; while (i < FeatureDim) { m(i) /= per.length; i += 1 }
-                  m
-                } else decodeStub(content)
+                  (m, true)
+                } else if (stubUndecodableVideo) (decodeStub(content), false)
+                else (null, false)
             }
-          Row.fromSeq(r.toSeq :+ feats)
+          Row.fromSeq(r.toSeq :+ feats :+ real)
         }
       }
     }(enc)
@@ -457,13 +532,17 @@ object Multimodal {
       return None
     var avih = -1
     var handler = ""
-    def walk(from: Int, to: Int): Unit = {
+    // depth-capped: legit AVIs nest LISTs 2-3 deep; a crafted payload
+    // of thousands of nested 12-byte LISTs must degrade to None, not
+    // StackOverflowError (an Error, uncatchable by the NonFatal guard)
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      if (depth > RiffMaxDepth) return
       var i = from
       while (i + 8 <= to) {
         val id = fourcc(b, i)
         val size = leInt(b, i + 4)
         if (size < 0 || i + 8 + size > to) return
-        if (id == "LIST" && size >= 4) walk(i + 12, i + 8 + size)
+        if (id == "LIST" && size >= 4) walk(i + 12, i + 8 + size, depth + 1)
         else if (id == "avih") avih = i + 8
         else if (id == "strh" && size >= 8 && fourcc(b, i + 8) == "vids" && handler.isEmpty)
           handler = fourcc(b, i + 12).trim.toLowerCase(java.util.Locale.ROOT)
@@ -471,11 +550,11 @@ object Multimodal {
       }
     }
     try {
-      walk(12, math.min(b.length, 12 + leInt(b, 4) - 4))
+      walk(12, math.min(b.length, 12 + leInt(b, 4) - 4), 0)
       if (avih < 0 || avih + 40 > b.length) None
       else Some((s"avi/$handler", leInt(b, avih + 32), leInt(b, avih + 36),
         leInt(b, avih + 16)))
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** REAL frame extraction: the payload bytes of every video frame
@@ -486,21 +565,26 @@ object Multimodal {
     if (b == null || b.length < 24 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
       return Vector.empty
     val out = Vector.newBuilder[Array[Byte]]
-    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+    // depth-capped like probeVideo's walk: nested-LIST bombs degrade
+    // to an empty result instead of a task-killing StackOverflowError
+    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > RiffMaxDepth) return
       var i = from
       while (i + 8 <= to) {
         val id = fourcc(b, i)
         val size = leInt(b, i + 4)
         if (size < 0 || i + 8 + size > to) return
         if (id == "LIST" && size >= 4)
-          walk(i + 12, i + 8 + size, inMovi || fourcc(b, i + 8) == "movi")
+          walk(i + 12, i + 8 + size, inMovi || fourcc(b, i + 8) == "movi", depth + 1)
         else if (inMovi && id.length == 4 && id(2) == 'd' && (id(3) == 'c' || id(3) == 'b'))
           out += java.util.Arrays.copyOfRange(b, i + 8, i + 8 + size)
         i += 8 + size + (size & 1)
       }
     }
-    try { walk(12, math.min(b.length, 12 + leInt(b, 4) - 4), inMovi = false); out.result() }
-    catch { case _: Exception => Vector.empty }
+    try {
+      walk(12, math.min(b.length, 12 + leInt(b, 4) - 4), inMovi = false, depth = 0)
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Vector.empty }
   }
 
   /** One row per REAL decoded video frame: (media_id, frame_idx,
@@ -530,6 +614,7 @@ object Multimodal {
     * JDK-JPEG-encoded, wrapped in a standard RIFF/AVI container
     * (avih + vids strh/strf headers, movi 00dc chunks). */
   private[graft] def synthAvi(seed: Int, w: Int, h: Int, frames: Int, fps: Int = 10): Array[Byte] = {
+    codecInit
     val jpegs = (0 until frames).map { f =>
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0

@@ -13,7 +13,9 @@ class MultimodalSinkSpec extends SparkSpec {
     val media = Multimodal.synthesize(spark, 30)
     assert(media.schema == Multimodal.mediaSchema)
     val feats = Multimodal.decodeFeatures(media, batchSize = 7)
-    assert(feats.schema.fieldNames.last == "features")
+    assert(feats.schema.fieldNames.takeRight(2).toSeq == Seq("features", "decoded"))
+    // every synthetic payload decodes for REAL → decoded = true on all
+    assert(feats.filter(!col("decoded")).count() == 0)
     val rows = feats.select("media_id", "features").as[(Long, Seq[Float])].collect()
     assert(rows.length == 30)
     rows.foreach { case (_, f) => assert(f.length == Multimodal.FeatureDim) }
@@ -107,15 +109,55 @@ class MultimodalSinkSpec extends SparkSpec {
     out.foreach { case (_, i, f) =>
       assert(f == Multimodal.imageFeatures(frames(i)).get.toSeq) }
 
-    // a container the JDK cannot decode falls back to the documented
-    // stand-in seam (same features as the stub, deterministically)
+    // a container the JDK cannot decode yields NULL features with
+    // decoded = false by default — never fabricated vectors in the
+    // same column as real pixel-derived ones
     val blob = Array.tabulate[Byte](64)(j => (j * 7).toByte)
     val stubRow = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(1L, "video", blob, null)), 1),
       Multimodal.mediaSchema)
-    val sf = Multimodal.decodeFeatures(stubRow).select("features")
-      .as[Seq[Float]].head()
-    assert(sf.length == Multimodal.FeatureDim)
+    val honest = Multimodal.decodeFeatures(stubRow)
+      .select(col("features").isNull, col("decoded")).as[(Boolean, Boolean)].head()
+    assert(honest == ((true, false)))
+    // the deterministic stand-in exists only behind the explicit
+    // opt-in, and even then the row stays flagged decoded = false
+    val stubbed = Multimodal.decodeFeatures(stubRow, stubUndecodableVideo = true)
+      .select(col("features"), col("decoded")).as[(Seq[Float], Boolean)].head()
+    assert(stubbed._1.length == Multimodal.FeatureDim && !stubbed._2)
+  }
+
+  test("C12 hostile payloads degrade to null, never kill the task") {
+    // decompression bomb: a valid PNG header declaring 60000×60000
+    // (3.6 Gpx ≈ 14 GB decoded) — header-gated before any allocation
+    val bomb = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val b = bos.toByteArray
+      // IHDR dims live big-endian at offsets 16 (w) and 20 (h)
+      val huge = java.nio.ByteBuffer.allocate(8).putInt(60000).putInt(60000).array()
+      System.arraycopy(huge, 0, b, 16, 8)
+      b
+    }
+    assert(Multimodal.decodeImage(bomb) == None)
+    assert(Multimodal.imageFeatures(bomb) == None)
+    // a legitimate image under the cap still decodes
+    assert(Multimodal.imageFeatures(Multimodal.synthPng(1, 32, 16)).isDefined)
+    // nested-LIST RIFF bomb: thousands of 12-byte LIST levels would
+    // StackOverflowError an uncapped recursive walk (an Error — it
+    // escapes NonFatal and kills the task); the depth cap refuses it
+    val levels = 50000
+    val buf = java.nio.ByteBuffer.allocate(12 + levels * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(4 + levels * 12).put("AVI ".getBytes)
+    (0 until levels).foreach { i =>
+      val remaining = (levels - i) * 12 - 8
+      buf.put("LIST".getBytes).putInt(remaining).put("movi".getBytes)
+    }
+    val riffBomb = buf.array()
+    assert(Multimodal.probeVideo(riffBomb) == None)
+    assert(Multimodal.videoFrames(riffBomb).isEmpty)
   }
 
   test("C12 real sample decode: WAV sine RMS, stereo fold, junk refused") {
@@ -147,13 +189,21 @@ class MultimodalSinkSpec extends SparkSpec {
 
   test("C12 frame sampling explodes per-frame before decode") {
     val media = Multimodal.synthesize(spark, 9)
-    val frames = Multimodal.sampleFrames(media, everyMs = 500)
+    val frames = Multimodal.sampleFrames(media, everyMs = 200)
     val byId = frames.groupBy("media_id").count().as[(Long, Long)].collect().toMap
-    // only video rows (ids 2,5,8), duration 2000+53i → ceil(d/500) frames
+    // only video rows (ids 2,5,8); duration_ms derives from the REAL
+    // payload (frames/fps: 5 frames at 10 fps → 500 ms each here)
     assert(byId.keySet == Set(2L, 5L, 8L))
-    val d2 = 2000L + 2 * 53L
-    assert(byId(2L) == (d2 + 499) / 500)
+    assert(byId(2L) == (500L + 199) / 200)
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_ms"))
+    // meta matches payload: sampling at the frame period (1000/fps)
+    // yields exactly one slot per REAL extractable frame
+    val perFrame = Multimodal.sampleFrames(media, everyMs = 100)
+      .groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    val real = media.filter(col("kind") === "video")
+      .select("media_id", "content").as[(Long, Array[Byte])].collect()
+      .map { case (id, c) => id -> Multimodal.videoFrames(c).length.toLong }.toMap
+    assert(perFrame == real)
   }
 
   test("C12 probeImage parses real PNG/JPEG/GIF/BMP headers, rejects junk") {

@@ -42,6 +42,24 @@ class NearDupSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("SimHash guard: agree = 1 quadratic band refuses corpus-scale input") {
+    val big = spark.range(SimHash.QuadraticBandMaxDocs + 1)
+      .selectExpr("id AS doc_id", "'guard fixture text' AS text")
+    val e = intercept[IllegalArgumentException] {
+      SimHash.nearDupPairs(big, col("doc_id"), col("text"))
+    }
+    assert(e.getMessage.contains("quadratic"))
+    // both sanctioned escapes still build a plan: the explicit
+    // override, and the scale-safe combination banding (no count
+    // guard needed there — its selectivity is the fix)
+    SimHash.nearDupPairs(big, col("doc_id"), col("text"), allowQuadraticBand = true)
+    SimHash.nearDupPairs(big, col("doc_id"), col("text"), maxHamming = 3, agree = 5)
+    // under the bound the default configuration is untouched
+    val got = SimHash.nearDupPairs(corpus, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L), (2L, 5L)))
+  }
+
   test("SimHash bitString renders 64 bits matching the packed long") {
     val sigs = SimHash.fingerprints(
       Shingles.exploded(corpus, col("doc_id"), col("text"), 3).dropDuplicates("id", "sh"),
