@@ -12,11 +12,16 @@ case class StreamDoc(doc_id: Long, lang: String, text: String)
 /** Streaming-throughput harness (dev tool, SURVEY §6): measures
   * rows/second per MICRO-BATCH for the D-family gate sinks —
   * D9 (decontamination), D10 (near-dup store gate), D13 (DSIR
-  * relevance), D15 (trained classifier) — at two batch sizes, so the
-  * O(batch) per-arrival claim each sink documents carries a measured
-  * curve instead of an argument: per-batch seconds should scale
-  * ~linearly with batch size (rows/s roughly constant), and D10's
-  * per-batch time must stay flat as its persistent store grows.
+  * relevance), D15 (trained classifier) — at three batch sizes
+  * (default 500/2000/10000; override via
+  * SPARK_GRAFT_STREAM_BATCH_SIZES), so the O(batch) per-arrival
+  * claim each sink documents carries a measured curve instead of an
+  * argument: per-batch seconds should scale ~linearly with batch
+  * size (rows/s roughly constant), and D10's per-batch time must
+  * stay flat as its persistent store grows — the optional growth
+  * phase (SPARK_GRAFT_STREAM_GROWTH_BATCHES=100+) drives D10 alone
+  * long enough to measure that flatness as a first-10 vs last-10
+  * median ratio.
   *
   * Batch texts come from the sf dir's `documents` table with every
   * whitespace token PREFIXED per (gate, batch) — the ScaleGen
@@ -37,9 +42,14 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "streambench_out.json")
-    val batchSizes = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH_SIZES", "500,2000")
+    val batchSizes = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH_SIZES", "500,2000,10000")
       .split(",").map(_.trim.toInt).toSeq
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "6").toInt
+    // optional store-growth phase: drive D10 alone for this many extra
+    // batches at a fixed size, recording the per-batch time TREND —
+    // the flat-store-cost claim needs a long run, not 6 batches
+    val growthBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_GROWTH_BATCHES", "0").toInt
+    val growthSize = sys.env.getOrElse("SPARK_GRAFT_STREAM_GROWTH_SIZE", "500").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -123,6 +133,29 @@ object StreamBench {
         f"(${size / med}%.0f rows/s) secs=${secs.map(s => f"$s%.3f").mkString(",")}")
       (gate, size, secs, med)
     }
+    // D10 store growth: per-batch seconds over a LONG run (store and
+    // corpus grow by one batch dir each arrival; the claim under test
+    // is that per-batch time stays flat as both grow)
+    val growth: Option[Seq[Double]] = if (growthBatches > 0) Some {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sb-growth").toString
+      val input = MemoryStream[StreamDoc](spark)(Encoders.product[StreamDoc])
+      val q = streaming.EventStream.nearDupGateSink(input.toDF(), "doc_id", col("text"),
+        dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")
+      try {
+        input.addData(mkBatch("growthw", 0, growthSize): _*)
+        q.processAllAvailable()
+        val secs = (1 to growthBatches).map { k =>
+          input.addData(mkBatch("growth", k, growthSize): _*)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val head = median(secs.take(10)); val tail = median(secs.takeRight(10))
+        System.err.println(f"[streambench] d10 growth n=$growthBatches size=$growthSize " +
+          f"first10med=$head%.3f s last10med=$tail%.3f s ratio=${tail / head}%.2f")
+        secs
+      } finally q.stop()
+    } else None
     val json = results.groupBy(_._1).toSeq.sortBy(_._1).map { case (gate, rs) =>
       val per = rs.sortBy(_._2).map { case (_, size, secs, med) =>
         s""""batch_$size":{"secs":[${secs.map(s => f"$s%.3f").mkString(",")}],""" +
@@ -130,7 +163,13 @@ object StreamBench {
       }.mkString(",")
       s""""$gate":{$per}"""
     }.mkString(",")
-    val line = s"""{"gates":{$json},"n_batches":$nBatches,"sf":"$sfDir","cpus":"$cpus"}"""
+    val growthJson = growth.map { secs =>
+      val head = median(secs.take(10)); val tail = median(secs.takeRight(10))
+      s""","d10_growth":{"n":$growthBatches,"size":$growthSize,""" +
+        f""""first10_median_sec":$head%.3f,"last10_median_sec":$tail%.3f,""" +
+        f""""ratio":${tail / head}%.2f}"""
+    }.getOrElse("")
+    val line = s"""{"gates":{$json}$growthJson,"n_batches":$nBatches,"sf":"$sfDir","cpus":"$cpus"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[streambench] $outPath not written: $e") }

@@ -334,9 +334,10 @@ object EventStream {
     * is a batch aggregation, which Append-mode streaming can't
     * express row-locally, and foreachBatch is the documented
     * Structured Streaming escape hatch for exactly this. Replays
-    * after recovery are absorbed because the keyed keep-latest merge
-    * sink is idempotent (same argument as D6: re-merging rows already
-    * in the table is a no-op).
+    * after recovery are absorbed because survivors land via
+    * `appendBatchWrite` — a replayed batch overwrites its own
+    * deterministic `batch=<id>` dir, O(batch) per arrival regardless
+    * of corpus size.
     *
     * Scale: the eval side is benchmark-sized → its (cached) gram set
     * broadcasts under AQE; each micro-batch's cost is O(batch grams),
@@ -348,7 +349,7 @@ object EventStream {
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val shared = graft.operators.Contamination
             .sharedGramsVs(batch, evalGrams, col(idName), text, n)
@@ -357,8 +358,7 @@ object EventStream {
               .select(col("id").as(idName)),
             Seq(idName), "left_anti")
           if (!survivors.isEmpty)
-            graft.operators.Upsert.mergeWritePartitioned(
-              survivors, Seq(idName), Seq(col(idName)), path, partCol)
+            appendBatchWrite(survivors, batchId, path, partCol)
         }
       }
       .start()
@@ -370,8 +370,8 @@ object EventStream {
     * `Sampling.trainValSplit`), so a row routes identically in batch
     * and stream, across replays, and across engines; the native file
     * sink's manifest log gives exactly-once file commits without any
-    * foreachBatch (contrast D6/D9/D10, which need a keyed merge
-    * because their per-batch work is relational). Downstream readers
+    * foreachBatch (contrast D6's keyed merge and the D9/D10 gates,
+    * whose per-batch work is relational). Downstream readers
     * get `split=train/` / `split=val/` partition pruning for free.
     * Stateless: no watermark, no state store, nothing buffered. */
   def splitSink(docs: DataFrame, keyName: String, valFraction: Double,
@@ -396,7 +396,8 @@ object EventStream {
     * junk C9's structural heuristics cannot: encoding garbage and
     * wrong-language text LOOK structurally fine. foreachBatch because
     * the per-doc score is an aggregation (D9's argument); replays are
-    * absorbed by the idempotent keyed merge (D6's argument). */
+    * absorbed by `appendBatchWrite`'s deterministic batch-dir
+    * overwrite (D9's argument). */
   def perplexityGateSink(docs: DataFrame, idName: String, text: Column,
                          model: graft.operators.LangModel.Model, maxScore: Double,
                          path: String, partCol: String, checkpoint: String)
@@ -404,7 +405,7 @@ object EventStream {
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val keep = graft.operators.LangModel
             .score(batch, col(idName), text, model)
@@ -412,8 +413,7 @@ object EventStream {
             .select(col("id").as(idName))
           val survivors = batch.join(keep, Seq(idName), "left_semi")
           if (!survivors.isEmpty)
-            graft.operators.Upsert.mergeWritePartitioned(
-              survivors, Seq(idName), Seq(col(idName)), path, partCol)
+            appendBatchWrite(survivors, batchId, path, partCol)
         }
       }
       .start()
@@ -429,8 +429,8 @@ object EventStream {
     * target domain". Where D12 rejects junk ANY corpus would refuse,
     * D13 STEERS the mixture toward a chosen target distribution.
     * foreachBatch because the per-doc score is an aggregation (D9's
-    * argument); replays are absorbed by the idempotent keyed merge
-    * (D6's argument). */
+    * argument); replays are absorbed by `appendBatchWrite`'s
+    * deterministic batch-dir overwrite (D9's argument). */
   def dsirGateSink(docs: DataFrame, idName: String, text: Column,
                    model: graft.operators.Dsir.Model, minLogw: Double,
                    path: String, partCol: String, checkpoint: String)
@@ -438,7 +438,7 @@ object EventStream {
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val keep = graft.operators.Dsir
             .score(batch, col(idName), text, model)
@@ -446,8 +446,7 @@ object EventStream {
             .select(col("id").as(idName))
           val survivors = batch.join(keep, Seq(idName), "left_semi")
           if (!survivors.isEmpty)
-            graft.operators.Upsert.mergeWritePartitioned(
-              survivors, Seq(idName), Seq(col(idName)), path, partCol)
+            appendBatchWrite(survivors, batchId, path, partCol)
         }
       }
       .start()
@@ -459,8 +458,9 @@ object EventStream {
     * `Classifier.Model` (train offline on labeled seeds; the
     * vocab-sized log-odds table broadcasts identically at any corpus
     * size). Docs with `logodds <= cutoff` never land. Same
-    * foreachBatch + idempotent-merge reasoning as D12/D13: scoring
-    * is an aggregation, replays are absorbed by the keyed merge. */
+    * foreachBatch + batch-dir-overwrite reasoning as D12/D13:
+    * scoring is an aggregation, replays overwrite their own
+    * `batch=<id>` dir. */
   def classifierGateSink(docs: DataFrame, idName: String, text: Column,
                          model: graft.operators.Classifier.Model, cutoff: Double,
                          path: String, partCol: String, checkpoint: String)
@@ -468,7 +468,7 @@ object EventStream {
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val keep = graft.operators.Classifier
             .score(batch, col(idName), text, model, cutoff)
@@ -476,8 +476,7 @@ object EventStream {
             .select(col("id").as(idName))
           val survivors = batch.join(keep, Seq(idName), "left_semi")
           if (!survivors.isEmpty)
-            graft.operators.Upsert.mergeWritePartitioned(
-              survivors, Seq(idName), Seq(col(idName)), path, partCol)
+            appendBatchWrite(survivors, batchId, path, partCol)
         }
       }
       .start()
@@ -486,9 +485,10 @@ object EventStream {
     * C34. Each micro-batch is gated through the SAME
     * `Incremental.gate` the batch operator runs (banded minhash
     * candidates + exact Jaccard, drop iff any seen doc or smaller-id
-    * batch-mate matches); survivors merge into the corpus and the
-    * batch's signatures are appended to a persistent store so the
-    * next arrival gates against everything ever seen.
+    * batch-mate matches); survivors land in the corpus as one
+    * `batch=<id>` dir (`appendBatchWrite`) and the batch's signatures
+    * are appended to a persistent store so the next arrival gates
+    * against everything ever seen.
     *
     * Store layout: `storePath/{bands,sets}/batch=<batchId>/` — one
     * immutable directory per micro-batch, written with Overwrite into
@@ -501,8 +501,9 @@ object EventStream {
     * replays AFTER its signatures were stored, every batch doc
     * self-matches (Jaccard 1.0 with its own stored signature — the
     * gate has no self-exclusion, deliberately), survivors are empty,
-    * and the merge is a no-op; if it replays BEFORE, the gate
-    * recomputes the same survivors and the keyed merge absorbs them.
+    * and the corpus write is a no-op; if it replays BEFORE, the gate
+    * recomputes the same survivors and `appendBatchWrite` overwrites
+    * the batch's own corpus dir with identical rows.
     * Either interleaving converges to the same corpus + store. The
     * same self-match rule makes re-ingesting an already-seen doc id
     * a no-op forever — idempotent ingest.
@@ -530,8 +531,7 @@ object EventStream {
           val survDocs = batch.join(
             surv.withColumnRenamed("id", idName), Seq(idName), "left_semi")
           if (!survDocs.isEmpty)
-            graft.operators.Upsert.mergeWritePartitioned(
-              survDocs, Seq(idName), Seq(col(idName)), outPath, partCol)
+            appendBatchWrite(survDocs, batchId, outPath, partCol)
           // AFTER the survivor merge: see the replay analysis above
           bBands.write.mode(SaveMode.Overwrite)
             .parquet(s"$storePath/bands/batch=$batchId")
@@ -562,6 +562,81 @@ object EventStream {
         proto.limit(0), col(idName), text, n, k, bandRows)
       (eb, es)
     }
+  }
+
+  /** Exactly-once APPEND write for streaming ingest corpora: each
+    * micro-batch lands in its own immutable `batch=<batchId>`
+    * directory (partitioned by `partCol` inside), written with
+    * Overwrite into the DETERMINISTIC batchId path, so a foreachBatch
+    * REPLAY overwrites its own files instead of duplicating them —
+    * the D10 signature-store contract applied to the corpus itself.
+    *
+    * Why not the keyed merge the gates used before: per micro-batch,
+    * `Upsert.mergeWritePartitioned` re-reads and re-writes every
+    * affected partition of the EXISTING corpus, and since every batch
+    * carries every `partCol` value, that is O(corpus) read+write per
+    * arrival — StreamBench measured the merge dominating every
+    * gate's per-batch floor, and the floor GROWS as the corpus does.
+    * This write is O(batch) bytes regardless of corpus size. The
+    * trade: ingest gates assume upstream assigns each doc a unique
+    * id (their job is DROPPING rows, not updating them); a keyed
+    * keep-latest corpus remains D6 `upsertSink`'s contract.
+    *
+    * Readers scan the root (`batch` and `partCol` are partition
+    * columns; `partCol` pruning still applies); `ingestCorpusCompact`
+    * bounds the directory count, exactly like the D10 store's
+    * compaction. */
+  def appendBatchWrite(batch: DataFrame, batchId: Long,
+                       path: String, partCol: String): Unit =
+    batch.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$path/batch=$batchId")
+
+  /** Ingest-corpus compaction — `nearDupStoreCompact`'s hygiene pass
+    * for the `appendBatchWrite` layout: consolidates every
+    * `batch=<id>` dir with id < `watermark` into ONE
+    * `batch=<negative>` dir (still partitioned by `partCol`, ≈
+    * totalBytes/`targetBytes` files per value), then deletes the
+    * sources. Same replay-safety argument as the store compaction:
+    * consolidated ids are strictly decreasing negatives no
+    * micro-batch id collides with; pick `watermark` ≤ the newest
+    * batch id so only checkpoint-uncommitted batches stay
+    * replayable; the consolidated dir is fully written BEFORE any
+    * source is deleted (a crash between leaves duplicates that the
+    * next run absorbs — acceptable here because compaction runs
+    * between arrivals under the single-writer contract, and readers
+    * of an ingest corpus tolerate a transiently duplicated closed
+    * batch the same way they tolerate the pre-compaction layout).
+    * Returns (dirsBefore, dirsAfter). */
+  def ingestCorpusCompact(spark: SparkSession, path: String, partCol: String,
+                          watermark: Long, targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes > 0, s"ingestCorpusCompact: targetBytes must be > 0, got $targetBytes")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0, 0)
+    val parts = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch="))
+          scala.util.Try(n.stripPrefix("batch=").toLong).toOption.map((_, st.getPath))
+        else None
+      }
+    val closed = parts.filter(_._1 < watermark)
+    if (closed.size <= 1) return (parts.size, parts.size)
+    val bytes = closed.map { case (_, p) => fs.getContentSummary(p).getLength }.sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val nextId = math.min(0L, parts.map(_._1).min) - 1
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.get(inferKey)
+    val consolidated = try {
+      spark.conf.set(inferKey, "false") // partCol dir values verbatim
+      spark.read.option("basePath", path).parquet(closed.map(_._2.toString): _*)
+        .drop("batch")
+        .coalesce(nFiles)
+    } finally spark.conf.set(inferKey, inferPrev)
+    consolidated.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(new org.apache.hadoop.fs.Path(root, s"batch=$nextId").toString)
+    closed.foreach { case (_, p) => fs.delete(p, true) }
+    (parts.size, parts.size - closed.size + 1)
   }
 
   /** Signature-store compaction — the lifecycle pass the append-only

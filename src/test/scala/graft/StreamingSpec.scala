@@ -244,10 +244,16 @@ class StreamingSpec extends SparkSpec {
           Seq("doc_id"), "left_anti")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(batchSurvivors == landed())
-      // replay of the last arrival is absorbed (idempotent keyed merge)
-      graft.operators.Upsert.mergeWritePartitioned(
-        spark.createDataFrame(Seq(docs(3))), Seq("doc_id"), Seq(col("doc_id")),
-        path, "lang")
+      // replay of the last arrival is absorbed: the batch overwrites
+      // its own deterministic batch=<id> dir, never duplicating rows
+      EventStream.appendBatchWrite(
+        spark.createDataFrame(Seq(docs(3))), 1L, path, "lang")
+      assert(landed() == Set(2L, 4L))
+      // compaction folds the closed batch dirs into one negative-id
+      // dir without changing what a reader sees
+      val (before, after) = EventStream.ingestCorpusCompact(spark, path, "lang",
+        watermark = 2L)
+      assert(before == 2 && after == 1)
       assert(landed() == Set(2L, 4L))
     } finally q.stop()
   }
