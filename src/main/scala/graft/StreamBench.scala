@@ -50,6 +50,11 @@ object StreamBench {
     // the flat-store-cost claim needs a long run, not 6 batches
     val growthBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_GROWTH_BATCHES", "0").toInt
     val growthSize = sys.env.getOrElse("SPARK_GRAFT_STREAM_GROWTH_SIZE", "500").toInt
+    // 0 = never; N = run store + corpus compaction between arrivals
+    // every N batches (outside the per-batch timers) — measures
+    // whether the documented compaction lever flattens the growth
+    // curve the plain run exposes
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_STREAM_GROWTH_COMPACT_EVERY", "0").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -145,6 +150,16 @@ object StreamBench {
         input.addData(mkBatch("growthw", 0, growthSize): _*)
         q.processAllAvailable()
         val secs = (1 to growthBatches).map { k =>
+          if (compactEvery > 0 && k % compactEvery == 0) {
+            // between arrivals per the single-writer contract; the
+            // compaction cost itself is deliberately OUTSIDE the
+            // per-batch timer (it amortizes over compactEvery batches
+            // and would run on a maintenance schedule in production)
+            // watermark = newest committed batch id (k-1): the
+            // documented "only the newest batch can replay" rule
+            streaming.EventStream.nearDupStoreCompact(spark, dir + "/store", (k - 1).toLong)
+            streaming.EventStream.ingestCorpusCompact(spark, dir + "/corpus", "lang", (k - 1).toLong)
+          }
           input.addData(mkBatch("growth", k, growthSize): _*)
           val t0 = System.nanoTime()
           q.processAllAvailable()
@@ -152,7 +167,8 @@ object StreamBench {
         }
         val head = median(secs.take(10)); val tail = median(secs.takeRight(10))
         System.err.println(f"[streambench] d10 growth n=$growthBatches size=$growthSize " +
-          f"first10med=$head%.3f s last10med=$tail%.3f s ratio=${tail / head}%.2f")
+          f"compactEvery=$compactEvery first10med=$head%.3f s last10med=$tail%.3f s " +
+          f"ratio=${tail / head}%.2f")
         secs
       } finally q.stop()
     } else None
@@ -165,7 +181,7 @@ object StreamBench {
     }.mkString(",")
     val growthJson = growth.map { secs =>
       val head = median(secs.take(10)); val tail = median(secs.takeRight(10))
-      s""","d10_growth":{"n":$growthBatches,"size":$growthSize,""" +
+      s""","d10_growth":{"n":$growthBatches,"size":$growthSize,"compact_every":$compactEvery,""" +
         f""""first10_median_sec":$head%.3f,"last10_median_sec":$tail%.3f,""" +
         f""""ratio":${tail / head}%.2f}"""
     }.getOrElse("")
