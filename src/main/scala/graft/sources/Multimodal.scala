@@ -456,7 +456,13 @@ object Multimodal {
         if (tag(i, "fmt ") && i + 16 + 8 <= b.length) {
           channels = le16(i + 10); rate = le32(i + 12).toInt; byteRate = le32(i + 16)
         } else if (tag(i, "data")) dataLen = size
-        i += 8 + size.toInt + (size.toInt & 1)
+        // bounded step in Long: a crafted size > Int.MaxValue would
+        // overflow an Int step NEGATIVE and walk backwards forever —
+        // any chunk reaching past the payload ends the walk instead
+        // (whatever fmt/data were seen by then still count, so valid
+        // trailing-truncated files parse exactly as before)
+        val step = 8L + size + (size & 1L)
+        if (i + step > b.length) i = b.length else i += step.toInt
       }
       if (rate > 0 && byteRate > 0 && dataLen >= 0)
         Some(("wav", channels, rate, dataLen * 1000L / byteRate))

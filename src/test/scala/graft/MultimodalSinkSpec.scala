@@ -160,6 +160,37 @@ class MultimodalSinkSpec extends SparkSpec {
     assert(Multimodal.videoFrames(riffBomb).isEmpty)
   }
 
+  test("C12 fuzz: no probe or decoder throws on arbitrary bytes") {
+    val rnd = new scala.util.Random(42)
+    // random blobs + structured prefixes that enter each parser's
+    // deep path (RIFF/PNG/JPEG/fLaC magics with garbage bodies)
+    val magics: Seq[Array[Byte]] = Seq(
+      "RIFF????AVI ".getBytes("US-ASCII"),
+      "RIFF????WAVE".getBytes("US-ASCII"),
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte), // JPEG SOI+APP0
+      "fLaC".getBytes("US-ASCII"),
+      "GIF89a".getBytes("US-ASCII"),
+      "BM".getBytes("US-ASCII"))
+    val blobs = (0 until 200).map { i =>
+      val n = rnd.nextInt(512)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      if (i % 4 == 0 && n >= 16) {
+        val m = magics(i % magics.size)
+        System.arraycopy(m, 0, b, 0, math.min(m.length, n))
+      }
+      b
+    } :+ Array.empty[Byte]
+    blobs.foreach { b =>
+      Multimodal.probeImage(b); Multimodal.probeAudio(b)
+      Multimodal.probeVideo(b); Multimodal.videoFrames(b)
+      Multimodal.decodeImage(b); Multimodal.imageFeatures(b)
+      Multimodal.decodeAudio(b); Multimodal.audioFeatures(b)
+      Multimodal.resizeImage(b, 8)
+    }
+    succeed
+  }
+
   test("C12 real sample decode: WAV sine RMS, stereo fold, junk refused") {
     // mono sine at amplitude 0.5 → rms ≈ 0.5/√2, peak ≈ 0.5
     val wav = Multimodal.synthWav(seed = 1, rate = 16000, durMs = 500)
