@@ -564,6 +564,110 @@ object EventStream {
     }
   }
 
+  /** Configuration for the D16 composed ingest pipeline: each stage
+    * is optional (None/false = skip); models are FROZEN by the same
+    * contract as the standalone gates. Stages apply in the ladder
+    * order cheap-to-expensive: quality rules → LM perplexity →
+    * trained classifier → DSIR steer → decontamination → near-dup
+    * gate — each stage shrinks the next stage's input, so the
+    * expensive relational gates see only what the cheap rules kept.
+    * `lm`/`clf`/`dsir` carry (model, cutoff); `decon` carries
+    * (persisted eval-gram set, n, maxShared). */
+  final case class IngestPipeline(
+      minQuality: Double = 0.0,
+      lm: Option[(graft.operators.LangModel.Model, Double)] = None,
+      clf: Option[(graft.operators.Classifier.Model, Double)] = None,
+      dsir: Option[(graft.operators.Dsir.Model, Double)] = None,
+      decon: Option[(DataFrame, Int, Long)] = None,
+      nearDup: Boolean = true)
+
+  /** D16: the COMPOSED streaming ingest pipeline — the streaming twin
+    * of C21's batch pipeline and the form a production crawl ingest
+    * actually runs: ONE stream, ONE checkpoint, ONE corpus, with the
+    * whole gate ladder applied inside a single foreachBatch. Running
+    * the five standalone gate sinks instead would read the source
+    * five times, keep five checkpoints, and land five corpora that
+    * then need re-joining.
+    *
+    * Semantics are EXACTLY the standalone gates', composed: D7
+    * quality+scrub runs UPSTREAM as the stateless map stage it is
+    * (so every later stage and the landed corpus see the scrubbed
+    * text and carry the quality columns), then per micro-batch the
+    * LM, classifier, and DSIR verdicts (each one broadcast-model
+    * aggregation over the still-surviving docs), the D9 anti-join
+    * against the eval grams, and the D10 near-dup gate against the
+    * persistent signature store. Survivors land via
+    * `appendBatchWrite`; signatures of ALL gated batch docs are
+    * stored AFTER the corpus write (D10's replay analysis). A
+    * replayed batch re-derives the same survivors (every stage is a
+    * pure function of batch + frozen models + store) and overwrites
+    * its own batch=<id> dir; after signatures landed, replays
+    * self-match to zero survivors — the same end-to-end
+    * exactly-once-effective argument as D10, inherited by the whole
+    * ladder.
+    *
+    * Scale: every stage is O(batch) — the models broadcast, the eval
+    * side is benchmark-sized, the store join is banded — and the one
+    * localCheckpoint pins the batch-sized survivor set so the later
+    * stages' actions don't recompute the earlier joins. */
+  def ingestPipelineSink(docs: DataFrame, idName: String, text: Column,
+                         cfg: IngestPipeline, storePath: String, outPath: String,
+                         partCol: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val gated = qualityGate(docs, text, cfg.minQuality)
+    // downstream stages score the SCRUBBED text — the pipeline
+    // contract: PII never reaches a model or the corpus
+    val scrubbedText = col("scrubbed")
+    gated.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          var surv = batch
+          def keepSemi(ids: DataFrame): Unit =
+            surv = surv.join(ids.select(col("id").as(idName)), Seq(idName), "left_semi")
+          cfg.lm.foreach { case (m, maxScore) =>
+            keepSemi(graft.operators.LangModel.score(surv, col(idName), scrubbedText, m)
+              .filter(col("lm_score") <= maxScore)) }
+          cfg.clf.foreach { case (m, cutoff) =>
+            keepSemi(graft.operators.Classifier.score(surv, col(idName), scrubbedText, m, cutoff)
+              .filter(col("keep"))) }
+          cfg.dsir.foreach { case (m, minLogw) =>
+            keepSemi(graft.operators.Dsir.score(surv, col(idName), scrubbedText, m)
+              .filter(col("logw") >= minLogw)) }
+          cfg.decon.foreach { case (evalGrams, n, maxShared) =>
+            surv = surv.join(
+              graft.operators.Contamination
+                .sharedGramsVs(surv, evalGrams, col(idName), scrubbedText, n)
+                .filter(col("shared_grams") > maxShared)
+                .select(col("id").as(idName)),
+              Seq(idName), "left_anti") }
+          // pin the score-gated set once: the near-dup gate and the
+          // two writes below each run actions over it
+          val pinned = surv.localCheckpoint(true)
+          if (cfg.nearDup) {
+            val (storeBands, storeSets) =
+              nearDupStore(spark, storePath, pinned, idName, scrubbedText)
+            val (ids, bBands, bSets) = graft.operators.Incremental.gate(
+              storeBands, storeSets, pinned, col(idName), scrubbedText)
+            val survDocs = pinned.join(
+              ids.withColumnRenamed("id", idName), Seq(idName), "left_semi")
+            if (!survDocs.isEmpty)
+              appendBatchWrite(survDocs, batchId, outPath, partCol)
+            // signatures of ALL score-gated docs (not just near-dup
+            // survivors), AFTER the corpus write — D10's contract
+            bBands.write.mode(SaveMode.Overwrite)
+              .parquet(s"$storePath/bands/batch=$batchId")
+            bSets.write.mode(SaveMode.Overwrite)
+              .parquet(s"$storePath/sets/batch=$batchId")
+          } else if (!pinned.isEmpty)
+            appendBatchWrite(pinned, batchId, outPath, partCol)
+        }
+      }
+      .start()
+  }
+
   /** Exactly-once APPEND write for streaming ingest corpora: each
     * micro-batch lands in its own immutable `batch=<batchId>`
     * directory (partitioned by `partCol` inside), written with

@@ -497,6 +497,107 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D16 ingestPipelineSink: one stream applies the whole ladder; equals the batch rules composed") {
+    import org.apache.spark.sql.functions.{col, lower}
+    import graft.operators.{Classifier, Contamination, Dsir, LangModel, Quality}
+    // frozen models: cooking prose is the "good" class everywhere
+    val cookTxt = "simmer the onion butter garlic sauce then season and serve warm"
+    val cook = (1L to 20L).map(i => IngestDoc(i, "en", cookTxt))
+    val legal = (21L to 40L).map(i =>
+      IngestDoc(i, "en", "the party hereto shall indemnify pursuant to clause four herein"))
+    val spam = (41L to 50L).map(i =>
+      IngestDoc(i, "en", "buy now spam click free winner prize offer deal"))
+    val cookDF = spark.createDataFrame(cook)
+    val lmModel = LangModel.train(cookDF, lower(col("text")))
+    val clfModel = Classifier.train(cookDF, spark.createDataFrame(spam),
+      col("doc_id"), col("text"))
+    val dsirModel = Dsir.train(cookDF, spark.createDataFrame(cook ++ legal),
+      col("doc_id"), col("text"))
+    val evalGrams = Contamination.evalGramSet(
+      spark.createDataFrame(Seq(IngestDoc(900L, "en", "alpha beta gamma delta epsilon zeta"))),
+      col("doc_id"), lower(col("text")), 5).localCheckpoint(true)
+
+    // one planted drop per stage + survivors
+    val docs = Seq(
+      IngestDoc(1L, "en", cookTxt + " tonight"),                       // lands
+      IngestDoc(2L, "en", "%%% ### 0101 &&& *** ((( ))) ;;; @@@"),     // quality
+      IngestDoc(3L, "en", "zq xv jj qq kk zz xx vv ww yy"),            // LM garbage
+      IngestDoc(4L, "en", "buy now spam click free winner prize offer deal"), // classifier
+      IngestDoc(5L, "en", "the party hereto shall indemnify pursuant to clause four herein"), // DSIR
+      IngestDoc(6L, "en", "intro alpha beta gamma delta epsilon outro serve warm words"), // decon
+      IngestDoc(7L, "en", cookTxt + " friends"))                       // near-dup of 1
+    val batch2 = Seq(
+      IngestDoc(8L, "en", cookTxt + " today"),                         // near-dup vs store
+      IngestDoc(9L, "en", "warm garlic butter sauce then serve and season the onion")) // lands
+
+    val all = spark.createDataFrame(docs ++ batch2)
+    // per-doc stage verdicts are pure functions of frozen models, so
+    // cutoffs derive from batch scores exactly like the D12-D15 specs
+    val qScores = Quality.scored(all, col("text"))
+      .select("doc_id", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val keepersQ = Set(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)
+    assert(qScores(2L) < keepersQ.map(qScores).min, s"quality fixture: $qScores")
+    val minQ = (qScores(2L) + keepersQ.map(qScores).min) / 2
+    val lmScores = LangModel.score(all, col("doc_id"), lower(col("text")), lmModel)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(lmScores(3L) > Set(1L, 7L, 8L, 9L).map(lmScores).max)
+    val lmCut = (lmScores(3L) + Set(1L, 7L, 8L, 9L).map(lmScores).max) / 2
+    val clfScores = Classifier.score(all, col("doc_id"), col("text"), clfModel)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(clfScores(4L) < Set(1L, 7L, 8L, 9L).map(clfScores).min)
+    val clfCut = (clfScores(4L) + Set(1L, 7L, 8L, 9L).map(clfScores).min) / 2
+    val dsirScores = Dsir.score(all, col("doc_id"), col("text"), dsirModel)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(dsirScores(5L) < Set(1L, 7L, 8L, 9L).map(dsirScores).min)
+    val dsirCut = (dsirScores(5L) + Set(1L, 7L, 8L, 9L).map(dsirScores).min) / 2
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-d16").toString
+    val cfg = EventStream.IngestPipeline(
+      minQuality = minQ,
+      lm = Some((lmModel, lmCut)),
+      clf = Some((clfModel, clfCut)),
+      dsir = Some((dsirModel, dsirCut)),
+      decon = Some((evalGrams, 5, 0L)),
+      nearDup = true)
+    val input = MemoryStream[IngestDoc](spark)(Encoders.product[IngestDoc])
+    val q = EventStream.ingestPipelineSink(input.toDF(), "doc_id", col("text"),
+      cfg, dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")
+    def landed() = spark.read.parquet(dir + "/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      // every planted category caught; the clean doc lands; the
+      // within-batch near-dup (7, same family as 1) keep-firsts away
+      assert(landed() == Set(1L))
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // 8 matches STORED 1 (cross-arrival) and drops; 9 lands
+      assert(landed() == Set(1L, 9L))
+      // the corpus carries the D7 outputs: scrubbed text + quality
+      val cols = spark.read.parquet(dir + "/corpus").columns.toSet
+      assert(cols.contains("scrubbed") && cols.contains("quality_score"))
+      // equals the batch rules composed on the same input: per-doc
+      // score gates are pure, so sequential == intersection, then
+      // global keep-first near-dup over the score-clean set
+      val scoreClean = (docs ++ batch2).map(_.doc_id).filter { id =>
+        qScores(id) >= minQ && lmScores(id) <= lmCut &&
+          clfScores(id) > clfCut && dsirScores(id) >= dsirCut }
+      val cleanDF = all.filter(col("doc_id").isin(scoreClean: _*))
+      val shared = Contamination.sharedGramsVs(cleanDF, evalGrams,
+          col("doc_id"), lower(col("text")), 5)
+        .filter(col("shared_grams") > 0).select("id")
+        .collect().map(_.getLong(0)).toSet
+      val deconClean = scoreClean.filterNot(shared)
+      val dedupIn = all.filter(col("doc_id").isin(deconClean: _*))
+      val droppedDup = graft.operators.MinHash.nearDupPairs(
+          dedupIn, col("doc_id"), col("text"))
+        .select("doc_b").collect().map(_.getLong(0)).toSet
+      assert(landed() == deconClean.toSet -- droppedDup)
+    } finally q.stop()
+  }
+
   test("D11 splitSink: in-flight split equals the batch rule; partitioned layout") {
     import org.apache.spark.sql.functions.col
     val docs = (1L to 200L).map(i => IngestDoc(i, "en", s"doc number $i"))
