@@ -34,8 +34,19 @@ object LangModel {
   /** Trained model: (tri, logp) with add-half smoothing
     * logp = ln((c(tri) + 0.5) / (c(prefix) + 0.5·V)), plus the
     * unseen-trigram floor as `unkLogp`. V = distinct trigram count.
-    * The model table is bounded by the charset, never the corpus. */
-  final case class Model(table: DataFrame, unkLogp: Double)
+    * The model table is bounded by the charset, never the corpus —
+    * which is what makes `compiled` (the collected scoring kernel
+    * form) model-sized driver traffic, the same budget the broadcast
+    * join already paid. Lazy + transient: built once per Model (the
+    * frozen-model streaming gate D12 scores many batches against one
+    * Model), rebuilt if the instance is ever serialized. */
+  final case class Model(table: DataFrame, unkLogp: Double) {
+    @transient lazy val compiled: graft.plans.CompiledLm =
+      new graft.plans.CompiledLm(
+        table.select(col("tri"), col("logp")).collect()
+          .map(r => (r.getString(0), r.getDouble(1))),
+        unkLogp)
+  }
 
   def train(docs: DataFrame, text: Column): Model = {
     val tris = docs.select(explode(charTrigrams(text)).as("tri"))
@@ -60,10 +71,29 @@ object LangModel {
   }
 
   /** (id, n_tris, lm_score) per document: lm_score = average negative
-    * log-prob of its trigrams under `model`, decimal-summed, rounded
-    * to 6. Documents shorter than 3 chars carry the unseen floor
-    * (they have no evidence of fluency). */
-  def score(docs: DataFrame, id: Column, text: Column, model: Model): DataFrame = {
+    * log-prob of its trigrams under `model`, rounded to 6. Documents
+    * shorter than 3 chars carry the unseen floor (they have no
+    * evidence of fluency).
+    *
+    * Runs as ONE map-side pass via the fused `TrigramLmScore` kernel
+    * — no per-trigram explode, no join, no shuffle. The fixed-point
+    * sum inside the kernel is bit-identical to the decimal(20,8)
+    * pipeline of `scoreDeclarative` (parity is spec-pinned), so the
+    * C28 oracle and the D12 gate semantics are unchanged. */
+  def score(docs: DataFrame, id: Column, text: Column, model: Model): DataFrame =
+    docs.select(id.as("id"),
+        graft.plans.TextExpressions
+          .trigramLmScore(coalesce(text.cast("string"), lit("")), model.compiled)
+          .as("r"))
+      .select(col("id"), col("r.n_tris").as("n_tris"),
+        col("r.lm_score").as("lm_score"))
+
+  /** The pre-kernel declarative scoring plan (explode → broadcast
+    * join → per-doc decimal aggregation) — retained as the parity
+    * oracle for `score`'s kernel: same rows, bit-identical scores,
+    * at one-row-per-TRIGRAM cost. */
+  private[graft] def scoreDeclarative(docs: DataFrame, id: Column, text: Column,
+                                      model: Model): DataFrame = {
     val perTri = docs
       .select(id.as("id"), explode_outer(charTrigrams(text)).as("tri"))
       .join(broadcast(model.table), Seq("tri"), "left")

@@ -250,11 +250,154 @@ object TextStats {
   }
 }
 
+/** Plan-constant compiled trigram LM for `TrigramLmScore` — the
+  * model table (charset-bounded, SURVEY C28) packed into an
+  * allocation-free open-addressing hash map keyed by the trigram's
+  * UTF-8 bytes (3 codepoints ≤ 12 bytes → two longs; the low byte of
+  * `lo` carries the byte length, so 0 is the empty-slot sentinel and
+  * zero-padding can't collide). Log-probs are stored FIXED-POINT at
+  * scale 8 (the model rounds logp to 8 decimals, so the long is
+  * exact): a per-doc long sum is bit-identical to the decimal(20,8)
+  * sum the declarative form computed, with no summation-order
+  * sensitivity at all. Plain long arrays serialize compactly with
+  * the task binary; lookup is hash + linear probe, zero allocation.
+  */
+final class CompiledLm(entries: Array[(String, Double)], val unkLogp: Double)
+    extends Serializable {
+  val unkFixed: Long = CompiledLm.toFixed(unkLogp)
+  private val cap: Int = {
+    var c = 16
+    while (c < entries.length * 2) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val keyHi = new Array[Long](cap)
+  private val keyLo = new Array[Long](cap) // 0 = empty (len byte != 0)
+  private val vals = new Array[Long](cap)
+  entries.foreach { case (tri, logp) =>
+    val b = UTF8String.fromString(tri).getBytes
+    require(b.length >= 1 && b.length <= 12,
+      s"CompiledLm: trigram '$tri' is ${b.length} bytes — not a 3-codepoint gram")
+    insert(CompiledLm.packHi(b, 0, b.length), CompiledLm.packLo(b, 0, b.length),
+      CompiledLm.toFixed(logp))
+  }
+
+  private def slot(hi: Long, lo: Long): Int = {
+    var h = hi * -7046029254386353131L + lo
+    h ^= h >>> 32; h *= -4417276706812531889L; h ^= h >>> 29
+    h.toInt & mask
+  }
+  private def insert(hi: Long, lo: Long, v: Long): Unit = {
+    var i = slot(hi, lo)
+    while (keyLo(i) != 0L && !(keyHi(i) == hi && keyLo(i) == lo)) i = (i + 1) & mask
+    keyHi(i) = hi; keyLo(i) = lo; vals(i) = v
+  }
+  /** Fixed-point logp of the gram at bytes[from, to), or `unkFixed`. */
+  def lookup(bytes: Array[Byte], from: Int, to: Int): Long = {
+    val hi = CompiledLm.packHi(bytes, from, to - from)
+    val lo = CompiledLm.packLo(bytes, from, to - from)
+    var i = slot(hi, lo)
+    while (keyLo(i) != 0L) {
+      if (keyHi(i) == hi && keyLo(i) == lo) return vals(i)
+      i = (i + 1) & mask
+    }
+    unkFixed
+  }
+}
+
+object CompiledLm {
+  /** Exact scale-8 fixed point of a logp that train() already rounded
+    * to 8 decimals (HALF_UP recovers the decimal the double means). */
+  def toFixed(logp: Double): Long =
+    java.math.BigDecimal.valueOf(logp)
+      .setScale(8, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+
+  private[plans] def packHi(b: Array[Byte], from: Int, len: Int): Long = {
+    var h = 0L
+    var i = 0
+    val n = math.min(len, 8)
+    while (i < n) { h = (h << 8) | (b(from + i) & 0xffL); i += 1 }
+    h
+  }
+  private[plans] def packLo(b: Array[Byte], from: Int, len: Int): Long = {
+    var l = 0L
+    var i = 8
+    while (i < len) { l = (l << 8) | (b(from + i) & 0xffL); i += 1 }
+    (l << 8) | len.toLong // len 1..12 keeps the low byte non-zero
+  }
+
+  private def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else scala.math.BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (n_tris, lm_score) of one document in one linear pass — the
+    * fused form of explode(trigrams) → broadcast-join(model) →
+    * per-doc decimal sum (bit-identical by the fixed-point argument
+    * on `CompiledLm`). Called from generated code. */
+  def score(s: UTF8String, m: CompiledLm): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val offs = new Array[Int](s.numChars() + 1)
+    var i = 0
+    var c = 0
+    while (i < len) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offs(c) = len
+    val n = math.max(0, c - 2)
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, round6(-m.unkLogp)))
+    var sum = 0L // |logp·1e8| ≲ 4e9/tri → exact past 10^9 tris/doc
+    var g = 0
+    while (g < n) { sum += m.lookup(bytes, offs(g), offs(g + 3)); g += 1 }
+    val sDouble = java.math.BigDecimal.valueOf(sum, 8).doubleValue()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, round6(-sDouble / n)))
+  }
+}
+
+/** `struct<n_tris:bigint, lm_score:double>`: C28's scoring kernel.
+  * The declarative form ships one row PER TRIGRAM through a
+  * broadcast join and a per-doc aggregation — at sf10 that is ~10⁹
+  * joined+aggregated rows for an output of one row per document
+  * (measured 20.7 s, the most expensive query on the surface). This
+  * expression walks each document's bytes once against the
+  * plan-constant compiled model: no explode, no join, no shuffle —
+  * the same cure as BestCosineMatch/PQ. Results are bit-identical to
+  * the decimal pipeline (fixed-point sum; see `CompiledLm`), so the
+  * DuckDB oracle is unchanged. */
+case class TrigramLmScore(child: Expression, model: CompiledLm)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_tris",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lm_score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def prettyName: String = "graft_lm_score"
+  override def nullSafeEval(input: Any): Any =
+    CompiledLm.score(input.asInstanceOf[UTF8String], model)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("lmModel", model, classOf[CompiledLm].getName)
+    defineCodeGen(ctx, ev, c => s"graft.plans.CompiledLm.score($c, $m)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TrigramLmScore =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   /** Codegen'd array of all `n`-codepoint windows of `text`. */
   def charNgrams(text: Column, n: Int): Column =
     Bridge.column(CharNgrams(Bridge.expression(text), n))
+
+  /** Codegen'd fused trigram-LM document score; see `TrigramLmScore`. */
+  def trigramLmScore(text: Column, model: CompiledLm): Column =
+    Bridge.column(TrigramLmScore(Bridge.expression(text), model))
 
   /** Codegen'd single-pass (wc, punct, stop, nonws) struct. */
   def textStats(text: Column, stopwords: Seq[String]): Column =

@@ -30,6 +30,27 @@ class LangModelSpec extends SparkSpec {
     assert(out(100L) < out(101L), s"fluent ${out(100L)} !< garbage ${out(101L)}")
   }
 
+  test("score kernel ≡ declarative decimal pipeline, bit-identical") {
+    // train on half the docs so scoring exercises BOTH map hits and
+    // the unk floor; include unicode (multi-byte grams), a short doc,
+    // an empty doc, and a null text
+    val train = clean.take(3).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = LangModel.train(train, col("text"))
+    val probe = Seq(
+      (10L, clean(3)), (11L, clean(4)),
+      (12L, "naïve café — übermäßig 日本語のテキスト"),
+      (13L, "ab"), (14L, ""), (15L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val kernel = LangModel.score(probe, col("doc_id"), col("text"), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val decl = LangModel.scoreDeclarative(
+        probe.na.fill("", Seq("text")), col("doc_id"), col("text"), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(kernel.toSeq == decl.toSeq,
+      s"kernel ${kernel.mkString(",")} != declarative ${decl.mkString(",")}")
+  }
+
   test("score: sub-trigram docs carry the unseen floor, not a crash") {
     val train = clean.take(2).zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")

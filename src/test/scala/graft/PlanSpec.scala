@@ -115,13 +115,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("might_contain"), p)
   }
 
-  test("c28 lm score explodes via the native linear-pass expression") {
+  test("c28 lm score runs the fused kernel: no explode, no join") {
     val p = plan("c28_lm_score")
-    assert(p.contains("graft_char_ngrams"), p)
-    // the quadratic per-position substring-in-a-lambda form must not
-    // come back (fixed-position substring(tri, 1, 2) in the model
-    // build is O(1) and fine)
-    assert(!p.contains("lambdafunction(substring"), p)
+    assert(p.contains("graft_lm_score"), p)
+    // the one-row-per-trigram scoring shape must not come back: no
+    // per-trigram explode, no model join, no per-doc aggregation —
+    // the only post-scan operators are the projection and the output
+    // sort (training is a separate model-sized job, not in this plan)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("HashAggregate"), p)
   }
 
   test("b18 funnel: one user-key exchange feeds the fold, no join") {
