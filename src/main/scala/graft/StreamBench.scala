@@ -12,7 +12,9 @@ case class StreamDoc(doc_id: Long, lang: String, text: String)
 /** Streaming-throughput harness (dev tool, SURVEY §6): measures
   * rows/second per MICRO-BATCH for the D-family gate sinks —
   * D9 (decontamination), D10 (near-dup store gate), D13 (DSIR
-  * relevance), D15 (trained classifier) — at three batch sizes
+  * relevance), D15 (trained classifier), plus D16 (the COMPOSED
+  * ingest pipeline: the whole ladder in one stream, the number a
+  * production ingest actually pays per row) — at three batch sizes
   * (default 500/2000/10000; override via
   * SPARK_GRAFT_STREAM_BATCH_SIZES), so the O(batch) per-arrival
   * claim each sink documents carries a measured curve instead of an
@@ -84,6 +86,18 @@ object StreamBench {
       docsT.filter(col("doc_id") % 10 === 1), docsT.filter(col("doc_id") % 10 === 2),
       col("doc_id"), col("text"))
     val clfModel = clf0.copy(table = clf0.table.localCheckpoint(true))
+    val lm0 = operators.LangModel.train(docsT, lower(col("text")))
+    val lmModel = lm0.copy(table = lm0.table.localCheckpoint(true))
+    // D16 composed-ladder config: permissive cutoffs so (nearly) every
+    // doc flows through EVERY stage — the measurement is the ladder's
+    // full compute cost per row, not its selectivity
+    val pipelineCfg = streaming.EventStream.IngestPipeline(
+      minQuality = -1e9,
+      lm = Some((lmModel, 1e9)),
+      clf = Some((clfModel, -1e9)),
+      dsir = Some((dsirModel, -1000.0)),
+      decon = Some((evalGrams, 3, 0L)),
+      nearDup = true)
 
     /** rows for micro-batch `k` of `size` docs: unique ids, every
       * token prefixed with the (gate, batch) tag. */
@@ -126,12 +140,25 @@ object StreamBench {
           dsirModel, minLogw = -1000.0, dir + "/corpus", "lang", dir + "/ckpt")),
       "d15_classifier" -> ((in, dir) =>
         streaming.EventStream.classifierGateSink(in.toDF(), "doc_id", col("text"),
-          clfModel, cutoff = -1e9, dir + "/corpus", "lang", dir + "/ckpt")))
+          clfModel, cutoff = -1e9, dir + "/corpus", "lang", dir + "/ckpt")),
+      // D16: the realistic number — one stream through the WHOLE
+      // ladder (quality+scrub → LM → classifier → DSIR → decon →
+      // near-dup store gate), one corpus landing
+      "d16_pipeline" -> ((in, dir) =>
+        streaming.EventStream.ingestPipelineSink(in.toDF(), "doc_id", col("text"),
+          pipelineCfg, dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")))
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.length / 2)
     }
-    val results = for ((gate, start) <- gates; size <- batchSizes) yield {
+    // optional comma-separated gate-name filter (local profiling —
+    // a full-gate run takes tens of minutes at the larger sizes)
+    val gateFilter = sys.env.get("SPARK_GRAFT_STREAM_GATES")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = gateFilter.fold(gates)(f => gates.filter(g => f(g._1)))
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_STREAM_GATES matched nothing in ${gates.map(_._1).mkString(",")}")
+    val results = for ((gate, start) <- selected; size <- batchSizes) yield {
       val secs = run(gate, size, start)
       val med = median(secs)
       System.err.println(f"[streambench] $gate size=$size med=$med%.3f s " +
