@@ -265,6 +265,11 @@ object TextStats {
 final class CompiledLm(entries: Array[(String, Double)], val unkLogp: Double)
     extends Serializable {
   val unkFixed: Long = CompiledLm.toFixed(unkLogp)
+  // the model is charset-bounded (≤ |charset|³ rows) by construction;
+  // refuse anything that could only be a corpus-sized table wired in
+  // by mistake — this map is a task-serialized plan constant
+  require(entries.length < (1 << 27),
+    s"CompiledLm: ${entries.length} entries — not a charset-bounded model")
   private val cap: Int = {
     var c = 16
     while (c < entries.length * 2) c <<= 1
