@@ -42,6 +42,32 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("LM kernel equals declarative scoring on generated unicode text") {
+    import graft.operators.LangModel
+    // byte-length diversity on purpose: ascii (1), cyrillic/greek (2),
+    // CJK (3), emoji/supplementary (4 — surrogate pairs in the JVM
+    // string), plus whitespace and empty/short strings
+    val uniText: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("ж", "λ", "ü", "ß").map(identity[String]),
+      2 -> Gen.oneOf("日", "本", "語", "文").map(identity[String]),
+      1 -> Gen.oneOf("😀", "🚀", "𝕏").map(identity[String]),
+      2 -> Gen.const(" "))
+    ).map(_.mkString)
+    val docs = samples(uniText, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // train on the even ids only: odd docs exercise the unk floor
+    val model = LangModel.train(docs.filter(col("doc_id") % 2 === 0), col("text"))
+    def collectScores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val kernel = collectScores(LangModel.score(docs, col("doc_id"), col("text"), model))
+    val decl = collectScores(
+      LangModel.scoreDeclarative(docs, col("doc_id"), col("text"), model))
+    assert(kernel == decl,
+      kernel.toSeq.sorted.zip(decl.toSeq.sorted)
+        .filter { case (a, b) => a != b }.take(5).mkString("; "))
+  }
+
   test("ReAgg.cube equals native cube on generated frames (non-null keys)") {
     import graft.operators.ReAgg
     val row = for {
