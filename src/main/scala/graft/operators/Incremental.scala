@@ -73,34 +73,80 @@ object Incremental {
     * frames (or `signatures` of an empty doc set) for a cold store.
     * Returns (survivorIds, batchBands, batchSets) — append the batch
     * tables to the store for the next arrival (ALL seen docs, not
-    * just survivors — see the object scaladoc). */
+    * just survivors — see the object scaladoc).
+    *
+    * STORE-SCAN-ONLY plan shape (pinned, not left to size
+    * estimates): every join the store participates in builds/
+    * broadcasts a BATCH-bounded side — the band join broadcasts the
+    * batch's band table, and the verify join first SEMI-REDUCES the
+    * store's set table by the broadcast candidate-id list before any
+    * payload join. Without the pins, Catalyst's size estimation
+    * flips the verify join to SortMergeJoin once the batch outgrows
+    * the broadcast threshold, and every arrival then re-sorts and
+    * re-shuffles the ENTIRE store's sets — measured 250 MB shuffled
+    * per 50k-doc arrival against a 500k-doc store (graft.GateProfile),
+    * growing linearly with the store forever. With the pins the
+    * store is only ever scanned: per-arrival network is O(batch),
+    * matching the store's O(batch) append writes. The broadcasts are
+    * micro-batch-bounded by the sink's contract (batch bands/sets
+    * and candidate ids — never the store side), and the signature
+    * tables are localCheckpointed (batch-sized) so the shingle→
+    * minhash pipeline runs once, not once per downstream join.
+    * `microBatch = false` opts OUT of all the pins for a
+    * corpus-sized arrival, where broadcasting/checkpointing the
+    * "batch" would itself be the scale defect. */
   def gate(storeBands: DataFrame, storeSets: DataFrame, batch: DataFrame,
            id: Column, text: Column, n: Int = 3, k: Int = 8, bandRows: Int = 2,
-           threshold: Double = 0.5): (DataFrame, DataFrame, DataFrame) = {
-    val (bBands, bSets) = signatures(batch, id, text, n, k, bandRows)
+           threshold: Double = 0.5, microBatch: Boolean = true)
+    : (DataFrame, DataFrame, DataFrame) = {
+    val (bBands0, bSets0) = signatures(batch, id, text, n, k, bandRows)
+    // micro-batch contract (the streaming sinks): the batch tables
+    // are small → materialize them once (the shingle→minhash
+    // pipeline would otherwise re-run under every downstream join)
+    // and broadcast them into every join the store participates in.
+    // A corpus-sized arrival (microBatch = false — e.g. the c34
+    // fixture gating most of the corpus in one call) must NOT
+    // broadcast or checkpoint corpus-scale tables: it keeps the
+    // declarative shape and lets Catalyst/AQE choose.
+    val (bBands, bSets) =
+      if (microBatch) (bBands0.localCheckpoint(true), bSets0.localCheckpoint(true))
+      else (bBands0, bSets0)
+    def hint(df: DataFrame): DataFrame = if (microBatch) broadcast(df) else df
 
     val inter = ArrayExpressions.sortedIntersectSize(col("sa"), col("sb"))
     val jac = round(inter.cast("double") /
       (size(col("sa")) + size(col("sb")) - inter), 6)
 
     // candidates against the store: batch id on the left, ANY store id
-    def verified(cand: DataFrame, leftSets: DataFrame, rightSets: DataFrame) =
+    def verified(cand: DataFrame, leftSets: DataFrame, rightSets: DataFrame) = {
+      // candidate ids are batch-bounded → broadcast them to prune the
+      // (possibly store-sized) right side down to candidate rows with
+      // a scan, never a shuffle of the store
+      val reduced =
+        if (microBatch) rightSets.join(
+          broadcast(cand.select(col("oid").as("id")).distinct()), Seq("id"), "left_semi")
+        else rightSets
       cand
-        .join(leftSets.select(col("id").as("cid"), col("s").as("sa")), "cid")
-        .join(rightSets.select(col("id").as("oid"), col("s").as("sb")), "oid")
+        .join(hint(leftSets.select(col("id").as("cid"), col("s").as("sa"))), "cid")
+        .join(reduced.select(col("id").as("oid"), col("s").as("sb")), "oid")
         .filter(jac >= threshold)
         .select(col("cid"))
+    }
 
+    val vsStoreCand = storeBands.select(col("id").as("oid"), col("bi"), col("bk"))
+      .join(hint(bBands.select(col("id").as("cid"), col("bi"), col("bk"))),
+        Seq("bi", "bk"))
+      .select(col("cid"), col("oid")).distinct()
     val vsStore = verified(
-      bBands.select(col("id").as("cid"), col("bi"), col("bk"))
-        .join(storeBands.select(col("id").as("oid"), col("bi"), col("bk")), Seq("bi", "bk"))
-        .select(col("cid"), col("oid")).distinct(),
+      if (microBatch) vsStoreCand.localCheckpoint(true) else vsStoreCand,
       bSets, storeSets)
 
-    // within-batch: keep-first by id (the C2 pair orientation)
+    // within-batch: keep-first by id (the C2 pair orientation) — all
+    // sides batch-bounded
     val vsBatch = verified(
       bBands.select(col("id").as("cid"), col("bi"), col("bk"))
-        .join(bBands.select(col("id").as("oid"), col("bi"), col("bk")), Seq("bi", "bk"))
+        .join(hint(bBands.select(col("id").as("oid"), col("bi"), col("bk"))),
+          Seq("bi", "bk"))
         .filter(col("oid") < col("cid"))
         .select(col("cid"), col("oid")).distinct(),
       bSets, bSets)

@@ -173,4 +173,58 @@ class IncrementalSpec extends SparkSpec {
     assert(bb.collect().toSet == wb.collect().toSet)
     assert(bs.collect().toSet == ws.collect().toSet)
   }
+
+  test("gate never shuffles the store: per-arrival shuffle flat as the store doubles") {
+    // The store-scan-only plan shape is pinned by explicit hints, not
+    // by Catalyst's size estimates — so it must hold even with
+    // auto-broadcast DISABLED (the regression this guards: at real
+    // batch sizes the verify join flipped to SortMergeJoin and
+    // re-shuffled the entire store's sets every arrival). Measured
+    // contract: shuffle bytes for one arrival are ~unchanged when the
+    // store doubles.
+    import java.util.concurrent.atomic.LongAdder
+    def mkDocs(from: Int, n: Int): DataFrame =
+      (from until from + n).map(i =>
+        (i.toLong, (1 to 12).map(t => s"u${i}t$t").mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate-flat").toString
+    for ((name, n) <- Seq("s1" -> 2000, "s2" -> 4000)) {
+      val (b, s) = Incremental.signatures(mkDocs(10000, n), col("doc_id"), col("text"))
+      b.write.mode("overwrite").parquet(s"$dir/$name/bands")
+      s.write.mode("overwrite").parquet(s"$dir/$name/sets")
+    }
+    val shufW = new LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) shufW.add(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    def settled(): Long = { // listener events are async: poll to quiescence
+      var prev = -1L
+      var cur = shufW.sum
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = shufW.sum }
+      cur
+    }
+    val thresholdConf = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdConf)
+    spark.conf.set(thresholdConf, "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def arrivalBytes(store: String): Long = {
+        val before = settled()
+        Incremental.gate(
+            spark.read.parquet(s"$dir/$store/bands"),
+            spark.read.parquet(s"$dir/$store/sets"),
+            mkDocs(50000, 200), col("doc_id"), col("text"), threshold = T)
+          ._1.write.format("noop").mode("overwrite").save()
+        settled() - before
+      }
+      val small = arrivalBytes("s1")
+      val big = arrivalBytes("s2")
+      assert(big <= small * 1.3 + (64 << 10),
+        s"store doubled but arrival shuffle grew ${small}B -> ${big}B — " +
+          "the store is being shuffled again")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set(thresholdConf, saved)
+    }
+  }
 }
