@@ -36,8 +36,19 @@ import org.apache.spark.sql.functions._
 object Classifier {
 
   /** (tok, w) log-odds table (seed-vocabulary-sized, broadcastable)
-    * plus the log prior-odds ln(|pos docs| / |neg docs|), rounded 8. */
-  final case class Model(table: DataFrame, prior: Double)
+    * plus the log prior-odds ln(|pos docs| / |neg docs|), rounded 8.
+    * `compiled` is the collected scoring-kernel form — vocab-sized
+    * driver traffic, the same budget the broadcast join paid; lazy +
+    * transient so the frozen-model streaming gate (D15) builds it
+    * once per model. `priorFixed` is the prior as an exact scale-8
+    * fixed-point long (the kernel sums fixed-point). */
+  final case class Model(table: DataFrame, prior: Double) {
+    @transient lazy val compiled: graft.plans.CompiledTokenWeights =
+      new graft.plans.CompiledTokenWeights(
+        table.select(col("tok"), col("w")).collect()
+          .map(r => (r.getString(0), r.getDouble(1))))
+    def priorFixed: Long = graft.plans.CompiledLm.toFixed(prior)
+  }
 
   /** Word-unigram occurrences (with multiplicity) of lower(text);
     * explode_outer keeps token-less docs as one null row so scoring
@@ -79,9 +90,28 @@ object Classifier {
   /** (id, n_hits, logodds, keep) per document: logodds =
     * round(prior + Σ w(tok) over in-vocab occurrences, 6) decimal-
     * summed; keep = logodds > cutoff. n_hits counts the in-vocab
-    * occurrences, so a prior-only verdict (n_hits = 0) is auditable. */
+    * occurrences, so a prior-only verdict (n_hits = 0) is auditable.
+    *
+    * Runs as ONE map-side pass via the fused `NbScore` kernel — no
+    * per-token explode, no join, no shuffle (the same cure as C28's
+    * TrigramLmScore). Fixed-point sums make it bit-identical to the
+    * decimal pipeline of `scoreDeclarative` (parity spec-pinned);
+    * oracle c52 unchanged. */
   def score(docs: DataFrame, id: Column, text: Column, model: Model,
             cutoff: Double = 0.0): DataFrame =
+    docs.select(id.as("id"),
+        graft.plans.TextExpressions.nbScore(
+          coalesce(lower(text).cast("string"), lit("")),
+          model.compiled, model.priorFixed).as("r"))
+      .select(col("id"), col("r.n_hits").as("n_hits"),
+        col("r.logodds").as("logodds"))
+      .withColumn("keep", col("logodds") > cutoff)
+
+  /** The pre-kernel declarative scoring plan — retained as the parity
+    * oracle for `score`'s kernel: same rows, bit-identical scores, at
+    * one-row-per-TOKEN cost. */
+  private[graft] def scoreDeclarative(docs: DataFrame, id: Column, text: Column,
+                                      model: Model, cutoff: Double = 0.0): DataFrame =
     toks(docs, id, text)
       .join(broadcast(model.table), Seq("tok"), "left")
       .select(col("id"), col("w").cast("decimal(20,8)").as("w"))

@@ -36,8 +36,17 @@ object Dsir {
 
   /** (b, lam) model table (≤ 16^prefixLen rows, broadcastable) plus
     * the unseen-bucket fallback — λ for a bucket absent from BOTH
-    * corpora (only reachable when scoring docs outside `raw`). */
-  final case class Model(table: DataFrame, unkLam: Double, prefixLen: Int)
+    * corpora (only reachable when scoring docs outside `raw`).
+    * `compiled` is the collected scoring-kernel form — bucket-table-
+    * sized driver traffic, the same budget the broadcast join paid;
+    * lazy + transient so the frozen-model streaming gate (D13)
+    * builds it once per model. */
+  final case class Model(table: DataFrame, unkLam: Double, prefixLen: Int) {
+    @transient lazy val compiled: graft.plans.CompiledBucketWeights =
+      new graft.plans.CompiledBucketWeights(
+        table.select(col("b"), col("lam")).collect()
+          .map(r => (r.getString(0), r.getDouble(1))), unkLam, prefixLen)
+  }
 
   /** Hashed features with multiplicity: md5-hex prefixes of the word
     * unigrams AND bigrams of lower(text). explode_outer keeps
@@ -84,8 +93,26 @@ object Dsir {
     * doc's features WITH multiplicity, decimal-summed, rounded 6.
     * Feature-less docs score 0.0 (no evidence either way — weight 1,
     * unlike C28's pessimistic floor, because DSIR resampling should
-    * not favor or bury empty docs). */
-  def score(docs: DataFrame, id: Column, text: Column, model: Model): DataFrame = {
+    * not favor or bury empty docs).
+    *
+    * Runs as ONE map-side pass via the fused `DsirScore` kernel — no
+    * per-feature explode, no md5 column, no join, no shuffle (the
+    * same cure as C28/C52). Fixed-point sums make it bit-identical
+    * to `scoreDeclarative`'s decimal pipeline (parity spec-pinned);
+    * oracle c46 unchanged. */
+  def score(docs: DataFrame, id: Column, text: Column, model: Model): DataFrame =
+    docs.select(id.as("id"),
+        graft.plans.TextExpressions.dsirScore(
+          coalesce(lower(text).cast("string"), lit("")),
+          model.compiled).as("r"))
+      .select(col("id"), col("r.n_feats").as("n_feats"),
+        col("r.logw").as("logw"))
+
+  /** The pre-kernel declarative scoring plan — retained as the parity
+    * oracle for `score`'s kernel: same rows, bit-identical scores, at
+    * one-row-per-FEATURE cost. */
+  private[graft] def scoreDeclarative(docs: DataFrame, id: Column, text: Column,
+                                      model: Model): DataFrame = {
     val perFeat = feats(docs, id, text, model.prefixLen)
       .join(broadcast(model.table), Seq("b"), "left")
       .select(col("b").isNotNull.as("has"),

@@ -107,6 +107,10 @@ object WordNgrams {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
+  /** The same boundary rule, for the word-keyed scoring kernels —
+    * their tokenization must match this split byte-for-byte. */
+  private[plans] def isWsByte(b: Byte): Boolean = isWs(b)
+
   /** One linear pass: token byte ranges, then one copy per gram.
     * Called from generated code — must stay static-shaped. */
   def slice(s: UTF8String, n: Int): ArrayData = {
@@ -365,6 +369,296 @@ object CompiledLm {
   }
 }
 
+/** Plan-constant token → fixed-point-weight map for the word-keyed
+  * scoring kernels (C52 classifier; the C46 DSIR twin is the named
+  * round-10 candidate). Unlike `CompiledLm`'s 12-byte packed trigram
+  * keys, vocabulary tokens are arbitrary-length — so the map stores
+  * every key's bytes in ONE concatenated blob (offset/length per
+  * entry) and probes open-addressed slots with an exact byte
+  * compare: no hashing-only shortcut, a lookup is bit-exact equality
+  * on the token's UTF-8 bytes. Weights are scale-8 fixed-point longs
+  * (the models round to 8 decimals), so per-doc long sums equal the
+  * decimal(20,8) pipeline exactly. `lookup` returns `Missing` for
+  * out-of-vocabulary tokens — they contribute nothing and are not
+  * counted as hits, the declarative left-join semantics. */
+final class CompiledTokenWeights(entries: Array[(String, Double)])
+    extends Serializable {
+  require(entries.length < (1 << 27),
+    s"CompiledTokenWeights: ${entries.length} entries — not a vocab-bounded model")
+  private val n = entries.length
+  private val offs = new Array[Int](n + 1)
+  private val blob: Array[Byte] = {
+    val bs = entries.map(e => UTF8String.fromString(e._1).getBytes)
+    var i = 0
+    while (i < n) { offs(i + 1) = offs(i) + bs(i).length; i += 1 }
+    val b = new Array[Byte](offs(n))
+    i = 0
+    while (i < n) { System.arraycopy(bs(i), 0, b, offs(i), bs(i).length); i += 1 }
+    b
+  }
+  private val vals: Array[Long] =
+    entries.map(e => CompiledLm.toFixed(e._2))
+  private val cap: Int = {
+    var c = 16
+    while (c < n * 2) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val slots = new Array[Int](cap) // entry index + 1; 0 = empty
+  locally {
+    var i = 0
+    while (i < n) {
+      var s = CompiledTokenWeights.hash(blob, offs(i), offs(i + 1)) & mask
+      while (slots(s) != 0 &&
+        !CompiledTokenWeights.eq(blob, offs(slots(s) - 1), offs(slots(s)),
+          blob, offs(i), offs(i + 1))) s = (s + 1) & mask
+      slots(s) = i + 1 // duplicate keys: last write wins (none in practice)
+      i += 1
+    }
+  }
+  /** Fixed weight of bytes[from,to), or `Missing` if out-of-vocab. */
+  def lookup(bytes: Array[Byte], from: Int, to: Int): Long = {
+    var s = CompiledTokenWeights.hash(bytes, from, to) & mask
+    while (slots(s) != 0) {
+      val e = slots(s) - 1
+      if (CompiledTokenWeights.eq(blob, offs(e), offs(e + 1), bytes, from, to))
+        return vals(e)
+      s = (s + 1) & mask
+    }
+    CompiledTokenWeights.Missing
+  }
+}
+
+object CompiledTokenWeights {
+  val Missing: Long = Long.MinValue
+
+  private[plans] def hash(b: Array[Byte], from: Int, to: Int): Int = {
+    var h = -2128831035 // FNV-1a
+    var i = from
+    while (i < to) { h = (h ^ b(i)) * 16777619; i += 1 }
+    // finalize: spread low-entropy hashes across the table
+    h ^= h >>> 16
+    h
+  }
+  private[plans] def eq(a: Array[Byte], af: Int, at: Int,
+                        b: Array[Byte], bf: Int, bt: Int): Boolean = {
+    if (at - af != bt - bf) return false
+    var i = 0
+    val len = at - af
+    while (i < len) { if (a(af + i) != b(bf + i)) return false; i += 1 }
+    true
+  }
+
+  private def round6Exact(fixed: Long): Double =
+    java.math.BigDecimal.valueOf(fixed, 8)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** (n_hits, logodds) of one document in one linear pass — the fused
+    * form of explode(tokens) → broadcast-join(model) → per-doc
+    * decimal sum + prior + 6-digit decimal round (C52's exact
+    * discipline: the round happens in DECIMAL, before any double).
+    * Token boundaries replicate WordNgrams' python-style whitespace
+    * split byte-for-byte. Called from generated code. */
+  def nbScore(s: UTF8String, m: CompiledTokenWeights, priorFixed: Long)
+    : org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var hits = 0L
+    var sum = 0L
+    var i = 0
+    while (i < len) {
+      while (i < len && WordNgrams.isWsByte(bytes(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !WordNgrams.isWsByte(bytes(i))) i += 1
+        val v = m.lookup(bytes, start, i)
+        if (v != Missing) { hits += 1; sum += v }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hits, round6Exact(sum + priorFixed)))
+  }
+}
+
+/** Plan-constant md5-bucket → fixed-point-λ map for the C46 DSIR
+  * scoring kernel. A DSIR feature bucket is the first `prefixLen`
+  * hex chars of md5(gram) — i.e. the digest's first `prefixLen`
+  * NIBBLES, which fit a Long for prefixLen ≤ 8 — so the map keys on
+  * the bucket VALUE directly (open addressing, key stored +1 so 0 is
+  * the empty-slot sentinel; bucket ids are < 16^8 so the shift never
+  * overflows). λ values are scale-8 fixed-point longs (the model
+  * rounds to 8 decimals); buckets absent from the table take the
+  * model's unseen-bucket λ — the declarative left-join + coalesce
+  * semantics. */
+final class CompiledBucketWeights(entries: Array[(String, Double)],
+    unkLam: Double, val prefixLen: Int) extends Serializable {
+  require(prefixLen >= 1 && prefixLen <= 8,
+    s"CompiledBucketWeights: prefixLen $prefixLen outside [1,8]")
+  require(entries.length < (1 << 27),
+    s"CompiledBucketWeights: ${entries.length} entries — not a bucket-bounded model")
+  val unkFixed: Long = CompiledLm.toFixed(unkLam)
+  private val cap: Int = {
+    var c = 16
+    while (c < entries.length * 2) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val keys = new Array[Long](cap) // bucket + 1; 0 = empty
+  private val vals = new Array[Long](cap)
+  entries.foreach { case (hex, lam) =>
+    require(hex != null && hex.length == prefixLen,
+      s"CompiledBucketWeights: bucket '$hex' is not a $prefixLen-char hex prefix")
+    val k = java.lang.Long.parseLong(hex, 16) + 1
+    var i = slot(k)
+    while (keys(i) != 0L && keys(i) != k) i = (i + 1) & mask
+    keys(i) = k; vals(i) = CompiledLm.toFixed(lam)
+  }
+  private def slot(k: Long): Int = {
+    var h = k * -7046029254386353131L
+    h ^= h >>> 32
+    h.toInt & mask
+  }
+  /** Fixed λ of the bucket, or the unseen-bucket fixed λ. */
+  def lookup(bucket: Long): Long = {
+    val k = bucket + 1
+    var i = slot(k)
+    while (keys(i) != 0L) {
+      if (keys(i) == k) return vals(i)
+      i = (i + 1) & mask
+    }
+    unkFixed
+  }
+}
+
+object CompiledBucketWeights {
+  // MessageDigest is stateful; one per thread, digest() resets it
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First `nibbles` hex digits of the digest as a value — exactly
+    * `substring(md5(g), 1, nibbles)` parsed base-16. */
+  private def bucketOf(digest: Array[Byte], nibbles: Int): Long = {
+    var v = 0L
+    var j = 0
+    while (j < nibbles) {
+      val b = digest(j >> 1) & 0xff
+      v = (v << 4) | (if ((j & 1) == 0) b >>> 4 else b & 0xf)
+      j += 1
+    }
+    v
+  }
+
+  /** (n_feats, logw) of one document in one linear pass plus one md5
+    * per feature — the fused form of explode(unigrams ++ bigrams) →
+    * md5-prefix bucket → broadcast-join(model) → per-doc decimal sum
+    * + 6-digit decimal round (C46's exact discipline). Tokenization
+    * replicates WordNgrams' split byte-for-byte; a bigram's digest
+    * streams token₁ + ' ' + token₂ — the same bytes WordNgrams.slice
+    * copies into its single-space-joined gram. Called from generated
+    * code. */
+  def score(s: UTF8String, m: CompiledBucketWeights)
+    : org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // token boundaries, WordNgrams' rule
+    var cap = 8
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var n = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && WordNgrams.isWsByte(bytes(i))) i += 1
+      if (i < len) {
+        if (n == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(n) = i
+        while (i < len && !WordNgrams.isWsByte(bytes(i))) i += 1
+        ends(n) = i
+        n += 1
+      }
+    }
+    val digest = md5.get()
+    var sum = 0L // |λ·1e8| is model-bounded per feature; exact far past any doc
+    var t = 0
+    while (t < n) {
+      digest.update(bytes, starts(t), ends(t) - starts(t))
+      sum += m.lookup(bucketOf(digest.digest(), m.prefixLen))
+      if (t + 1 < n) {
+        digest.update(bytes, starts(t), ends(t) - starts(t))
+        digest.update(' '.toByte)
+        digest.update(bytes, starts(t + 1), ends(t + 1) - starts(t + 1))
+        sum += m.lookup(bucketOf(digest.digest(), m.prefixLen))
+      }
+      t += 1
+    }
+    val nFeats = if (n == 0) 0L else (2L * n - 1L) // n unigrams + (n-1) bigrams
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nFeats, java.math.BigDecimal.valueOf(sum, 8)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+  }
+}
+
+/** `struct<n_feats:bigint, logw:double>`: C46's scoring kernel — the
+  * declarative form ships one row per FEATURE (unigrams + bigrams,
+  * each md5-hashed by the engine) through a broadcast join and a
+  * per-doc decimal aggregation; this walks each document's bytes
+  * once against the plan-constant bucket map, hashing each feature
+  * in place. Bit-identical by the fixed-point argument on
+  * `CompiledBucketWeights`; parity is spec-pinned. */
+case class DsirScore(child: Expression, model: CompiledBucketWeights)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_feats",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("logw",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def prettyName: String = "graft_dsir_score"
+  override def nullSafeEval(input: Any): Any =
+    CompiledBucketWeights.score(input.asInstanceOf[UTF8String], model)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("dsirModel", model,
+      classOf[CompiledBucketWeights].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.CompiledBucketWeights.score($c, $m)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DsirScore =
+    copy(child = newChild)
+}
+
+/** `struct<n_hits:bigint, logodds:double>`: C52's scoring kernel —
+  * same cure as TrigramLmScore: the declarative form ships one row
+  * per TOKEN through a broadcast join and a per-doc decimal
+  * aggregation for an output of one row per document; this walks
+  * each document's bytes once against the plan-constant vocab map.
+  * Bit-identical by the fixed-point argument on
+  * `CompiledTokenWeights`; parity is spec-pinned. */
+case class NbScore(child: Expression, model: CompiledTokenWeights,
+                   priorFixed: Long) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_hits",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("logodds",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def prettyName: String = "graft_nb_score"
+  override def nullSafeEval(input: Any): Any =
+    CompiledTokenWeights.nbScore(input.asInstanceOf[UTF8String], model, priorFixed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("nbModel", model,
+      classOf[CompiledTokenWeights].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.CompiledTokenWeights.nbScore($c, $m, ${priorFixed}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NbScore =
+    copy(child = newChild)
+}
+
 /** `struct<n_tris:bigint, lm_score:double>`: C28's scoring kernel.
   * The declarative form ships one row PER TRIGRAM through a
   * broadcast join and a per-doc aggregation — at sf10 that is ~10⁹
@@ -403,6 +697,14 @@ object TextExpressions {
   /** Codegen'd fused trigram-LM document score; see `TrigramLmScore`. */
   def trigramLmScore(text: Column, model: CompiledLm): Column =
     Bridge.column(TrigramLmScore(Bridge.expression(text), model))
+
+  /** Codegen'd fused NB-classifier document score; see `NbScore`. */
+  def nbScore(text: Column, model: CompiledTokenWeights, priorFixed: Long): Column =
+    Bridge.column(NbScore(Bridge.expression(text), model, priorFixed))
+
+  /** Codegen'd fused DSIR document log-weight; see `DsirScore`. */
+  def dsirScore(text: Column, model: CompiledBucketWeights): Column =
+    Bridge.column(DsirScore(Bridge.expression(text), model))
 
   /** Codegen'd single-pass (wc, punct, stop, nonws) struct. */
   def textStats(text: Column, stopwords: Seq[String]): Column =

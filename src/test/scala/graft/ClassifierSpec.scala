@@ -45,4 +45,27 @@ class ClassifierSpec extends SparkSpec {
       .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("score kernel ≡ declarative decimal pipeline, bit-identical") {
+    // vocab hits, OOV tokens, repeated occurrences (multiplicity),
+    // every whitespace byte the split recognizes, unicode tokens
+    // (case folding upstream of both paths), empty and null text
+    val model = Classifier.train(
+      (pos ++ Seq((4L, "naïve café 日本語"))).toDF("id", "t"),
+      neg.toDF("id", "t"), col("id"), col("t"))
+    val docs = Seq(
+      (200L, "clean clean CLEAN spam text zzz"),
+      (201L, "naïve\tcafé\n日本語prose\fclick\rspam"),
+      (202L, "  \t \n  "), (203L, ""), (204L, null.asInstanceOf[String]),
+      (205L, "NAÏVE Café junk"))
+      .toDF("id", "t")
+    val kernel = Classifier.score(docs, col("id"), col("t"), model)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val decl = Classifier.scoreDeclarative(
+        docs.na.fill("", Seq("t")), col("id"), col("t"), model)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(kernel == decl, s"kernel $kernel != declarative $decl")
+    // the fixture exercises both hit and OOV paths
+    assert(kernel.find(_._1 == 200L).get._2 >= 3)
+  }
 }

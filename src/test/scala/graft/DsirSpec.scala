@@ -59,6 +59,28 @@ class DsirSpec extends SparkSpec {
     assert(math.abs(got(12L)._2 - 3 * m.unkLam) < 1e-5, s"${got(12L)} vs ${3 * m.unkLam}")
   }
 
+  test("score kernel ≡ declarative decimal pipeline, bit-identical") {
+    import spark.implicits._
+    // seen buckets, unseen buckets (unkLam path), repeated features
+    // (multiplicity), every whitespace byte the split recognizes,
+    // unicode tokens (multi-byte md5 input), empty and null text,
+    // and a second prefixLen to cover the bucket-width logic
+    val docs = Seq(
+      (200L, "alpha beta gamma alpha beta zzzz"),
+      (201L, "naïve\tcafé\n日本語\falpha\romega"),
+      (202L, "  \t \n  "), (203L, ""), (204L, null.asInstanceOf[String]),
+      (205L, "ALPHA Beta alpha"), (206L, "solo"))
+      .toDF("doc_id", "text")
+    for (pl <- Seq(1, 3, 6)) {
+      val m = Dsir.train(target, raw, col("doc_id"), col("text"), prefixLen = pl)
+      val kernel = Dsir.score(docs, col("doc_id"), col("text"), m)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val decl = Dsir.scoreDeclarative(docs, col("doc_id"), col("text"), m)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(kernel == decl, s"prefixLen=$pl: kernel $kernel != declarative $decl")
+    }
+  }
+
   test("train rejects out-of-range prefix lengths") {
     intercept[IllegalArgumentException] {
       Dsir.train(target, raw, col("doc_id"), col("text"), prefixLen = 0)

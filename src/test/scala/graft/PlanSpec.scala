@@ -227,18 +227,27 @@ class PlanSpec extends SparkSpec {
     // c45's hot-line removal must stay the ANTI equi-join — a per-doc
     // membership array scan would be O(lines x hot) per doc
     assert(finalPlan("c45_line_dedup").contains("LeftAnti"))
-    // c46's model join must broadcast the B-row lambda table (never
-    // shuffle the corpus-sized feature side on the bucket key)
+    // c46's scoring runs the fused DsirScore kernel: the corpus side
+    // sees no model join, no per-feature explode, no per-doc
+    // aggregation — one map-side pass (training's tiny bucket-table
+    // jobs run eagerly before this plan, so they don't appear in it)
     val p46 = finalPlan("c46_dsir_weights")
-    assert(p46.contains("BroadcastHashJoin"), p46)
+    assert(p46.contains("graft_dsir_score"), p46)
+    assert(!p46.contains("Join"), p46)
+    assert(!p46.contains("Generate"), p46)
+    assert(!p46.contains("HashAggregate"), p46)
   }
 
-  test("c52 classifier scoring: model join broadcasts, never shuffles the corpus") {
+  test("c52 classifier scoring runs the fused kernel: no explode, no join") {
     val p = finalPlan("c52_quality_classifier")
-    assert(p.contains("BroadcastHashJoin"), p)
-    // the corpus-sized token explode must hash-join the vocab-sized
-    // model — sorting the exploded corpus would be the 100 TB killer
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("graft_nb_score"), p)
+    // the one-row-per-token scoring shape must not come back: no
+    // per-token explode, no model join, no per-doc aggregation —
+    // the only post-scan operators are the projection and the output
+    // sort (training is a separate vocab-sized job, not in this plan)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("HashAggregate"), p)
   }
 
   test("c50/c53: native-kernel scans — no corpus join, no corpus sort-merge") {

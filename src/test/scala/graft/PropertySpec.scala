@@ -68,6 +68,49 @@ class PropertySpec extends SparkSpec {
         .filter { case (a, b) => a != b }.take(5).mkString("; "))
   }
 
+  test("NB kernel equals declarative scoring on generated unicode text") {
+    import graft.operators.Classifier
+    val tok: Gen[String] = Gen.frequency(
+      4 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      2 -> Gen.oneOf("жук", "λόγος", "日本語", "naïve", "😀x"),
+      1 -> Gen.const("")) // empty pick = consecutive whitespace
+    val uniDoc: Gen[String] = Gen.listOf(tok).map(_.mkString(" "))
+    val docs = samples(uniDoc, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val model = Classifier.train(
+      docs.filter(col("doc_id") % 3 === 0), docs.filter(col("doc_id") % 3 === 1),
+      col("doc_id"), col("text"))
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val kernel = scores(Classifier.score(docs, col("doc_id"), col("text"), model))
+    val decl = scores(
+      Classifier.scoreDeclarative(docs, col("doc_id"), col("text"), model))
+    assert(kernel == decl,
+      kernel.toSeq.sorted.zip(decl.toSeq.sorted)
+        .filter { case (a, b) => a != b }.take(5).mkString("; "))
+  }
+
+  test("DSIR kernel equals declarative scoring on generated unicode text") {
+    import graft.operators.Dsir
+    val tok: Gen[String] = Gen.frequency(
+      4 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      2 -> Gen.oneOf("жук", "λόγος", "日本語", "naïve", "😀x"),
+      1 -> Gen.const("")) // empty pick = consecutive whitespace
+    val uniDoc: Gen[String] = Gen.listOf(tok).map(_.mkString(" "))
+    val docs = samples(uniDoc, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val model = Dsir.train(
+      docs.filter(col("doc_id") % 3 === 0), docs, col("doc_id"), col("text"))
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val kernel = scores(Dsir.score(docs, col("doc_id"), col("text"), model))
+    val decl = scores(Dsir.scoreDeclarative(docs, col("doc_id"), col("text"), model))
+    assert(kernel == decl,
+      kernel.toSeq.sorted.zip(decl.toSeq.sorted)
+        .filter { case (a, b) => a != b }.take(5).mkString("; "))
+  }
+
   test("ReAgg.cube equals native cube on generated frames (non-null keys)") {
     import graft.operators.ReAgg
     val row = for {
