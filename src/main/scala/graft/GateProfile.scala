@@ -13,7 +13,15 @@ import org.apache.spark.sql.functions._
   * against it, reporting the executed join operators and the task
   * shuffle totals. The question under test: does the store get
   * SHUFFLED (O(store) network per arrival) or only SCANNED?
-  * GATE_EXPLAIN=1 prints the full plan. */
+  * GATE_EXPLAIN=1 prints the full plan.
+  *
+  * `GATE_MODE=ladder` instead profiles ONE D16 composed-ladder
+  * arrival stage by stage — the foreachBatch body of
+  * `EventStream.ingestPipelineSink` reproduced inline with a timer
+  * and task-metric deltas around each ACTION (the sink's own action
+  * structure: score-gated pin, decon pin, near-dup gate, corpus
+  * write, signature writes) — answering where a composed arrival's
+  * time goes when the stage sum and the ladder total disagree. */
 object GateProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,6 +33,10 @@ object GateProfile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (sys.env.get("GATE_MODE").contains("ladder")) {
+      ladder(spark, sfDir, batchSize, storeBatches); spark.stop(); return
+    }
 
     val pool = Tables.load(spark, sfDir, "documents")
       .select(col("text")).as[String].collect()
@@ -80,5 +92,128 @@ object GateProfile {
     println("plan operators: " + joins.map { case (k, n) => s"$n×$k" }.mkString(", "))
     if (sys.env.contains("GATE_EXPLAIN")) println(plan)
     spark.stop()
+  }
+
+  /** One composed-ladder arrival, the ingestPipelineSink foreachBatch
+    * body inline, a timer + task-metric delta around each action. */
+  private def ladder(spark: SparkSession, sfDir: String,
+                     batchSize: Int, storeBatches: Int): Unit = {
+    import graft.streaming.EventStream
+
+    val pool = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def docs(tag: String, k: Int) =
+      (0 until batchSize).map { i =>
+        val (lang, text) = pool((k * batchSize + i) % pool.length)
+        val pfx = s"$tag${k}·"
+        (k.toLong * batchSize + i, lang,
+          text.split("\\s+").filter(_.nonEmpty).map(pfx + _).mkString(" "))
+      }
+    def docsDF(tag: String, k: Int) = {
+      import spark.implicits._
+      docs(tag, k).toDF("doc_id", "lang", "text")
+    }
+
+    // frozen models, StreamBench's construction (excluded from timers)
+    val docsT = Tables.load(spark, sfDir, "documents")
+    val evalGrams = operators.Contamination.evalGramSet(
+        docsT.filter(col("doc_id") % 100 === 0), col("doc_id"),
+        lower(col("text")), 3)
+      .localCheckpoint(true)
+    val dsir0 = operators.Dsir.train(
+      docsT.filter(col("lang") === "en"), docsT, col("doc_id"), lower(col("text")))
+    val dsirModel = dsir0.copy(table = dsir0.table.localCheckpoint(true))
+    val clf0 = operators.Classifier.train(
+      docsT.filter(col("doc_id") % 10 === 1), docsT.filter(col("doc_id") % 10 === 2),
+      col("doc_id"), col("text"))
+    val clfModel = clf0.copy(table = clf0.table.localCheckpoint(true))
+    val lm0 = operators.LangModel.train(docsT, lower(col("text")))
+    val lmModel = lm0.copy(table = lm0.table.localCheckpoint(true))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ladderprof").toString
+    (0 until storeBatches).foreach { k =>
+      val (b, s) = operators.Incremental.signatures(
+        docsDF("s", k), col("doc_id"), col("text"))
+      b.write.mode("overwrite").parquet(s"$dir/store/bands/batch=$k")
+      s.write.mode("overwrite").parquet(s"$dir/store/sets/batch=$k")
+    }
+
+    val shufW = new LongAdder; val shufR = new LongAdder; val inBytes = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufW.add(m.shuffleWriteMetrics.bytesWritten)
+          shufR.add(m.shuffleReadMetrics.totalBytesRead)
+          inBytes.add(m.inputMetrics.bytesRead)
+        }
+      }
+    })
+    def stage[T](name: String)(body: => T): T = {
+      shufW.reset(); shufR.reset(); inBytes.reset()
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"  $name%-22s $sec%6.2f s  input=${inBytes.sum / 1e6}%8.1f MB " +
+        f"shuffle_w=${shufW.sum / 1e6}%7.1f MB shuffle_r=${shufR.sum / 1e6}%7.1f MB")
+      r
+    }
+
+    // one warmup arrival end-to-end (codegen, sink setup), then the
+    // measured arrival — both the full foreachBatch body
+    Seq(("w", storeBatches), ("m", storeBatches + 1)).foreach { case (tag, k) =>
+      val measured = tag == "m"
+      if (measured) println(s"ladder arrival: batch=$batchSize store=$storeBatches×$batchSize")
+      def st[T](name: String)(body: => T): T =
+        if (measured) stage(name)(body) else body
+      val batchId = k.toLong
+      // the sink's exact shape: spread → quality+scrub → PIN (the
+      // pin stops predicate pushdown re-inlining the scrub regexes
+      // into every kernel filter), then kernels + decon → final pin
+      var batch: org.apache.spark.sql.DataFrame = null
+      st("quality+scrub pin") {
+        batch = EventStream.qualityGate(
+          docsDF(tag, k).repartition(spark.sparkContext.defaultParallelism),
+          col("text"), -1e9).localCheckpoint(true)
+      }
+      val scrubbedText = col("scrubbed")
+      val t0 = System.nanoTime()
+      var surv = batch
+        .filter(operators.LangModel.scoreCol(scrubbedText, lmModel)
+          .getField("lm_score") <= 1e9)
+        .filter(operators.Classifier.scoreCol(scrubbedText, clfModel)
+          .getField("logodds") > -1e9)
+        .filter(operators.Dsir.scoreCol(scrubbedText, dsirModel)
+          .getField("logw") >= -1000.0)
+      st("kernels+decon + pin") {
+        surv = surv.join(
+          operators.Contamination
+            .sharedGramsVs(surv, evalGrams, col("doc_id"), scrubbedText, 3)
+            .filter(col("shared_grams") > 0L)
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+      }
+      val storeBands = spark.read.parquet(s"$dir/store/bands")
+      val storeSets = spark.read.parquet(s"$dir/store/sets")
+      // the gate call itself is lazy — its cost lands in whichever
+      // action below first consumes `ids`, exactly like the sink
+      val (ids, bBands, bSets) = operators.Incremental.gate(
+        storeBands, storeSets, surv, col("doc_id"), scrubbedText)
+      val survDocs = surv.join(
+        ids.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+      val nonEmpty = st("survDocs isEmpty") { !survDocs.isEmpty }
+      st("corpus write") {
+        if (nonEmpty)
+          EventStream.appendBatchWrite(survDocs, batchId, s"$dir/corpus", "lang")
+      }
+      st("signature writes") {
+        bBands.write.mode("overwrite").parquet(s"$dir/store/bands/batch=$batchId")
+        bSets.write.mode("overwrite").parquet(s"$dir/store/sets/batch=$batchId")
+      }
+      if (measured)
+        println(f"  TOTAL                  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
   }
 }

@@ -99,13 +99,19 @@ object Classifier {
     * oracle c52 unchanged. */
   def score(docs: DataFrame, id: Column, text: Column, model: Model,
             cutoff: Double = 0.0): DataFrame =
-    docs.select(id.as("id"),
-        graft.plans.TextExpressions.nbScore(
-          coalesce(lower(text).cast("string"), lit("")),
-          model.compiled, model.priorFixed).as("r"))
+    docs.select(id.as("id"), scoreCol(text, model).as("r"))
       .select(col("id"), col("r.n_hits").as("n_hits"),
         col("r.logodds").as("logodds"))
       .withColumn("keep", col("logodds") > cutoff)
+
+  /** The per-document verdict as a COLUMN — `struct<n_hits, logodds>`
+    * of exactly what `score` emits (keep = `.getField("logodds") >
+    * cutoff`), usable as a plain filter term (the streaming gates
+    * drop their per-batch semi-joins this way). */
+  def scoreCol(text: Column, model: Model): Column =
+    graft.plans.TextExpressions.nbScore(
+      coalesce(lower(text).cast("string"), lit("")),
+      model.compiled, model.priorFixed)
 
   /** The pre-kernel declarative scoring plan — retained as the parity
     * oracle for `score`'s kernel: same rows, bit-identical scores, at

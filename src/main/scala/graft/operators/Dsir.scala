@@ -101,12 +101,16 @@ object Dsir {
     * to `scoreDeclarative`'s decimal pipeline (parity spec-pinned);
     * oracle c46 unchanged. */
   def score(docs: DataFrame, id: Column, text: Column, model: Model): DataFrame =
-    docs.select(id.as("id"),
-        graft.plans.TextExpressions.dsirScore(
-          coalesce(lower(text).cast("string"), lit("")),
-          model.compiled).as("r"))
+    docs.select(id.as("id"), scoreCol(text, model).as("r"))
       .select(col("id"), col("r.n_feats").as("n_feats"),
         col("r.logw").as("logw"))
+
+  /** The per-document verdict as a COLUMN — `struct<n_feats, logw>`
+    * of exactly what `score` emits, usable as a plain filter term
+    * (the streaming gates drop their per-batch semi-joins this way). */
+  def scoreCol(text: Column, model: Model): Column =
+    graft.plans.TextExpressions.dsirScore(
+      coalesce(lower(text).cast("string"), lit("")), model.compiled)
 
   /** The pre-kernel declarative scoring plan — retained as the parity
     * oracle for `score`'s kernel: same rows, bit-identical scores, at

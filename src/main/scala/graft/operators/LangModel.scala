@@ -81,12 +81,17 @@ object LangModel {
     * pipeline of `scoreDeclarative` (parity is spec-pinned), so the
     * C28 oracle and the D12 gate semantics are unchanged. */
   def score(docs: DataFrame, id: Column, text: Column, model: Model): DataFrame =
-    docs.select(id.as("id"),
-        graft.plans.TextExpressions
-          .trigramLmScore(coalesce(text.cast("string"), lit("")), model.compiled)
-          .as("r"))
+    docs.select(id.as("id"), scoreCol(text, model).as("r"))
       .select(col("id"), col("r.n_tris").as("n_tris"),
         col("r.lm_score").as("lm_score"))
+
+  /** The per-document verdict as a COLUMN — `struct<n_tris, lm_score>`
+    * of exactly what `score` emits, usable as a plain filter/projection
+    * term (the streaming gates drop their per-batch semi-joins this
+    * way: the verdict is map-side, so keep/drop is just a predicate). */
+  def scoreCol(text: Column, model: Model): Column =
+    graft.plans.TextExpressions
+      .trigramLmScore(coalesce(text.cast("string"), lit("")), model.compiled)
 
   /** The pre-kernel declarative scoring plan (explode → broadcast
     * join → per-doc decimal aggregation) — retained as the parity

@@ -291,6 +291,22 @@ object EventStream {
     * pipeline runs BEFORE landing data, rather than as a weekly batch
     * sweep. StreamingSpec pins row-identity with the batch operators
     * on the same input. */
+  /** Micro-batch sources often deliver a whole batch as ONE
+    * partition (a MemoryStream block, a single-partition Kafka
+    * topic) — every per-row kernel downstream of it would then run
+    * single-threaded no matter how many cores the cluster has
+    * (measured: the D16 map ladder at 18.4 of a 25.1 s arrival,
+    * zero shuffle bytes — serial). One O(batch)-byte round-robin
+    * shuffle buys full parallelism; a source that already delivers
+    * ≥ the cluster's parallelism skips it. Applied at the TOP of
+    * each gate's foreachBatch body, so all per-row work (scrub,
+    * scoring kernels, shingle/minhash signatures) sits downstream
+    * of the spread. */
+  private def spread(batch: DataFrame): DataFrame = {
+    val par = batch.sparkSession.sparkContext.defaultParallelism
+    if (batch.rdd.getNumPartitions < par) batch.repartition(par) else batch
+  }
+
   def qualityGate(docs: DataFrame, text: Column, minScore: Double = 0.0): DataFrame =
     graft.operators.Quality.scrubbed(graft.operators.Quality.scored(docs, text), text)
       .filter(col("quality_score") >= minScore)
@@ -351,9 +367,10 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val b = spread(batch)
           val shared = graft.operators.Contamination
-            .sharedGramsVs(batch, evalGrams, col(idName), text, n)
-          val survivors = batch.join(
+            .sharedGramsVs(b, evalGrams, col(idName), text, n)
+          val survivors = b.join(
             shared.filter(col("shared_grams") > maxShared)
               .select(col("id").as(idName)),
             Seq(idName), "left_anti")
@@ -388,16 +405,18 @@ object EventStream {
 
   /** D12: in-flight LM-perplexity gate — the streaming twin of C28's
     * CCNet-style quality filter. Each micro-batch is scored with the
-    * SAME `LangModel.score` the batch query runs, against a FROZEN
+    * SAME `LangModel` verdict the batch query runs, against a FROZEN
     * model (train it offline on a presumed-clean corpus; the trigram
-    * table is charset-bounded, so the broadcast join costs the same
-    * at any corpus size), and docs whose average negative log-prob
-    * exceeds `maxScore` never land. This is the gate that catches
-    * junk C9's structural heuristics cannot: encoding garbage and
-    * wrong-language text LOOK structurally fine. foreachBatch because
-    * the per-doc score is an aggregation (D9's argument); replays are
-    * absorbed by `appendBatchWrite`'s deterministic batch-dir
-    * overwrite (D9's argument). */
+    * table is charset-bounded, so the task-shipped kernel map costs
+    * the same at any corpus size), and docs whose average negative
+    * log-prob exceeds `maxScore` never land. This is the gate that
+    * catches junk C9's structural heuristics cannot: encoding
+    * garbage and wrong-language text LOOK structurally fine. The
+    * verdict is a map-side kernel column, so the gate itself is a
+    * stateless filter; foreachBatch remains only for the
+    * exactly-once corpus landing — replays are absorbed by
+    * `appendBatchWrite`'s deterministic batch-dir overwrite (D9's
+    * argument). */
   def perplexityGateSink(docs: DataFrame, idName: String, text: Column,
                          model: graft.operators.LangModel.Model, maxScore: Double,
                          path: String, partCol: String, checkpoint: String)
@@ -407,11 +426,11 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val keep = graft.operators.LangModel
-            .score(batch, col(idName), text, model)
-            .filter(col("lm_score") <= maxScore)
-            .select(col("id").as(idName))
-          val survivors = batch.join(keep, Seq(idName), "left_semi")
+          // the verdict is a map-side kernel column, so the gate is a
+          // plain filter — no per-batch score/semi-join shuffle
+          val survivors = spread(batch).filter(
+            graft.operators.LangModel.scoreCol(text, model)
+              .getField("lm_score") <= maxScore)
           if (!survivors.isEmpty)
             appendBatchWrite(survivors, batchId, path, partCol)
         }
@@ -423,13 +442,13 @@ object EventStream {
     * SAME `Dsir.score` the batch query runs, against a FROZEN
     * log-ratio model (train offline: target = the domain you want,
     * raw = a reference crawl; the λ table is ≤ 16^prefixLen rows, so
-    * the broadcast join costs the same at any corpus size), and docs
-    * whose log(p_target/p_raw) falls below `minLogw` never land —
-    * the ingest-time form of "only keep crawl that looks like the
-    * target domain". Where D12 rejects junk ANY corpus would refuse,
-    * D13 STEERS the mixture toward a chosen target distribution.
-    * foreachBatch because the per-doc score is an aggregation (D9's
-    * argument); replays are absorbed by `appendBatchWrite`'s
+    * the task-shipped kernel map costs the same at any corpus size),
+    * and docs whose log(p_target/p_raw) falls below `minLogw` never
+    * land — the ingest-time form of "only keep crawl that looks like
+    * the target domain". Where D12 rejects junk ANY corpus would
+    * refuse, D13 STEERS the mixture toward a chosen target
+    * distribution. Same map-side-filter + foreachBatch-for-the-write
+    * reasoning as D12; replays are absorbed by `appendBatchWrite`'s
     * deterministic batch-dir overwrite (D9's argument). */
   def dsirGateSink(docs: DataFrame, idName: String, text: Column,
                    model: graft.operators.Dsir.Model, minLogw: Double,
@@ -440,11 +459,10 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val keep = graft.operators.Dsir
-            .score(batch, col(idName), text, model)
-            .filter(col("logw") >= minLogw)
-            .select(col("id").as(idName))
-          val survivors = batch.join(keep, Seq(idName), "left_semi")
+          // map-side verdict ⇒ plain filter (see perplexityGateSink)
+          val survivors = spread(batch).filter(
+            graft.operators.Dsir.scoreCol(text, model)
+              .getField("logw") >= minLogw)
           if (!survivors.isEmpty)
             appendBatchWrite(survivors, batchId, path, partCol)
         }
@@ -458,9 +476,8 @@ object EventStream {
     * `Classifier.Model` (train offline on labeled seeds; the
     * vocab-sized log-odds table broadcasts identically at any corpus
     * size). Docs with `logodds <= cutoff` never land. Same
-    * foreachBatch + batch-dir-overwrite reasoning as D12/D13:
-    * scoring is an aggregation, replays overwrite their own
-    * `batch=<id>` dir. */
+    * map-side-filter + foreachBatch-for-the-write reasoning as
+    * D12/D13: replays overwrite their own `batch=<id>` dir. */
   def classifierGateSink(docs: DataFrame, idName: String, text: Column,
                          model: graft.operators.Classifier.Model, cutoff: Double,
                          path: String, partCol: String, checkpoint: String)
@@ -470,11 +487,10 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val keep = graft.operators.Classifier
-            .score(batch, col(idName), text, model, cutoff)
-            .filter(col("keep"))
-            .select(col("id").as(idName))
-          val survivors = batch.join(keep, Seq(idName), "left_semi")
+          // map-side verdict ⇒ plain filter (see perplexityGateSink)
+          val survivors = spread(batch).filter(
+            graft.operators.Classifier.scoreCol(text, model)
+              .getField("logodds") > cutoff)
           if (!survivors.isEmpty)
             appendBatchWrite(survivors, batchId, path, partCol)
         }
@@ -524,11 +540,12 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val b = spread(batch)
           val (storeBands, storeSets) =
-            nearDupStore(spark, storePath, batch, idName, text, n, k, bandRows)
+            nearDupStore(spark, storePath, b, idName, text, n, k, bandRows)
           val (surv, bBands, bSets) = graft.operators.Incremental.gate(
-            storeBands, storeSets, batch, col(idName), text, n, k, bandRows, threshold)
-          val survDocs = batch.join(
+            storeBands, storeSets, b, col(idName), text, n, k, bandRows, threshold)
+          val survDocs = b.join(
             surv.withColumnRenamed("id", idName), Seq(idName), "left_semi")
           if (!survDocs.isEmpty)
             appendBatchWrite(survDocs, batchId, outPath, partCol)
@@ -590,11 +607,11 @@ object EventStream {
     * then need re-joining.
     *
     * Semantics are EXACTLY the standalone gates', composed: D7
-    * quality+scrub runs UPSTREAM as the stateless map stage it is
-    * (so every later stage and the landed corpus see the scrubbed
-    * text and carry the quality columns), then per micro-batch the
-    * LM, classifier, and DSIR verdicts (each one broadcast-model
-    * aggregation over the still-surviving docs), the D9 anti-join
+    * quality+scrub runs FIRST, inside the batch body just after the
+    * parallelism spread (so every later stage and the landed corpus
+    * see the scrubbed text and carry the quality columns), then the
+    * LM, classifier, and DSIR verdicts (map-side kernel columns —
+    * the three gates fold into ONE filter pass), the D9 anti-join
     * against the eval grams, and the D10 near-dup gate against the
     * persistent signature store. Survivors land via
     * `appendBatchWrite`; signatures of ALL gated batch docs are
@@ -614,36 +631,49 @@ object EventStream {
                          cfg: IngestPipeline, storePath: String, outPath: String,
                          partCol: String, checkpoint: String)
     : org.apache.spark.sql.streaming.StreamingQuery = {
-    val gated = qualityGate(docs, text, cfg.minQuality)
     // downstream stages score the SCRUBBED text — the pipeline
     // contract: PII never reaches a model or the corpus
     val scrubbedText = col("scrubbed")
-    gated.writeStream
+    docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          var surv = batch
-          def keepSemi(ids: DataFrame): Unit =
-            surv = surv.join(ids.select(col("id").as(idName)), Seq(idName), "left_semi")
+          // quality+scrub applies INSIDE the body, downstream of the
+          // spread — the whole per-row ladder parallelizes even when
+          // the source delivers the batch as one partition. The PIN
+          // after it is load-bearing: predicate pushdown would
+          // otherwise substitute the scrub-regex alias into EVERY
+          // kernel filter, re-running the scrub once per stage
+          // (measured 8.98 → 3.87 s for the 50k-doc map ladder)
+          var surv = qualityGate(spread(batch), text, cfg.minQuality)
+            .localCheckpoint(true)
+          // the three model verdicts are map-side kernel columns, so
+          // the whole score ladder is ONE conjunctive filter over one
+          // pass of the batch — no per-stage score/semi-join shuffles.
+          // && short-circuits left-to-right, preserving the cheap-to-
+          // expensive ladder order per row
           cfg.lm.foreach { case (m, maxScore) =>
-            keepSemi(graft.operators.LangModel.score(surv, col(idName), scrubbedText, m)
-              .filter(col("lm_score") <= maxScore)) }
+            surv = surv.filter(graft.operators.LangModel
+              .scoreCol(scrubbedText, m).getField("lm_score") <= maxScore) }
           cfg.clf.foreach { case (m, cutoff) =>
-            keepSemi(graft.operators.Classifier.score(surv, col(idName), scrubbedText, m, cutoff)
-              .filter(col("keep"))) }
+            surv = surv.filter(graft.operators.Classifier
+              .scoreCol(scrubbedText, m).getField("logodds") > cutoff) }
           cfg.dsir.foreach { case (m, minLogw) =>
-            keepSemi(graft.operators.Dsir.score(surv, col(idName), scrubbedText, m)
-              .filter(col("logw") >= minLogw)) }
+            surv = surv.filter(graft.operators.Dsir
+              .scoreCol(scrubbedText, m).getField("logw") >= minLogw) }
           cfg.decon.foreach { case (evalGrams, n, maxShared) =>
+            // both sides of the anti-join read `surv` — fine: its
+            // upstream past the quality pin is only the three cheap
+            // kernel filters (measured 0.17 s at 50k docs)
             surv = surv.join(
               graft.operators.Contamination
                 .sharedGramsVs(surv, evalGrams, col(idName), scrubbedText, n)
                 .filter(col("shared_grams") > maxShared)
                 .select(col("id").as(idName)),
               Seq(idName), "left_anti") }
-          // pin the score-gated set once: the near-dup gate and the
+          // pin the survivor set once: the near-dup gate and the
           // two writes below each run actions over it
           val pinned = surv.localCheckpoint(true)
           if (cfg.nearDup) {
