@@ -42,6 +42,59 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("PiiScrub kernel equals the chained-regex form on generated PII text") {
+    import graft.operators.Quality
+    // fragments chosen to hit every matcher edge: valid/invalid
+    // emails (multi-dot domains, dash tails, missing tails, @@),
+    // http/https urls (incl. schemes that must NOT match), phones
+    // with/without '+', dash runs, too-short digit runs, unicode,
+    // and adjacency (url swallowing a scrubbed token, email touching
+    // a url, digits touching letters)
+    val frag: Gen[String] = Gen.oneOf(
+      "a.b-c%d+e@mail.sub.example.co", "x@y.zz", "x@y.z", "@nolocal.com",
+      "noat.example.com", "a@@b.cc", "a@b.cc@d.ee", "a@b.c-c.dd-",
+      "tail@dom.abc-def", "dot@end.", "..@..cc", "x@-.ab",
+      "http://plain.example/path?q=1", "https://secure.io/#frag",
+      "httpss://no.match", "ftp://no.match", "http:// space", "http://",
+      "HTTPS://upper.no", "xhttp://still.matches.after.x",
+      "+1-202-555-0100", "12345678", "1234567", "123-456", "1-2-3-4-5-6",
+      "123456789-", "-123456789", "+12345678", "++12345678", "+-12345678",
+      "999999999999999999999999", "12-34-56-78x", "словоžщ日本語😀",
+      "a@b.cc http://x.io/{}|\\^ +1234567890", "<EMAIL>", "<URL>7890123",
+      " ", "\t", "\n", "", "word")
+    val doc: Gen[String] = Gen.listOf(frag).map(_.mkString(
+      Gen.oneOf("", " ", "", "-", ".", "@").apply(Gen.Parameters.default,
+        Seed(7L)).getOrElse(" ")))
+    val docs = (samples(doc, 300) ++ samples(messyText, 100)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "scrubbed", "n_emails", "n_urls", "n_phones")
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val kernel = rows(Quality.scrubbed(docs, col("t")))
+    val decl = rows(Quality.scrubbedDeclarative(docs, col("t")))
+    assert(kernel == decl,
+      kernel.zip(decl).filter { case (a, b) => a != b }.take(5).mkString("\n"))
+  }
+
+  test("PiiScrub kernel survives dense random PII-alphabet fuzzing") {
+    import graft.operators.Quality
+    // every byte the three matchers branch on, densely packed so
+    // overlaps and truncated patterns occur constantly
+    val alpha = "@.-+0123456789abchttps:/ <EMAIL>_%ZZ\t\nф日"
+    val rnd = new scala.util.Random(12345)
+    val docs = (0 until 5000).map { i =>
+      (i.toLong, (0 until rnd.nextInt(120))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }.toDF("id", "t")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "scrubbed", "n_emails", "n_urls", "n_phones")
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val kernel = rows(Quality.scrubbed(docs, col("t")))
+    val decl = rows(Quality.scrubbedDeclarative(docs, col("t")))
+    assert(kernel == decl,
+      kernel.zip(decl).filter { case (a, b) => a != b }.take(5).mkString("\n"))
+  }
+
   test("LM kernel equals declarative scoring on generated unicode text") {
     import graft.operators.LangModel
     // byte-length diversity on purpose: ascii (1), cyrillic/greek (2),
