@@ -48,12 +48,26 @@ object GateProfile {
             .split("\\s+").filter(_.nonEmpty).map(pfx + _).mkString(" "))
       }.toDF("id", "text")
 
+    // GATE_INDEXED=1: the Indexed store layout (sorted batch files +
+    // sidecars, as the sinks now write) and the pruned gate path;
+    // GATE_COMPACTED=1 additionally consolidates the batch dirs the
+    // way nearDupStoreCompact would (global clustering — the layout a
+    // long-running store converges to)
+    val indexed = sys.env.get("GATE_INDEXED").contains("1")
+    val compacted = sys.env.get("GATE_COMPACTED").contains("1")
     val dir = java.nio.file.Files.createTempDirectory("graft-gateprof").toString
     (0 until storeBatches).foreach { k =>
       val (b, s) = operators.Incremental.signatures(docs("s", k), col("id"), col("text"))
-      b.write.mode("overwrite").parquet(s"$dir/bands/batch=$k")
-      s.write.mode("overwrite").parquet(s"$dir/sets/batch=$k")
+      if (indexed) {
+        sources.Indexed.write(b.coalesce(1), s"$dir/bands/batch=$k", "bk", 0)
+        sources.Indexed.write(s.coalesce(1), s"$dir/sets/batch=$k", "id", 0)
+      } else {
+        b.write.mode("overwrite").parquet(s"$dir/bands/batch=$k")
+        s.write.mode("overwrite").parquet(s"$dir/sets/batch=$k")
+      }
     }
+    if (compacted)
+      graft.streaming.EventStream.nearDupStoreCompact(spark, dir, storeBatches.toLong)
     val storeBands = spark.read.parquet(s"$dir/bands")
     val storeSets = spark.read.parquet(s"$dir/sets")
     println(s"store: ${storeBands.count()} band rows, ${storeSets.count()} set rows")
@@ -70,17 +84,28 @@ object GateProfile {
       }
     })
 
+    val pb: Seq[Any] => Option[org.apache.spark.sql.DataFrame] =
+      if (indexed) keys => sources.Indexed.prunedRead(spark, s"$dir/bands", "bk", keys)
+      else _ => None
+    val ps: Seq[Any] => Option[org.apache.spark.sql.DataFrame] =
+      if (indexed) keys => sources.Indexed.prunedRead(spark, s"$dir/sets", "id", keys)
+      else _ => None
+
     // warm: one gate arrival end-to-end (codegen etc.)
     val warm = operators.Incremental.gate(storeBands, storeSets,
-      docs("w", 990), col("id"), col("text"))._1
+      docs("w", 990), col("id"), col("text"),
+      prunedBands = pb, prunedSets = ps)._1
     warm.write.format("noop").mode("overwrite").save()
 
+    org.apache.spark.graft.Listeners.settle(spark.sparkContext)
     shufW.reset(); shufR.reset(); inBytes.reset()
     val t0 = System.nanoTime()
     val (surv, _, _) = operators.Incremental.gate(storeBands, storeSets,
-      docs("m", 991), col("id"), col("text"))
+      docs("m", 991), col("id"), col("text"),
+      prunedBands = pb, prunedSets = ps)
     surv.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
+    org.apache.spark.graft.Listeners.settle(spark.sparkContext)
 
     val plan = surv.queryExecution.executedPlan.toString
     val joins = plan.linesIterator.map(_.trim)

@@ -97,7 +97,9 @@ object Incremental {
     * "batch" would itself be the scale defect. */
   def gate(storeBands: DataFrame, storeSets: DataFrame, batch: DataFrame,
            id: Column, text: Column, n: Int = 3, k: Int = 8, bandRows: Int = 2,
-           threshold: Double = 0.5, microBatch: Boolean = true)
+           threshold: Double = 0.5, microBatch: Boolean = true,
+           prunedBands: Seq[Any] => Option[DataFrame] = _ => None,
+           prunedSets: Seq[Any] => Option[DataFrame] = _ => None)
     : (DataFrame, DataFrame, DataFrame) = {
     val (bBands0, bSets0) = signatures(batch, id, text, n, k, bandRows)
     // micro-batch contract (the streaming sinks): the batch tables
@@ -117,15 +119,25 @@ object Incremental {
     val jac = round(inter.cast("double") /
       (size(col("sa")) + size(col("sb")) - inter), 6)
 
-    // candidates against the store: batch id on the left, ANY store id
-    def verified(cand: DataFrame, leftSets: DataFrame, rightSets: DataFrame) = {
+    // candidates against the store: batch id on the left, ANY store id.
+    // `prunedRight`: given the candidate ids, an optional
+    // sidecar-pruned point-read of the right sets (Indexed.prunedRead
+    // — already filtered to id ∈ candidates, bit-identical to the
+    // semi-join it replaces); None → the broadcast semi-join path.
+    def verified(cand: DataFrame, leftSets: DataFrame, rightSets: DataFrame,
+                 prunedRight: Option[Seq[Any] => Option[DataFrame]]) = {
       // candidate ids are batch-bounded → broadcast them to prune the
       // (possibly store-sized) right side down to candidate rows with
       // a scan, never a shuffle of the store
-      val reduced =
+      val pruned =
+        if (microBatch) prunedRight.flatMap(f =>
+          f(cand.select(col("oid")).distinct().collect().map(_.get(0)).toSeq))
+        else None
+      val reduced = pruned.map(_.select(col("id"), col("s"))).getOrElse {
         if (microBatch) rightSets.join(
           broadcast(cand.select(col("oid").as("id")).distinct()), Seq("id"), "left_semi")
         else rightSets
+      }
       cand
         .join(hint(leftSets.select(col("id").as("cid"), col("s").as("sa"))), "cid")
         .join(reduced.select(col("id").as("oid"), col("s").as("sb")), "oid")
@@ -133,13 +145,23 @@ object Incremental {
         .select(col("cid"))
     }
 
-    val vsStoreCand = storeBands.select(col("id").as("oid"), col("bi"), col("bk"))
+    // store band probe: with an indexed store layout the batch's band
+    // keys (batch-bounded — collected off the checkpointed batch
+    // table) select a point-read of the store instead of a scan
+    val effStoreBands =
+      if (microBatch)
+        prunedBands(bBands.select(col("bk")).distinct().collect().map(_.get(0)).toSeq)
+          .map(_.select(col("id"), col("bi"), col("bk")))
+          .getOrElse(storeBands)
+      else storeBands
+
+    val vsStoreCand = effStoreBands.select(col("id").as("oid"), col("bi"), col("bk"))
       .join(hint(bBands.select(col("id").as("cid"), col("bi"), col("bk"))),
         Seq("bi", "bk"))
       .select(col("cid"), col("oid")).distinct()
     val vsStore = verified(
       if (microBatch) vsStoreCand.localCheckpoint(true) else vsStoreCand,
-      bSets, storeSets)
+      bSets, storeSets, Some(prunedSets))
 
     // within-batch: keep-first by id (the C2 pair orientation) — all
     // sides batch-bounded
@@ -149,7 +171,7 @@ object Incremental {
           Seq("bi", "bk"))
         .filter(col("oid") < col("cid"))
         .select(col("cid"), col("oid")).distinct(),
-      bSets, bSets)
+      bSets, bSets, None)
 
     val dropped = vsStore.unionByName(vsBatch).distinct()
     val survivors = batch.select(id.as("id"))

@@ -543,20 +543,41 @@ object EventStream {
           val b = spread(batch)
           val (storeBands, storeSets) =
             nearDupStore(spark, storePath, b, idName, text, n, k, bandRows)
+          val (pb, ps) = storePruners(spark, storePath)
           val (surv, bBands, bSets) = graft.operators.Incremental.gate(
-            storeBands, storeSets, b, col(idName), text, n, k, bandRows, threshold)
+            storeBands, storeSets, b, col(idName), text, n, k, bandRows, threshold,
+            prunedBands = pb, prunedSets = ps)
           val survDocs = b.join(
             surv.withColumnRenamed("id", idName), Seq(idName), "left_semi")
           if (!survDocs.isEmpty)
             appendBatchWrite(survDocs, batchId, outPath, partCol)
           // AFTER the survivor merge: see the replay analysis above
-          bBands.write.mode(SaveMode.Overwrite)
-            .parquet(s"$storePath/bands/batch=$batchId")
-          bSets.write.mode(SaveMode.Overwrite)
-            .parquet(s"$storePath/sets/batch=$batchId")
+          writeSignatures(bBands, bSets, storePath, batchId)
         }
       }
       .start()
+
+  /** The D10 store's point-lookup pruners (Indexed sidecars): given
+    * the arriving batch's band keys / candidate ids, a pruned read of
+    * the store — or None (fall back to the scan plan) when the store
+    * predates the indexed layout or too many keys survive the bloom.
+    * Bit-identical either way; see `graft.sources.Indexed`. */
+  private def storePruners(spark: SparkSession, storePath: String)
+    : (Seq[Any] => Option[DataFrame], Seq[Any] => Option[DataFrame]) =
+    (keys => graft.sources.Indexed.prunedRead(spark, s"$storePath/bands", "bk", keys),
+     keys => graft.sources.Indexed.prunedRead(spark, s"$storePath/sets", "id", keys))
+
+  /** Append one batch's signature tables to the store in the indexed
+    * layout: one sorted file per table (the batch is small) plus the
+    * `_graft_idx` sidecar, under the deterministic `batch=<id>` dirs
+    * (replays overwrite their own files — the D10 contract). */
+  private def writeSignatures(bBands: DataFrame, bSets: DataFrame,
+                              storePath: String, batchId: Long): Unit = {
+    graft.sources.Indexed.write(bBands.coalesce(1),
+      s"$storePath/bands/batch=$batchId", "bk", nFiles = 0)
+    graft.sources.Indexed.write(bSets.coalesce(1),
+      s"$storePath/sets/batch=$batchId", "id", nFiles = 0)
+  }
 
   /** The D10 signature store as (bands, sets) — empty frames with the
     * right schema when nothing has been ingested yet (`proto` only
@@ -679,18 +700,17 @@ object EventStream {
           if (cfg.nearDup) {
             val (storeBands, storeSets) =
               nearDupStore(spark, storePath, pinned, idName, scrubbedText)
+            val (pb, ps) = storePruners(spark, storePath)
             val (ids, bBands, bSets) = graft.operators.Incremental.gate(
-              storeBands, storeSets, pinned, col(idName), scrubbedText)
+              storeBands, storeSets, pinned, col(idName), scrubbedText,
+              prunedBands = pb, prunedSets = ps)
             val survDocs = pinned.join(
               ids.withColumnRenamed("id", idName), Seq(idName), "left_semi")
             if (!survDocs.isEmpty)
               appendBatchWrite(survDocs, batchId, outPath, partCol)
             // signatures of ALL score-gated docs (not just near-dup
             // survivors), AFTER the corpus write — D10's contract
-            bBands.write.mode(SaveMode.Overwrite)
-              .parquet(s"$storePath/bands/batch=$batchId")
-            bSets.write.mode(SaveMode.Overwrite)
-              .parquet(s"$storePath/sets/batch=$batchId")
+            writeSignatures(bBands, bSets, storePath, batchId)
           } else if (!pinned.isEmpty)
             appendBatchWrite(pinned, batchId, outPath, partCol)
         }
@@ -806,7 +826,7 @@ object EventStream {
   def nearDupStoreCompact(spark: SparkSession, storePath: String, watermark: Long,
                           targetBytes: Long = 128L << 20): (Int, Int) = {
     require(targetBytes > 0, s"nearDupStoreCompact: targetBytes must be > 0, got $targetBytes")
-    def one(rootStr: String): (Int, Int) = {
+    def one(rootStr: String, keyCol: String): (Int, Int) = {
       val root = new org.apache.hadoop.fs.Path(rootStr)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(root)) return (0, 0)
@@ -824,16 +844,21 @@ object EventStream {
       val nextId = math.min(0L, parts.map(_._1).min) - 1
       // reading the leaf dirs directly drops the batch partition
       // column — correct: the consolidated rows' batch is the new
-      // dir's name, like every other store row's
-      spark.read.parquet(closed.map(_._2.toString): _*)
-        .coalesce(nFiles)
-        .write.mode(SaveMode.Overwrite).parquet(
-          new org.apache.hadoop.fs.Path(root, s"batch=$nextId").toString)
+      // dir's name, like every other store row's. The consolidated
+      // dir is written in the Indexed point-lookup layout (globally
+      // key-clustered files + sidecar): compaction is where the
+      // store's range shuffle is paid, once, amortized over every
+      // arrival it serves — per-arrival probes then read only the
+      // granules holding the batch's keys (graft.sources.Indexed).
+      graft.sources.Indexed.write(
+        spark.read.parquet(closed.map(_._2.toString): _*),
+        new org.apache.hadoop.fs.Path(root, s"batch=$nextId").toString,
+        keyCol, nFiles)
       closed.foreach { case (_, p) => fs.delete(p, true) }
       (parts.size, parts.size - closed.size + 1)
     }
-    val b = one(s"$storePath/bands")
-    val s = one(s"$storePath/sets")
+    val b = one(s"$storePath/bands", "bk")
+    val s = one(s"$storePath/sets", "id")
     (b._1 + s._1, b._2 + s._2)
   }
 

@@ -227,4 +227,45 @@ class IncrementalSpec extends SparkSpec {
       spark.conf.set(thresholdConf, saved)
     }
   }
+
+  test("indexed store (Indexed sidecars + pruners) gates bit-identically") {
+    // the sinks' disk layout end-to-end: per-arrival signature dirs
+    // written via Indexed.write, gate reads the store with the
+    // pruned point-lookup path — survivors must equal the in-memory
+    // gate AND the global keep-first rule, including the transitive
+    // chain that needs dropped docs' signatures
+    import graft.sources.Indexed
+    val all = corpus.sortBy(_._1)
+    val want = globalKept(all)
+    val store = java.nio.file.Files.createTempDirectory("graft-gate-idx").toString
+    val pb: Seq[Any] => Option[DataFrame] =
+      keys => Indexed.prunedRead(spark, s"$store/bands", "bk", keys)
+    val ps: Seq[Any] => Option[DataFrame] =
+      keys => Indexed.prunedRead(spark, s"$store/sets", "id", keys)
+    var kept = Set.empty[Long]
+    for ((b, i) <- all.grouped(6).zipWithIndex) {
+      val haveStore = new java.io.File(s"$store/bands").exists()
+      val (storeBands, storeSets) =
+        if (haveStore) (spark.read.parquet(s"$store/bands"),
+          spark.read.parquet(s"$store/sets"))
+        else Incremental.signatures(df(Nil), col("doc_id"), col("text"))
+      val (surv, bb, bs) = Incremental.gate(storeBands, storeSets, df(b),
+        col("doc_id"), col("text"), threshold = T,
+        prunedBands = pb, prunedSets = ps)
+      kept ++= surv.as[Long].collect()
+      Indexed.write(bb.coalesce(1), s"$store/bands/batch=$i", "bk", 0)
+      Indexed.write(bs.coalesce(1), s"$store/sets/batch=$i", "id", 0)
+    }
+    assert(kept == want, s"indexed-store gate diverged: got $kept want $want")
+    // compaction preserves the layout contract: consolidate, regate a
+    // replayed batch — every doc self-matches, zero survivors
+    graft.streaming.EventStream.nearDupStoreCompact(spark, store, Long.MaxValue)
+    val (sb2, ss2) = (spark.read.parquet(s"$store/bands"),
+      spark.read.parquet(s"$store/sets"))
+    val (replay, _, _) = Incremental.gate(sb2, ss2, df(all.take(6)),
+      col("doc_id"), col("text"), threshold = T,
+      prunedBands = pb, prunedSets = ps)
+    assert(replay.as[Long].collect().isEmpty,
+      "replayed batch must fully self-match against the compacted store")
+  }
 }

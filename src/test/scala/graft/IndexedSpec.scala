@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import graft.sources.Indexed
+
+/** E16 key-indexed parquet layout: prunedRead must be bit-identical
+  * to read-everything+filter (the bloom has no false negatives and
+  * manifest/page pruning only removes granules that cannot hold a
+  * probe key), must actually SKIP (scan-node metrics), and must
+  * degrade to None — never to wrong rows — whenever it can't prune
+  * (too many alive keys, unindexed or nested dirs). */
+class IndexedSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Store-shaped fixture: uniform string keys (md5 hex) + payload. */
+  private def mkDF(from: Int, n: Int): DataFrame =
+    spark.range(from, from + n)
+      .select(md5(concat(lit("k"), col("id"))).as("bk"), col("id").as("payload"))
+
+  private def scanStats(df: DataFrame): (Long, Long) = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(find)
+      }
+    val scans = find(df.queryExecution.executedPlan)
+    (scans.map(_.metrics("numOutputRows").value).sum,
+      scans.map(_.metrics("numFiles").value).sum)
+  }
+
+  /** n keys spread uniformly across the payload range. */
+  private def keysOf(df: DataFrame, n: Int): Seq[String] = {
+    val span = df.count() / n
+    df.filter(col("payload") % span === 0).select(col("bk"))
+      .limit(n).collect().map(_.getString(0)).toSeq
+  }
+
+  test("prunedRead ≡ read+filter, string keys, mixed append/compacted dirs") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    Indexed.write(mkDF(0, 20000).coalesce(1), s"$root/batch=0", "bk", 0)
+    Indexed.write(mkDF(20000, 20000).coalesce(1), s"$root/batch=1", "bk", 0)
+    Indexed.write(mkDF(40000, 60000), s"$root/batch=-1", "bk", 4)
+    val present = keysOf(mkDF(0, 100000), 40) // spread across all dirs
+    val absent = (0 until 40).map(i => s"not-a-key-$i")
+    val keys: Seq[Any] = present ++ absent
+    val got = Indexed.prunedRead(spark, root, "bk", keys)
+    assert(got.isDefined, "indexed store must take the pruned path")
+    val want = spark.read.parquet(root).filter(col("bk").isInCollection(keys))
+      .select("bk", "payload").as[(String, Long)].collect().toSet
+    assert(want.size == present.size, "fixture: every present key matches once")
+    assert(got.get.select("bk", "payload").as[(String, Long)].collect().toSet == want)
+  }
+
+  test("pruning actually skips: few keys read few files and few rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-skip").toString
+    Indexed.write(mkDF(0, 200000), s"$root/batch=-1", "bk", 8)
+    val keys: Seq[Any] = keysOf(mkDF(0, 200000), 4)
+    val df = Indexed.prunedRead(spark, root, "bk", keys).get
+    assert(df.count() == 4)
+    val (rows, files) = scanStats(df)
+    assert(files < 8, s"4 clustered keys should not touch all 8 files (got $files)")
+    // page-level: 2000-row pages → ~1-2 pages per key, far below 200k
+    assert(rows < 40000, s"page pruning should cut the scan (got $rows rows)")
+  }
+
+  test("bloom rules out absent keys entirely — empty probe, no fallback") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-miss").toString
+    Indexed.write(mkDF(0, 5000).coalesce(1), s"$root/batch=0", "bk", 0)
+    val got = Indexed.prunedRead(spark, root, "bk", Seq("zzz-1", "zzz-2"))
+    assert(got.isDefined && got.get.isEmpty)
+    assert(got.get.columns.toSeq == Seq("bk", "payload"))
+  }
+
+  test("long keys: parity and bloom membership") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-long").toString
+    val df = spark.range(0, 30000)
+      .select((col("id") * 7919 % 104729).as("id"), col("id").as("payload"))
+    Indexed.write(df, s"$root/batch=-1", "id", 3)
+    val keys: Seq[Any] = Seq(7919L % 104729, (2L * 7919) % 104729, -5L, 999999L)
+    val got = Indexed.prunedRead(spark, root, "id", keys).get
+      .select("id", "payload").as[(Long, Long)].collect().toSet
+    val want = spark.read.parquet(s"$root/batch=-1")
+      .filter(col("id").isInCollection(keys))
+      .select("id", "payload").as[(Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("degrades to None: key cap, unindexed root, nested unindexed dir") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-degrade").toString
+    Indexed.write(mkDF(0, 2000).coalesce(1), s"$root/batch=0", "bk", 0)
+    // cap: more alive keys than keyCap → None
+    val many: Seq[Any] = mkDF(0, 2000).select("bk").as[String].collect().toSeq
+    assert(Indexed.prunedRead(spark, root, "bk", many, keyCap = 100).isEmpty)
+    // unindexed root (plain write, no sidecar) → None
+    val plain = java.nio.file.Files.createTempDirectory("graft-idx-plain").toString
+    mkDF(0, 1000).write.parquet(s"$plain/batch=0")
+    assert(Indexed.prunedRead(spark, plain, "bk", Seq("x")).isEmpty)
+    // mixed indexed + unindexed FLAT dir: parity still holds (the
+    // unindexed dir is read whole, all keys stay alive)
+    mkDF(50000, 1000).coalesce(1).write.parquet(s"$root/batch=1")
+    val keys: Seq[Any] = keysOf(mkDF(0, 2000), 3) ++ keysOf(mkDF(50000, 1000), 3)
+    val got = Indexed.prunedRead(spark, root, "bk", keys)
+    assert(got.isDefined)
+    assert(got.get.select("bk").as[String].collect().toSet == keys.map(_.toString).toSet)
+    // a NESTED unindexed dir (inner partition dirs) is opaque → None
+    val nested = java.nio.file.Files.createTempDirectory("graft-idx-nested").toString
+    mkDF(0, 1000).withColumn("p", col("payload") % 2)
+      .write.partitionBy("p").parquet(s"$nested/batch=0")
+    assert(Indexed.prunedRead(spark, nested, "bk", Seq("x")).isEmpty)
+  }
+
+  test("sidecar replay-safety: rewrite refreshes the cache (mtime-keyed)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-replay").toString
+    Indexed.write(mkDF(0, 1000).coalesce(1), s"$root/batch=0", "bk", 0)
+    assert(Indexed.prunedRead(spark, root, "bk", keysOf(mkDF(0, 1000), 1)).get.count() == 1)
+    Thread.sleep(1100) // mtime granularity
+    Indexed.write(mkDF(5000, 1000).coalesce(1), s"$root/batch=0", "bk", 0)
+    val k2: Seq[Any] = keysOf(mkDF(5000, 1000), 2)
+    assert(Indexed.prunedRead(spark, root, "bk", k2).get.count() == 2)
+  }
+}
