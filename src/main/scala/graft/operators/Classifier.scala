@@ -71,10 +71,14 @@ object Classifier {
     // verdicts at scoring time
     require(dp > 0 && dn > 0,
       s"Classifier.train: both seed sets must be non-empty (pos=$dp, neg=$dn)")
-    val pc = toks(pos, id, text).filter(col("tok").isNotNull)
-      .groupBy(col("tok")).agg(count(lit(1)).as("cp")).localCheckpoint(true)
-    val nc = toks(neg, id, text).filter(col("tok").isNotNull)
-      .groupBy(col("tok")).agg(count(lit(1)).as("cn")).localCheckpoint(true)
+    // ONE byte-walk pass per seed corpus via the fused TokenCountAgg
+    // kernel (the training twin of NbScore): per-partition state is a
+    // seed-vocabulary-bounded count map — the same budget
+    // Model.compiled already spends — and the count tables come back
+    // bit-identical to the explode→groupBy plan (exact longs;
+    // countsDeclarative is the spec-pinned parity oracle)
+    val pc = tokenCountTable(pos, text, "cp").localCheckpoint(true)
+    val nc = tokenCountTable(neg, text, "cn").localCheckpoint(true)
     val joint = pc.join(nc, Seq("tok"), "full_outer").localCheckpoint(true)
     val v = joint.count().toDouble
     val np = pc.agg(coalesce(sum(col("cp")), lit(0L))).head().getLong(0).toDouble
@@ -112,6 +116,19 @@ object Classifier {
     graft.plans.TextExpressions.nbScore(
       coalesce(lower(text).cast("string"), lit("")),
       model.compiled, model.priorFixed)
+
+  /** The fused count table: (tok, count) over the corpus vocab. */
+  private[graft] def tokenCountTable(df: DataFrame, text: Column,
+                                     cname: String): DataFrame =
+    df.agg(graft.plans.CountAggregates.tokenCounts(lower(text)).as("m"))
+      .select(explode(col("m")).as(Seq("tok", cname)))
+
+  /** The pre-kernel declarative count plan — the parity oracle for
+    * `train`'s fused kernel (same (tok, count) rows exactly). */
+  private[graft] def countsDeclarative(df: DataFrame, id: Column, text: Column,
+                                       cname: String): DataFrame =
+    toks(df, id, text).filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as(cname))
 
   /** The pre-kernel declarative scoring plan — retained as the parity
     * oracle for `score`'s kernel: same rows, bit-identical scores, at

@@ -72,10 +72,21 @@ object Dsir {
     require(prefixLen >= 1 && prefixLen <= 8,
       s"prefixLen must be in [1,8], got $prefixLen")
     val b = math.pow(16.0, prefixLen)
-    val tc = feats(target, id, text, prefixLen).filter(col("b").isNotNull)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct")).localCheckpoint(true)
-    val rc = feats(raw, id, text, prefixLen).filter(col("b").isNotNull)
-      .groupBy(col("b")).agg(count(lit(1)).as("cr")).localCheckpoint(true)
+    // ONE byte-walk pass per corpus via the fused BucketCountAgg
+    // kernel (the training twin of DsirScore): per-partition state is
+    // one B-long array, the shuffle carries one partial per
+    // partition, and the count tables come back bit-identical to the
+    // explode→md5→groupBy plan (exact longs; countsDeclarative is
+    // the spec-pinned parity oracle, and remains the executed path
+    // for prefixLen > 5, where a 16^p-long per-partition buffer
+    // stops being "model-bounded" in any useful sense).
+    // format_string's %x is lowercase — exactly
+    // substring(md5(g), 1, prefixLen)'s alphabet.
+    def bucketCountTable(df: DataFrame, cname: String): DataFrame =
+      if (prefixLen <= 5) countsFused(df, text, prefixLen, cname)
+      else countsDeclarative(df, id, text, prefixLen, cname)
+    val tc = bucketCountTable(target, "ct").localCheckpoint(true)
+    val rc = bucketCountTable(raw, "cr").localCheckpoint(true)
     // totals: scalars of the bucket-count tables, never a corpus rescan
     val nt = tc.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0).toDouble
     val nr = rc.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0).toDouble
@@ -111,6 +122,23 @@ object Dsir {
   def scoreCol(text: Column, model: Model): Column =
     graft.plans.TextExpressions.dsirScore(
       coalesce(lower(text).cast("string"), lit("")), model.compiled)
+
+  /** The fused count table: (b, count) over nonzero buckets. */
+  private[graft] def countsFused(df: DataFrame, text: Column,
+                                 prefixLen: Int, cname: String): DataFrame =
+    df.agg(graft.plans.CountAggregates
+        .bucketCounts(lower(text), prefixLen).as("a"))
+      .select(posexplode(col("a")).as(Seq("i", cname)))
+      .filter(col(cname) > 0)
+      .select(format_string(s"%0${prefixLen}x", col("i")).as("b"), col(cname))
+
+  /** The pre-kernel declarative count plan — the parity oracle for
+    * `train`'s fused kernel (same (b, count) rows exactly) and the
+    * executed path for bucket spaces too large to buffer. */
+  private[graft] def countsDeclarative(df: DataFrame, id: Column, text: Column,
+                                       prefixLen: Int, cname: String): DataFrame =
+    feats(df, id, text, prefixLen).filter(col("b").isNotNull)
+      .groupBy(col("b")).agg(count(lit(1)).as(cname))
 
   /** The pre-kernel declarative scoring plan — retained as the parity
     * oracle for `score`'s kernel: same rows, bit-identical scores, at

@@ -778,6 +778,51 @@ object CompiledBucketWeights {
       Array[Any](nFeats, java.math.BigDecimal.valueOf(sum, 8)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
   }
+
+  /** TRAINING twin of `score`: bump `counts(bucket)` for every
+    * hashed feature (unigrams + bigrams, multiplicity kept) of one
+    * document — the fused form of C46's per-corpus
+    * explode → md5-prefix → groupBy(bucket) count, whose per-partition
+    * state is this one fixed B-long array instead of a hash-agg over
+    * corpus×features rows. Exact long counts ⇒ the trained model is
+    * bit-identical (spec-pinned). Same byte-walk tokenizer as
+    * `score`. */
+  def countInto(s: UTF8String, prefixLen: Int, counts: Array[Long]): Unit = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var cap = 8
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var n = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && WordNgrams.isWsByte(bytes(i))) i += 1
+      if (i < len) {
+        if (n == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(n) = i
+        while (i < len && !WordNgrams.isWsByte(bytes(i))) i += 1
+        ends(n) = i
+        n += 1
+      }
+    }
+    val digest = md5.get()
+    var t = 0
+    while (t < n) {
+      digest.update(bytes, starts(t), ends(t) - starts(t))
+      counts(bucketOf(digest.digest(), prefixLen).toInt) += 1L
+      if (t + 1 < n) {
+        digest.update(bytes, starts(t), ends(t) - starts(t))
+        digest.update(' '.toByte)
+        digest.update(bytes, starts(t + 1), ends(t + 1) - starts(t + 1))
+        counts(bucketOf(digest.digest(), prefixLen).toInt) += 1L
+      }
+      t += 1
+    }
+  }
 }
 
 /** `struct<n_feats:bigint, logw:double>`: C46's scoring kernel — the

@@ -68,4 +68,18 @@ class ClassifierSpec extends SparkSpec {
     // the fixture exercises both hit and OOV paths
     assert(kernel.find(_._1 == 200L).get._2 >= 3)
   }
+
+  test("train kernel counts ≡ declarative explode counts (fused training)") {
+    val docs = Seq(
+      (200L, "clean clean CLEAN spam text zzz"),
+      (201L, "naïve\tcafé\n日本語prose\fclick\rspam"),
+      (202L, "  \t \n  "), (203L, ""), (204L, null.asInstanceOf[String]),
+      (205L, "NAÏVE Café junk"))
+      .toDF("id", "t")
+    val fused = Classifier.tokenCountTable(docs, col("t"), "c")
+      .as[(String, Long)].collect().toSet
+    val decl = Classifier.countsDeclarative(docs, col("id"), col("t"), "c")
+      .as[(String, Long)].collect().toSet
+    assert(fused == decl && fused.nonEmpty, s"fused $fused != declarative $decl")
+  }
 }

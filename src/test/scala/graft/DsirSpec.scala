@@ -81,6 +81,34 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("train kernel counts ≡ declarative explode counts (fused training)") {
+    import spark.implicits._
+    // the same hostile shapes the score-parity fixture uses: repeated
+    // features, every whitespace byte, unicode, empty/null text
+    val docs = Seq(
+      (200L, "alpha beta gamma alpha beta zzzz"),
+      (201L, "naïve\tcafé\n日本語\falpha\romega"),
+      (202L, "  \t \n  "), (203L, ""), (204L, null.asInstanceOf[String]),
+      (205L, "ALPHA Beta alpha"), (206L, "solo"))
+      .toDF("doc_id", "text")
+    for (pl <- Seq(1, 3)) {
+      val fused = Dsir.countsFused(docs, col("text"), pl, "c")
+        .as[(String, Long)].collect().toSet
+      val decl = Dsir.countsDeclarative(docs, col("doc_id"), col("text"), pl, "c")
+        .as[(String, Long)].collect().toSet
+      assert(fused == decl, s"prefixLen=$pl: fused counts diverge")
+      assert(fused.nonEmpty)
+    }
+    // and the model trained through the fused path scores identically
+    // under the DECLARATIVE scorer — train+score cross-parity
+    val m = Dsir.train(target, raw, col("doc_id"), col("text"))
+    val a = Dsir.score(raw, col("doc_id"), col("text"), m)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = Dsir.scoreDeclarative(raw, col("doc_id"), col("text"), m)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("train rejects out-of-range prefix lengths") {
     intercept[IllegalArgumentException] {
       Dsir.train(target, raw, col("doc_id"), col("text"), prefixLen = 0)
