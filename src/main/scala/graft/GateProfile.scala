@@ -30,6 +30,14 @@ object GateProfile {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // keep executed scans visible in the final plan tree: AQE's
+      // empty-relation propagation replaces an already-run stage
+      // (scan included) with EmptyRelation, which would hide the
+      // store-scan metrics this profiler exists to report. The rule
+      // only skips post-scan work on empty branches, so excluding it
+      // does not change what the scan itself costs.
+      .config("spark.sql.adaptive.optimizer.excludedRules",
+        "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -38,15 +46,43 @@ object GateProfile {
       ladder(spark, sfDir, batchSize, storeBatches); spark.stop(); return
     }
 
+    // store dirs can be built coarser than the arrival batch
+    // (GATE_STORE_BATCH) so multi-million-doc stores don't need
+    // hundreds of signature jobs; compaction consolidates them anyway
+    val storeBatchSize = sys.env.getOrElse("GATE_STORE_BATCH", batchSize.toString).toInt
+
     val pool = Tables.load(spark, sfDir, "documents")
       .select(col("text")).as[String].collect()
-    def docs(tag: String, k: Int) =
-      (0 until batchSize).map { i =>
+    def docsN(tag: String, k: Int, n: Int) =
+      (0 until n).map { i =>
+        val pfx = s"$tag${k}·"
+        (k.toLong * n + i,
+          pool((k * n + i) % pool.length)
+            .split("\\s+").filter(_.nonEmpty).map(pfx + _).mkString(" "))
+      }.toDF("id", "text")
+    def docs(tag: String, k: Int) = docsN(tag, k, batchSize)
+
+    // GATE_OVERLAP=f: fraction of each ARRIVAL batch duplicating
+    // store dir 0's docs (same text, fresh ids) — near-dup hits, so
+    // the probe's match path (bloom hits → manifest file selection →
+    // point page reads → verify joins) is exercised, not just the
+    // all-miss fast path the disjoint fixture produces
+    val overlap = sys.env.getOrElse("GATE_OVERLAP", "0").toDouble
+    def arrival(tag: String, k: Int) = {
+      val nDup = (batchSize * overlap).toInt
+      val dup = (0 until nDup).map { i =>
+        (900000000L + k.toLong * batchSize + i,
+          pool(i % pool.length)
+            .split("\\s+").filter(_.nonEmpty).map("s0·" + _).mkString(" "))
+      }
+      val fresh = (nDup until batchSize).map { i =>
         val pfx = s"$tag${k}·"
         (k.toLong * batchSize + i,
           pool((k * batchSize + i) % pool.length)
             .split("\\s+").filter(_.nonEmpty).map(pfx + _).mkString(" "))
-      }.toDF("id", "text")
+      }
+      (dup ++ fresh).toDF("id", "text")
+    }
 
     // GATE_INDEXED=1: the Indexed store layout (sorted batch files +
     // sidecars, as the sinks now write) and the pruned gate path;
@@ -56,11 +92,15 @@ object GateProfile {
     val indexed = sys.env.get("GATE_INDEXED").contains("1")
     val compacted = sys.env.get("GATE_COMPACTED").contains("1")
     val dir = java.nio.file.Files.createTempDirectory("graft-gateprof").toString
-    (0 until storeBatches).foreach { k =>
-      val (b, s) = operators.Incremental.signatures(docs("s", k), col("id"), col("text"))
+    val storeDocs = storeBatches.toLong * batchSize
+    val storeDirs = math.max(1, (storeDocs / storeBatchSize).toInt)
+    (0 until storeDirs).foreach { k =>
+      val (b, s) = operators.Incremental.signatures(
+        docsN("s", k, storeBatchSize), col("id"), col("text"))
       if (indexed) {
         sources.Indexed.write(b.coalesce(1), s"$dir/bands/batch=$k", "bk", 0)
-        sources.Indexed.write(s.coalesce(1), s"$dir/sets/batch=$k", "id", 0)
+        sources.Indexed.write(s.coalesce(1), s"$dir/sets/batch=$k", "id", 0,
+          pageRows = 128)
       } else {
         b.write.mode("overwrite").parquet(s"$dir/bands/batch=$k")
         s.write.mode("overwrite").parquet(s"$dir/sets/batch=$k")
@@ -84,6 +124,47 @@ object GateProfile {
       }
     })
 
+    // input-bytes task metrics only see the Hadoop-FS stream (parquet
+    // data pages on local disk bypass it), so measure the store scan
+    // directly: rows/files emitted by every FileSourceScanExec over
+    // the store dirs, summed across the arrival's query executions
+    val bandRowsScanned = new LongAdder; val bandFilesRead = new LongAdder
+    val setRowsScanned = new LongAdder; val setFilesRead = new LongAdder
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      private def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: FileSourceScanExec =>
+          val roots = s.relation.location.rootPaths.map(_.toString)
+          val (rows, files) =
+            (s.metrics("numOutputRows").value, s.metrics("numFiles").value)
+          if (sys.env.contains("GATE_DEBUG"))
+            println(s"QEL scan: rows=$rows files=$files roots=${roots.take(2)}")
+          if (roots.exists(_.contains("/bands"))) {
+            bandRowsScanned.add(rows); bandFilesRead.add(files)
+          } else if (roots.exists(_.contains("/sets"))) {
+            setRowsScanned.add(rows); setFilesRead.add(files)
+          }
+        case o =>
+          if (sys.env.contains("GATE_DEBUG"))
+            println(s"QEL node: ${o.getClass.getSimpleName} children=${o.children.size}")
+          o.children.foreach(walk)
+      }
+      override def onSuccess(name: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        if (sys.env.contains("GATE_DEBUG"))
+          println(s"QEL onSuccess: $name ${qe.executedPlan.getClass.getSimpleName}\n" +
+            qe.executedPlan.toString.linesIterator.map("QELP " + _).mkString("\n"))
+        walk(qe.executedPlan)
+      }
+      override def onFailure(name: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    })
+
     val pb: Seq[Any] => Option[org.apache.spark.sql.DataFrame] =
       if (indexed) keys => sources.Indexed.prunedRead(spark, s"$dir/bands", "bk", keys)
       else _ => None
@@ -93,15 +174,17 @@ object GateProfile {
 
     // warm: one gate arrival end-to-end (codegen etc.)
     val warm = operators.Incremental.gate(storeBands, storeSets,
-      docs("w", 990), col("id"), col("text"),
+      arrival("w", 990), col("id"), col("text"),
       prunedBands = pb, prunedSets = ps)._1
     warm.write.format("noop").mode("overwrite").save()
 
     org.apache.spark.graft.Listeners.settle(spark.sparkContext)
     shufW.reset(); shufR.reset(); inBytes.reset()
+    bandRowsScanned.reset(); bandFilesRead.reset()
+    setRowsScanned.reset(); setFilesRead.reset()
     val t0 = System.nanoTime()
     val (surv, _, _) = operators.Incremental.gate(storeBands, storeSets,
-      docs("m", 991), col("id"), col("text"),
+      arrival("m", 991), col("id"), col("text"),
       prunedBands = pb, prunedSets = ps)
     surv.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
@@ -114,6 +197,8 @@ object GateProfile {
         .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(-_._2)
     println(f"gate arrival: $sec%.2f s  input=${inBytes.sum / 1e6}%.1f MB " +
       f"shuffle_write=${shufW.sum / 1e6}%.1f MB shuffle_read=${shufR.sum / 1e6}%.1f MB")
+    println(s"store scan: bands ${bandRowsScanned.sum} rows / ${bandFilesRead.sum} files, " +
+      s"sets ${setRowsScanned.sum} rows / ${setFilesRead.sum} files")
     println("plan operators: " + joins.map { case (k, n) => s"$n×$k" }.mkString(", "))
     if (sys.env.contains("GATE_EXPLAIN")) println(plan)
     spark.stop()

@@ -57,6 +57,11 @@ object StreamBench {
     // whether the documented compaction lever flattens the growth
     // curve the plain run exposes
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_STREAM_GROWTH_COMPACT_EVERY", "0").toInt
+    // 0 = cold store; N = pre-populate the signature store with N
+    // docs (indexed layout, compacted) BEFORE the growth run, so the
+    // flat-arrival claim is tested against a store that dwarfs the
+    // arrivals, not one the run itself built
+    val preseed = sys.env.getOrElse("SPARK_GRAFT_STREAM_GROWTH_PRESEED", "0").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -170,6 +175,34 @@ object StreamBench {
     // is that per-batch time stays flat as both grow)
     val growth: Option[Seq[Double]] = if (growthBatches > 0) Some {
       val dir = java.nio.file.Files.createTempDirectory("graft-sb-growth").toString
+      if (preseed > 0) {
+        // seed dirs land at ids ≥ 1,000,000 (disjoint vocab per the
+        // usual construction), then compact into one clustered
+        // batch=-1 dir — no id can collide with the stream's 0,1,…
+        val chunk = 250000
+        var written = 0; var k = 0
+        while (written < preseed) {
+          val n = math.min(chunk, preseed - written)
+          import spark.implicits._
+          // ids offset to 10⁹ so they can never collide with stream
+          // doc ids; vocab prefix disjoint from the growth batches'
+          val seed = (0 until n).map { i =>
+            val (lang, text) = pool((k * chunk + i) % pool.length)
+            StreamDoc(1000000000L + k.toLong * chunk + i, lang,
+              text.split("\\s+").filter(_.nonEmpty)
+                .map(s"seed${k}·" + _).mkString(" "))
+          }.toDF()
+          val (b, s) = operators.Incremental.signatures(
+            seed, col("doc_id"), col("text"))
+          sources.Indexed.write(b.coalesce(1),
+            s"$dir/store/bands/batch=${1000000 + k}", "bk", 0)
+          sources.Indexed.write(s.coalesce(1),
+            s"$dir/store/sets/batch=${1000000 + k}", "id", 0, pageRows = 128)
+          written += n; k += 1
+        }
+        streaming.EventStream.nearDupStoreCompact(spark, s"$dir/store", 2000000L)
+        System.err.println(s"[streambench] d10 growth preseeded store with $preseed docs")
+      }
       val input = MemoryStream[StreamDoc](spark)(Encoders.product[StreamDoc])
       val q = streaming.EventStream.nearDupGateSink(input.toDF(), "doc_id", col("text"),
         dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")
@@ -208,7 +241,7 @@ object StreamBench {
     }.mkString(",")
     val growthJson = growth.map { secs =>
       val head = median(secs.take(10)); val tail = median(secs.takeRight(10))
-      s""","d10_growth":{"n":$growthBatches,"size":$growthSize,"compact_every":$compactEvery,""" +
+      s""","d10_growth":{"n":$growthBatches,"size":$growthSize,"compact_every":$compactEvery,"preseed":$preseed,""" +
         f""""first10_median_sec":$head%.3f,"last10_median_sec":$tail%.3f,""" +
         f""""ratio":${tail / head}%.2f}"""
     }.getOrElse("")

@@ -73,12 +73,18 @@ object Indexed {
   /** Sidecar dir name — underscore-prefixed: invisible to Spark's
     * parquet file discovery. */
   private val IdxDir = "_graft_idx"
-  /** OR-of-Eq pushdown cap: above this many surviving keys the read
-    * falls back (parquet's predicate visitor recurses per value —
-    * ~4000 overflows the stack; 1024 is comfortably inside, and a
-    * probe that survives the bloom 1024 times is store-scan-shaped
-    * anyway). */
-  val DefaultKeyCap = 1024
+  /** Pushdown cap: above this many surviving keys the read falls
+    * back to the caller's scan plan. The filter is pushed as an OR of
+    * `ChunkSize`-key In chunks over the SORTED keys — each chunk
+    * translates to an OR-of-Eq chain (per-value granule pruning) of
+    * bounded depth (parquet's predicate visitor recurses per value;
+    * ~4000 in one chain overflows the stack), each chunk spans a
+    * narrow contiguous key range (so even the chunk-level min/max
+    * range check prunes), and the OR tree adds only keys/ChunkSize
+    * depth on top. */
+  val DefaultKeyCap = 16384
+  private val ChunkSize = 512
+  private val DefaultPageRows = 2000
 
   /** Supported key types (bloom + typed manifest need a stable
     * runtime representation). */
@@ -93,7 +99,7 @@ object Indexed {
     * and only sorts within partitions (the cheap per-batch append
     * shape: batch dirs are small, a range shuffle buys nothing). */
   def write(df: DataFrame, dir: String, keyCol: String, nFiles: Int,
-            pageRows: Int = 2000, fpp: Double = 0.01): Unit = {
+            pageRows: Int = DefaultPageRows, fpp: Double = 0.01): Unit = {
     val clustered =
       if (nFiles > 0) df.repartitionByRange(nFiles, col(keyCol))
       else df
@@ -101,7 +107,7 @@ object Indexed {
       .write.mode(SaveMode.Overwrite)
       .option("parquet.page.row.count.limit", pageRows.toString)
       .parquet(dir)
-    writeSidecar(df.sparkSession, dir, keyCol, fpp)
+    writeSidecar(df.sparkSession, dir, keyCol, fpp, pageRows)
   }
 
   /** Build + write the `_graft_idx` sidecar for an already-written
@@ -110,12 +116,13 @@ object Indexed {
     * (returns false) for key types the sidecar can't represent —
     * the dir is then simply unindexed and reads degrade to scans. */
   def writeSidecar(spark: SparkSession, dir: String, keyCol: String,
-                   fpp: Double = 0.01): Boolean = {
+                   fpp: Double = 0.01, pageRows: Int = DefaultPageRows): Boolean = {
     val data = spark.read.parquet(dir).select(col(keyCol))
     if (!supported(data.schema.head.dataType)) return false
     val manifest = data.groupBy(input_file_name().as("file"))
       .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
         count(lit(1)).as("n"))
+      .withColumn("pr", lit(pageRows)) // read-granule rows, for the probe cost gate
       .localCheckpoint(true)
     val total = manifest.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val bloom = data.stat.bloomFilter(keyCol, math.max(total, 1L), fpp)
@@ -135,7 +142,8 @@ object Indexed {
     * sidecar (read whole, all probe keys forced alive). */
   final case class DirIndex(dir: String, indexed: Boolean,
                             files: Array[(String, Any, Any)],
-                            bloom: Option[BloomFilter], rows: Long)
+                            bloom: Option[BloomFilter], rows: Long,
+                            pageRows: Int)
 
   /** (path, bloom-file mtime) → DirIndex. The cache never needs
     * explicit invalidation: compaction DELETES dirs (stale keys just
@@ -170,20 +178,24 @@ object Indexed {
           .filterNot(st => st.getPath.getName.startsWith("_")
             || st.getPath.getName.startsWith("."))
         if (entries.exists(_.isDirectory))
-          DirIndex(d.toString, indexed = false, null, None, -1L)
+          DirIndex(d.toString, indexed = false, null, None, -1L, DefaultPageRows)
         else DirIndex(d.toString, indexed = false,
           entries.map(st => (st.getPath.toString, null: Any, null: Any)).toArray,
-          None, -1L)
+          None, -1L, DefaultPageRows)
       } else cache.getOrElseUpdate((d.toString, mtime), {
-        val manifest = spark.read.parquet(
-          new Path(new Path(d, IdxDir), "manifest").toString).collect()
+        val mdf = spark.read.parquet(
+          new Path(new Path(d, IdxDir), "manifest").toString)
+        val hasPr = mdf.columns.contains("pr")
+        val manifest = mdf.collect()
         val files = manifest
           .map(r => (r.getString(0), r.get(1), r.get(2)))
           .sortBy(f => String.valueOf(f._2))
         val rows = manifest.map(_.getLong(3)).sum
+        val pr = if (hasPr && manifest.nonEmpty) manifest.head.getAs[Int]("pr")
+          else DefaultPageRows
         val in = fs.open(bloomFile)
         val bloom = try BloomFilter.readFrom(in) finally in.close()
-        DirIndex(d.toString, indexed = true, files, Some(bloom), rows)
+        DirIndex(d.toString, indexed = true, files, Some(bloom), rows, pr)
       })
     }
   }
@@ -229,8 +241,26 @@ object Indexed {
     val alive: Seq[Any] =
       if (anyUnindexed) distinctKeys
       else distinctKeys.filter(k => blooms.exists(b => mightContain(b, k)))
-    if (alive.isEmpty) return emptyOf
-    if (alive.size > keyCap) return None
+    if (alive.isEmpty) {
+      if (sys.env.contains("GRAFT_IDX_DEBUG"))
+        println(s"prunedRead($root): keys=${distinctKeys.size} alive=0 -> empty")
+      return emptyOf
+    }
+    // cost gate: a point probe reads ~one page per alive key per dir
+    // that might hold it, so when the estimate reaches half the store
+    // a plain scan is at least as cheap (and pays no per-row
+    // OR-of-InSet evaluation) — decline and let the caller's scan
+    // plan run. Estimated per INDEXED dir as min(alive × pageRows,
+    // dirRows); unindexed flat dirs are read whole under either plan,
+    // so they cancel out of the comparison.
+    val est = dirs.collect {
+      case d if d.indexed => math.min(alive.size.toLong * d.pageRows, d.rows)
+    }.sum
+    val total = dirs.filter(_.indexed).map(_.rows).sum
+    if (sys.env.contains("GRAFT_IDX_DEBUG"))
+      println(s"prunedRead($root): keys=${distinctKeys.size} alive=${alive.size} " +
+        s"est=$est total=$total")
+    if (alive.size > keyCap || est * 2 >= total) return None
     // file selection: keep a file iff some alive key ∈ [lo, hi]
     // (merge over the lo-sorted manifest); unindexed dirs keep all
     val sortedKeys = alive.sortBy(_.toString)
@@ -241,9 +271,13 @@ object Indexed {
       }
     }
     if (files.isEmpty) return emptyOf
-    // OR-of-Eq pushdown needs the threshold ABOVE the key count
-    if (spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt < keyCap)
-      spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", keyCap.toString)
-    Some(spark.read.parquet(files: _*).filter(col(keyName).isInCollection(sortedKeys)))
+    // OR-of-Eq pushdown needs the threshold ABOVE the chunk size
+    if (spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt
+        <= ChunkSize)
+      spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+        (2 * ChunkSize).toString)
+    val pred = sortedKeys.grouped(ChunkSize)
+      .map(ch => col(keyName).isInCollection(ch)).reduce(_ || _)
+    Some(spark.read.parquet(files: _*).filter(pred))
   }
 }

@@ -571,12 +571,21 @@ object EventStream {
     * layout: one sorted file per table (the batch is small) plus the
     * `_graft_idx` sidecar, under the deterministic `batch=<id>` dirs
     * (replays overwrite their own files — the D10 contract). */
+  /** Read-granule sizing: band rows are ~tens of bytes (2000-row
+    * pages ≈ 90 KB), set rows carry whole shingle arrays (128-row
+    * pages ≈ 64 KB) — both about one point-read I/O unit, and the
+    * page row count is what multiplies every probe key's read. */
+  private val BandPageRows = 2000
+  private val SetPageRows = 128
+
   private def writeSignatures(bBands: DataFrame, bSets: DataFrame,
                               storePath: String, batchId: Long): Unit = {
     graft.sources.Indexed.write(bBands.coalesce(1),
-      s"$storePath/bands/batch=$batchId", "bk", nFiles = 0)
+      s"$storePath/bands/batch=$batchId", "bk", nFiles = 0,
+      pageRows = BandPageRows)
     graft.sources.Indexed.write(bSets.coalesce(1),
-      s"$storePath/sets/batch=$batchId", "id", nFiles = 0)
+      s"$storePath/sets/batch=$batchId", "id", nFiles = 0,
+      pageRows = SetPageRows)
   }
 
   /** The D10 signature store as (bands, sets) — empty frames with the
@@ -853,7 +862,8 @@ object EventStream {
       graft.sources.Indexed.write(
         spark.read.parquet(closed.map(_._2.toString): _*),
         new org.apache.hadoop.fs.Path(root, s"batch=$nextId").toString,
-        keyCol, nFiles)
+        keyCol, nFiles,
+        pageRows = if (keyCol == "id") SetPageRows else BandPageRows)
       closed.foreach { case (_, p) => fs.delete(p, true) }
       (parts.size, parts.size - closed.size + 1)
     }

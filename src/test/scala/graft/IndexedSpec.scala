@@ -42,10 +42,10 @@ class IndexedSpec extends SparkSpec {
 
   test("prunedRead ≡ read+filter, string keys, mixed append/compacted dirs") {
     val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
-    Indexed.write(mkDF(0, 20000).coalesce(1), s"$root/batch=0", "bk", 0)
-    Indexed.write(mkDF(20000, 20000).coalesce(1), s"$root/batch=1", "bk", 0)
-    Indexed.write(mkDF(40000, 60000), s"$root/batch=-1", "bk", 4)
-    val present = keysOf(mkDF(0, 100000), 40) // spread across all dirs
+    Indexed.write(mkDF(0, 200000).coalesce(1), s"$root/batch=0", "bk", 0)
+    Indexed.write(mkDF(200000, 200000).coalesce(1), s"$root/batch=1", "bk", 0)
+    Indexed.write(mkDF(400000, 600000), s"$root/batch=-1", "bk", 4)
+    val present = keysOf(mkDF(0, 1000000), 40) // spread across all dirs
     val absent = (0 until 40).map(i => s"not-a-key-$i")
     val keys: Seq[Any] = present ++ absent
     val got = Indexed.prunedRead(spark, root, "bk", keys)
@@ -66,6 +66,26 @@ class IndexedSpec extends SparkSpec {
     assert(files < 8, s"4 clustered keys should not touch all 8 files (got $files)")
     // page-level: 2000-row pages → ~1-2 pages per key, far below 200k
     assert(rows < 40000, s"page pruning should cut the scan (got $rows rows)")
+  }
+
+  test("multi-chunk key sets (> ChunkSize) still push down and prune") {
+    // the cost gate needs alive × pageRows (520 × 2000 ≈ 1.0M) under
+    // half the store, so the store must be big enough to warrant a
+    // point probe at all
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-chunk").toString
+    Indexed.write(mkDF(0, 3000000), s"$root/batch=-1", "bk", 8)
+    val keys: Seq[Any] = keysOf(mkDF(0, 3000000), 520) // 2 OR'd In chunks
+    val got = Indexed.prunedRead(spark, root, "bk", keys)
+    assert(got.isDefined, "520-key probe of a 3M-row store must stay pruned")
+    val df = got.get
+    assert(df.count() == keys.size)
+    val want = spark.read.parquet(s"$root/batch=-1")
+      .filter(col("bk").isInCollection(keys))
+      .select("bk", "payload").as[(String, Long)].collect().toSet
+    assert(df.select("bk", "payload").as[(String, Long)].collect().toSet == want)
+    val (rows, _) = scanStats(df)
+    assert(rows < 3000000 / 2,
+      s"chunked OR-of-In must still page-prune (got $rows of 3000000 rows)")
   }
 
   test("bloom rules out absent keys entirely — empty probe, no fallback") {
@@ -101,10 +121,13 @@ class IndexedSpec extends SparkSpec {
     mkDF(0, 1000).write.parquet(s"$plain/batch=0")
     assert(Indexed.prunedRead(spark, plain, "bk", Seq("x")).isEmpty)
     // mixed indexed + unindexed FLAT dir: parity still holds (the
-    // unindexed dir is read whole, all keys stay alive)
-    mkDF(50000, 1000).coalesce(1).write.parquet(s"$root/batch=1")
-    val keys: Seq[Any] = keysOf(mkDF(0, 2000), 3) ++ keysOf(mkDF(50000, 1000), 3)
-    val got = Indexed.prunedRead(spark, root, "bk", keys)
+    // unindexed dir is read whole, all keys stay alive); the indexed
+    // dir must be big enough that the cost gate keeps the probe
+    val mixed = java.nio.file.Files.createTempDirectory("graft-idx-mixed").toString
+    Indexed.write(mkDF(0, 200000), s"$mixed/batch=0", "bk", 2)
+    mkDF(500000, 1000).coalesce(1).write.parquet(s"$mixed/batch=1")
+    val keys: Seq[Any] = keysOf(mkDF(0, 200000), 3) ++ keysOf(mkDF(500000, 1000), 3)
+    val got = Indexed.prunedRead(spark, mixed, "bk", keys)
     assert(got.isDefined)
     assert(got.get.select("bk").as[String].collect().toSet == keys.map(_.toString).toSet)
     // a NESTED unindexed dir (inner partition dirs) is opaque → None
@@ -116,11 +139,11 @@ class IndexedSpec extends SparkSpec {
 
   test("sidecar replay-safety: rewrite refreshes the cache (mtime-keyed)") {
     val root = java.nio.file.Files.createTempDirectory("graft-idx-replay").toString
-    Indexed.write(mkDF(0, 1000).coalesce(1), s"$root/batch=0", "bk", 0)
-    assert(Indexed.prunedRead(spark, root, "bk", keysOf(mkDF(0, 1000), 1)).get.count() == 1)
+    Indexed.write(mkDF(0, 20000).coalesce(1), s"$root/batch=0", "bk", 0)
+    assert(Indexed.prunedRead(spark, root, "bk", keysOf(mkDF(0, 20000), 1)).get.count() == 1)
     Thread.sleep(1100) // mtime granularity
-    Indexed.write(mkDF(5000, 1000).coalesce(1), s"$root/batch=0", "bk", 0)
-    val k2: Seq[Any] = keysOf(mkDF(5000, 1000), 2)
+    Indexed.write(mkDF(50000, 20000).coalesce(1), s"$root/batch=0", "bk", 0)
+    val k2: Seq[Any] = keysOf(mkDF(50000, 20000), 2)
     assert(Indexed.prunedRead(spark, root, "bk", k2).get.count() == 2)
   }
 }
