@@ -98,9 +98,8 @@ object GateProfile {
       val (b, s) = operators.Incremental.signatures(
         docsN("s", k, storeBatchSize), col("id"), col("text"))
       if (indexed) {
-        sources.Indexed.write(b.coalesce(1), s"$dir/bands/batch=$k", "bk", 0)
-        sources.Indexed.write(s.coalesce(1), s"$dir/sets/batch=$k", "id", 0,
-          pageRows = 128)
+        sources.Indexed.writeSmall(b, s"$dir/bands/batch=$k", "bk")
+        sources.Indexed.writeSmall(s, s"$dir/sets/batch=$k", "id", pageRows = 128)
       } else {
         b.write.mode("overwrite").parquet(s"$dir/bands/batch=$k")
         s.write.mode("overwrite").parquet(s"$dir/sets/batch=$k")
@@ -165,12 +164,12 @@ object GateProfile {
                              e: Exception): Unit = ()
     })
 
-    val pb: Seq[Any] => Option[org.apache.spark.sql.DataFrame] =
-      if (indexed) keys => sources.Indexed.prunedRead(spark, s"$dir/bands", "bk", keys)
-      else _ => None
-    val ps: Seq[Any] => Option[org.apache.spark.sql.DataFrame] =
-      if (indexed) keys => sources.Indexed.prunedRead(spark, s"$dir/sets", "id", keys)
-      else _ => None
+    val pb: Option[Seq[Any] => Option[org.apache.spark.sql.DataFrame]] =
+      if (indexed) Some(keys => sources.Indexed.prunedRead(spark, s"$dir/bands", "bk", keys))
+      else None
+    val ps: Option[Seq[Any] => Option[org.apache.spark.sql.DataFrame]] =
+      if (indexed) Some(keys => sources.Indexed.prunedRead(spark, s"$dir/sets", "id", keys))
+      else None
 
     // warm: one gate arrival end-to-end (codegen etc.)
     val warm = operators.Incremental.gate(storeBands, storeSets,

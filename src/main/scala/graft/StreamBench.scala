@@ -194,10 +194,10 @@ object StreamBench {
           }.toDF()
           val (b, s) = operators.Incremental.signatures(
             seed, col("doc_id"), col("text"))
-          sources.Indexed.write(b.coalesce(1),
-            s"$dir/store/bands/batch=${1000000 + k}", "bk", 0)
-          sources.Indexed.write(s.coalesce(1),
-            s"$dir/store/sets/batch=${1000000 + k}", "id", 0, pageRows = 128)
+          sources.Indexed.writeSmall(b,
+            s"$dir/store/bands/batch=${1000000 + k}", "bk")
+          sources.Indexed.writeSmall(s,
+            s"$dir/store/sets/batch=${1000000 + k}", "id", pageRows = 128)
           written += n; k += 1
         }
         streaming.EventStream.nearDupStoreCompact(spark, s"$dir/store", 2000000L)

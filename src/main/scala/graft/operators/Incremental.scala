@@ -98,8 +98,8 @@ object Incremental {
   def gate(storeBands: DataFrame, storeSets: DataFrame, batch: DataFrame,
            id: Column, text: Column, n: Int = 3, k: Int = 8, bandRows: Int = 2,
            threshold: Double = 0.5, microBatch: Boolean = true,
-           prunedBands: Seq[Any] => Option[DataFrame] = _ => None,
-           prunedSets: Seq[Any] => Option[DataFrame] = _ => None)
+           prunedBands: Option[Seq[Any] => Option[DataFrame]] = None,
+           prunedSets: Option[Seq[Any] => Option[DataFrame]] = None)
     : (DataFrame, DataFrame, DataFrame) = {
     val (bBands0, bSets0) = signatures(batch, id, text, n, k, bandRows)
     // micro-batch contract (the streaming sinks): the batch tables
@@ -150,7 +150,8 @@ object Incremental {
     // table) select a point-read of the store instead of a scan
     val effStoreBands =
       if (microBatch)
-        prunedBands(bBands.select(col("bk")).distinct().collect().map(_.get(0)).toSeq)
+        prunedBands.flatMap(f =>
+            f(bBands.select(col("bk")).distinct().collect().map(_.get(0)).toSeq))
           .map(_.select(col("id"), col("bi"), col("bk")))
           .getOrElse(storeBands)
       else storeBands
@@ -161,7 +162,7 @@ object Incremental {
       .select(col("cid"), col("oid")).distinct()
     val vsStore = verified(
       if (microBatch) vsStoreCand.localCheckpoint(true) else vsStoreCand,
-      bSets, storeSets, Some(prunedSets))
+      bSets, storeSets, prunedSets)
 
     // within-batch: keep-first by id (the C2 pair orientation) — all
     // sides batch-bounded

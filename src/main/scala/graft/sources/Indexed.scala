@@ -73,6 +73,7 @@ object Indexed {
   /** Sidecar dir name — underscore-prefixed: invisible to Spark's
     * parquet file discovery. */
   private val IdxDir = "_graft_idx"
+  private val IdxFile = "idx.bin"
   /** Pushdown cap: above this many surviving keys the read falls
     * back to the caller's scan plan. The filter is pushed as an OR of
     * `ChunkSize`-key In chunks over the SORTED keys — each chunk
@@ -110,31 +111,150 @@ object Indexed {
     writeSidecar(df.sparkSession, dir, keyCol, fpp, pageRows)
   }
 
+  /** BATCH write for streaming appends: one sorted file + sidecar at
+    * the cost of TWO jobs total (the data write and one key collect —
+    * a streaming gate pays this per micro-batch, so the distributed
+    * stats/bloom jobs `writeSidecar` runs are the wrong shape here;
+    * measured +3 s/arrival of pure job-scheduling at 500-doc
+    * batches). The caller asserts batch-boundedness by choosing this
+    * entry point. */
+  def writeSmall(df: DataFrame, dir: String, keyCol: String,
+                 pageRows: Int = DefaultPageRows, fpp: Double = 0.01): Unit = {
+    val spark = df.sparkSession
+    df.coalesce(1).sortWithinPartitions(col(keyCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.page.row.count.limit", pageRows.toString)
+      .parquet(dir)
+    val dt = df.schema(keyCol).dataType
+    if (!supported(dt)) return
+    val keys = df.select(col(keyCol)).collect().map(_.get(0)).filter(_ != null)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+    if (keys.isEmpty || dataFiles.size != 1) {
+      // empty batch (a 0-row file matches nothing) or an unexpected
+      // layout: write a fileless/bloomless sidecar only when empty,
+      // else leave unindexed
+      if (keys.isEmpty && dataFiles.size <= 1)
+        serializeSidecar(fs, dir, dt, pageRows, Seq.empty,
+          BloomFilter.create(1, fpp))
+      return
+    }
+    val bloom = BloomFilter.create(math.max(keys.length, 1).toLong, fpp)
+    var lo: Any = keys(0); var hi: Any = keys(0)
+    keys.foreach { k =>
+      bloomPut(bloom, k)
+      if (leq(k, lo)) lo = k
+      if (leq(hi, k)) hi = k
+    }
+    serializeSidecar(fs, dir, dt, pageRows,
+      Seq((dataFiles.head.getPath.getName, lo, hi, keys.length.toLong)), bloom)
+  }
+
   /** Build + write the `_graft_idx` sidecar for an already-written
-    * parquet dir: per-file [min,max] manifest and a key bloom. One
-    * column-pruned read-back of the dir (two small jobs). No-op
-    * (returns false) for key types the sidecar can't represent —
-    * the dir is then simply unindexed and reads degrade to scans. */
+    * parquet dir: per-file [min,max] stats and a key bloom via two
+    * distributed jobs (store-sized dirs — compaction's shape), then
+    * one driver-serialized sidecar file. No-op (returns false) for
+    * key types the sidecar can't represent — the dir is then simply
+    * unindexed and reads degrade to scans. */
   def writeSidecar(spark: SparkSession, dir: String, keyCol: String,
                    fpp: Double = 0.01, pageRows: Int = DefaultPageRows): Boolean = {
     val data = spark.read.parquet(dir).select(col(keyCol))
-    if (!supported(data.schema.head.dataType)) return false
+    val dt = data.schema.head.dataType
+    if (!supported(dt)) return false
     val manifest = data.groupBy(input_file_name().as("file"))
       .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
         count(lit(1)).as("n"))
-      .withColumn("pr", lit(pageRows)) // read-granule rows, for the probe cost gate
-      .localCheckpoint(true)
-    val total = manifest.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.get(1), r.get(2), r.getLong(3)))
+    val total = manifest.map(_._4).sum
     val bloom = data.stat.bloomFilter(keyCol, math.max(total, 1L), fpp)
-    val idx = new Path(dir, IdxDir)
-    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // manifest parquet first, bloom LAST: the loader keys its cache on
-    // the bloom file, so a half-written sidecar is treated as absent
-    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(new Path(idx, "manifest").toString)
-    val out = fs.create(new Path(idx, "bloom.bin"), true)
-    try bloom.writeTo(out) finally out.close()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    serializeSidecar(fs, dir, dt, pageRows, manifest.toSeq, bloom)
     true
+  }
+
+  private def bloomPut(b: BloomFilter, key: Any): Unit = key match {
+    case l: java.lang.Long => b.putLong(l)
+    case i: java.lang.Integer => b.putLong(i.longValue())
+    case s: String => b.putString(s)
+    case other => b.put(other)
+  }
+
+  private def typeTag(dt: DataType): Int = dt match {
+    case LongType => 0
+    case IntegerType => 1
+    case StringType => 2
+    case other => throw new IllegalArgumentException(s"unsupported key type $other")
+  }
+
+  /** The whole sidecar as ONE driver-written binary file
+    * `_graft_idx/idx.bin`: header (version, key type, page rows),
+    * per-file [name, lo, hi, rows] stats, then the bloom. Writing it
+    * costs no Spark job, and the loader parses it with one fs read —
+    * the cheap shape a per-micro-batch append needs. */
+  private def serializeSidecar(fs: FileSystem, dir: String, dt: DataType,
+                               pageRows: Int,
+                               files: Seq[(String, Any, Any, Long)],
+                               bloom: BloomFilter): Unit = {
+    val idx = new Path(new Path(dir, IdxDir), IdxFile)
+    val out = new java.io.DataOutputStream(fs.create(idx, true))
+    try {
+      out.writeInt(0x47494458) // "GIDX"
+      out.writeInt(1)
+      out.writeInt(typeTag(dt))
+      out.writeInt(pageRows)
+      out.writeInt(files.size)
+      def writeKey(v: Any): Unit = v match {
+        case l: java.lang.Long => out.writeLong(l)
+        case i: java.lang.Integer => out.writeInt(i)
+        case s: String =>
+          val b = s.getBytes("UTF-8")
+          out.writeInt(b.length); out.write(b)
+      }
+      files.foreach { case (name, lo, hi, n) =>
+        val nb = name.getBytes("UTF-8")
+        out.writeInt(nb.length); out.write(nb)
+        writeKey(lo); writeKey(hi)
+        out.writeLong(n)
+      }
+      bloom.writeTo(out)
+    } finally out.close()
+  }
+
+  /** Parse `_graft_idx/idx.bin`; None on absence or any corruption
+    * (the dir is then treated as unindexed — never wrong, only
+    * slower). */
+  private def parseSidecar(fs: FileSystem, d: Path)
+    : Option[(Array[(String, Any, Any)], BloomFilter, Long, Int)] = {
+    val idx = new Path(new Path(d, IdxDir), IdxFile)
+    try {
+      val in = new java.io.DataInputStream(fs.open(idx))
+      try {
+        require(in.readInt() == 0x47494458 && in.readInt() == 1)
+        val tag = in.readInt()
+        val pageRows = in.readInt()
+        val nFiles = in.readInt()
+        def readKey(): Any = tag match {
+          case 0 => java.lang.Long.valueOf(in.readLong())
+          case 1 => java.lang.Integer.valueOf(in.readInt())
+          case 2 =>
+            val b = new Array[Byte](in.readInt()); in.readFully(b)
+            new String(b, "UTF-8")
+        }
+        var rows = 0L
+        val files = (0 until nFiles).map { _ =>
+          val nb = new Array[Byte](in.readInt()); in.readFully(nb)
+          val name = new String(nb, "UTF-8")
+          val lo = readKey(); val hi = readKey()
+          rows += in.readLong()
+          (new Path(d, name).toString, lo, hi)
+        }.toArray
+        val bloom = BloomFilter.readFrom(in)
+        Some((files, bloom, rows, pageRows))
+      } finally in.close()
+    } catch { case _: Exception => None }
   }
 
   /** One directory's loaded sidecar: per-file ranges (sorted by lo)
@@ -165,11 +285,11 @@ object Indexed {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Seq.empty
     dataDirs(fs, rootPath).map { d =>
-      val bloomFile = new Path(new Path(d, IdxDir), "bloom.bin")
+      val idxFile = new Path(new Path(d, IdxDir), IdxFile)
       val mtime =
-        if (fs.exists(bloomFile)) fs.getFileStatus(bloomFile).getModificationTime
+        if (fs.exists(idxFile)) fs.getFileStatus(idxFile).getModificationTime
         else -1L
-      if (mtime < 0) {
+      def unindexed: DirIndex = {
         // unindexed: every parquet file, no pruning possible. A
         // NESTED layout (inner partition dirs) can't be enumerated as
         // leaf files here — mark it opaque so prunedRead bails to the
@@ -182,21 +302,14 @@ object Indexed {
         else DirIndex(d.toString, indexed = false,
           entries.map(st => (st.getPath.toString, null: Any, null: Any)).toArray,
           None, -1L, DefaultPageRows)
-      } else cache.getOrElseUpdate((d.toString, mtime), {
-        val mdf = spark.read.parquet(
-          new Path(new Path(d, IdxDir), "manifest").toString)
-        val hasPr = mdf.columns.contains("pr")
-        val manifest = mdf.collect()
-        val files = manifest
-          .map(r => (r.getString(0), r.get(1), r.get(2)))
-          .sortBy(f => String.valueOf(f._2))
-        val rows = manifest.map(_.getLong(3)).sum
-        val pr = if (hasPr && manifest.nonEmpty) manifest.head.getAs[Int]("pr")
-          else DefaultPageRows
-        val in = fs.open(bloomFile)
-        val bloom = try BloomFilter.readFrom(in) finally in.close()
-        DirIndex(d.toString, indexed = true, files, Some(bloom), rows, pr)
-      })
+      }
+      if (mtime < 0) unindexed
+      else cache.getOrElseUpdate((d.toString, mtime),
+        parseSidecar(fs, d) match {
+          case Some((files, bloom, rows, pr)) =>
+            DirIndex(d.toString, indexed = true, files, Some(bloom), rows, pr)
+          case None => unindexed // unreadable sidecar: slower, never wrong
+        })
     }
   }
 

@@ -563,9 +563,9 @@ object EventStream {
     * predates the indexed layout or too many keys survive the bloom.
     * Bit-identical either way; see `graft.sources.Indexed`. */
   private def storePruners(spark: SparkSession, storePath: String)
-    : (Seq[Any] => Option[DataFrame], Seq[Any] => Option[DataFrame]) =
-    (keys => graft.sources.Indexed.prunedRead(spark, s"$storePath/bands", "bk", keys),
-     keys => graft.sources.Indexed.prunedRead(spark, s"$storePath/sets", "id", keys))
+    : (Option[Seq[Any] => Option[DataFrame]], Option[Seq[Any] => Option[DataFrame]]) =
+    (Some(keys => graft.sources.Indexed.prunedRead(spark, s"$storePath/bands", "bk", keys)),
+     Some(keys => graft.sources.Indexed.prunedRead(spark, s"$storePath/sets", "id", keys)))
 
   /** Append one batch's signature tables to the store in the indexed
     * layout: one sorted file per table (the batch is small) plus the
@@ -580,12 +580,14 @@ object EventStream {
 
   private def writeSignatures(bBands: DataFrame, bSets: DataFrame,
                               storePath: String, batchId: Long): Unit = {
-    graft.sources.Indexed.write(bBands.coalesce(1),
-      s"$storePath/bands/batch=$batchId", "bk", nFiles = 0,
-      pageRows = BandPageRows)
-    graft.sources.Indexed.write(bSets.coalesce(1),
-      s"$storePath/sets/batch=$batchId", "id", nFiles = 0,
-      pageRows = SetPageRows)
+    // writeSmall: one sorted file + one key-collect per table (the
+    // batch tables are localCheckpointed and micro-batch-sized) —
+    // the distributed sidecar jobs cost ~3 s/arrival of scheduling
+    // at small batches, which would dominate the gate's floor
+    graft.sources.Indexed.writeSmall(bBands,
+      s"$storePath/bands/batch=$batchId", "bk", pageRows = BandPageRows)
+    graft.sources.Indexed.writeSmall(bSets,
+      s"$storePath/sets/batch=$batchId", "id", pageRows = SetPageRows)
   }
 
   /** The D10 signature store as (bands, sets) — empty frames with the

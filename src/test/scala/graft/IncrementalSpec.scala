@@ -238,10 +238,10 @@ class IncrementalSpec extends SparkSpec {
     val all = corpus.sortBy(_._1)
     val want = globalKept(all)
     val store = java.nio.file.Files.createTempDirectory("graft-gate-idx").toString
-    val pb: Seq[Any] => Option[DataFrame] =
-      keys => Indexed.prunedRead(spark, s"$store/bands", "bk", keys)
-    val ps: Seq[Any] => Option[DataFrame] =
-      keys => Indexed.prunedRead(spark, s"$store/sets", "id", keys)
+    val pb: Option[Seq[Any] => Option[DataFrame]] =
+      Some(keys => Indexed.prunedRead(spark, s"$store/bands", "bk", keys))
+    val ps: Option[Seq[Any] => Option[DataFrame]] =
+      Some(keys => Indexed.prunedRead(spark, s"$store/sets", "id", keys))
     var kept = Set.empty[Long]
     for ((b, i) <- all.grouped(6).zipWithIndex) {
       val haveStore = new java.io.File(s"$store/bands").exists()
