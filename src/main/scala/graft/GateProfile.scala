@@ -45,6 +45,9 @@ object GateProfile {
     if (sys.env.get("GATE_MODE").contains("ladder")) {
       ladder(spark, sfDir, batchSize, storeBatches); spark.stop(); return
     }
+    if (sys.env.get("GATE_MODE").contains("sink")) {
+      sink(spark, sfDir, batchSize, storeBatches); spark.stop(); return
+    }
 
     // store dirs can be built coarser than the arrival batch
     // (GATE_STORE_BATCH) so multi-million-doc stores don't need
@@ -201,6 +204,100 @@ object GateProfile {
     println("plan operators: " + joins.map { case (k, n) => s"$n×$k" }.mkString(", "))
     if (sys.env.contains("GATE_EXPLAIN")) println(plan)
     spark.stop()
+  }
+
+  /** One D10 sink arrival — `nearDupGateSink`'s foreachBatch body
+    * inline with a timer around each ACTION, answering where the
+    * per-arrival seconds go when StreamBench's end-to-end medians
+    * move. GATE_INDEXED=1 = the sinks' real shape (indexed store
+    * writes + pruned gate); 0 = the round-9 shape (plain parquet
+    * writes, scan-plan gate). */
+  private def sink(spark: SparkSession, sfDir: String,
+                   batchSize: Int, storeBatches: Int): Unit = {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    val indexed = sys.env.get("GATE_INDEXED").contains("1")
+
+    val pool = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def docsDF(tag: String, k: Int) =
+      (0 until batchSize).map { i =>
+        val (lang, text) = pool((k * batchSize + i) % pool.length)
+        val pfx = s"$tag${k}·"
+        (k.toLong * batchSize + i, lang,
+          text.split("\\s+").filter(_.nonEmpty).map(pfx + _).mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-sinkprof").toString
+    (0 until storeBatches).foreach { k =>
+      val (b, s) = operators.Incremental.signatures(
+        docsDF("s", k), col("doc_id"), col("text"))
+      if (indexed) {
+        sources.Indexed.writeSmall(b, s"$dir/store/bands/batch=$k", "bk")
+        sources.Indexed.writeSmall(s, s"$dir/store/sets/batch=$k", "id",
+          pageRows = 128)
+      } else {
+        b.write.mode("overwrite").parquet(s"$dir/store/bands/batch=$k")
+        s.write.mode("overwrite").parquet(s"$dir/store/sets/batch=$k")
+      }
+    }
+
+    def stage[T](name: String, measured: Boolean)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (measured)
+        println(f"  $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    Seq(("w", storeBatches), ("m", storeBatches + 1)).foreach { case (tag, k) =>
+      val measured = tag == "m"
+      if (measured)
+        println(s"sink arrival (indexed=$indexed): batch=$batchSize " +
+          s"store=$storeBatches×$batchSize")
+      def st[T](name: String)(body: => T): T = stage(name, measured)(body)
+      val batchId = k.toLong
+      val t0 = System.nanoTime()
+      val b = docsDF(tag, k).repartition(spark.sparkContext.defaultParallelism)
+      val (storeBands, storeSets) = (
+        spark.read.parquet(s"$dir/store/bands"),
+        spark.read.parquet(s"$dir/store/sets"))
+      val pb: Option[Seq[Any] => Option[org.apache.spark.sql.DataFrame]] =
+        if (indexed)
+          Some(keys => sources.Indexed.prunedRead(spark, s"$dir/store/bands", "bk", keys))
+        else None
+      val ps: Option[Seq[Any] => Option[org.apache.spark.sql.DataFrame]] =
+        if (indexed)
+          Some(keys => sources.Indexed.prunedRead(spark, s"$dir/store/sets", "id", keys))
+        else None
+      var gated: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = null
+      st("gate construct") {
+        gated = operators.Incremental.gate(storeBands, storeSets, b,
+          col("doc_id"), col("text"), prunedBands = pb, prunedSets = ps)
+      }
+      val (surv, bBands, bSets) = gated
+      val survDocs = b.join(
+        surv.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+      val nonEmpty = st("survDocs isEmpty") { !survDocs.isEmpty }
+      st("corpus write") {
+        if (nonEmpty)
+          EventStream.appendBatchWrite(survDocs, batchId, s"$dir/corpus", "lang")
+      }
+      st("band sig write") {
+        if (indexed)
+          sources.Indexed.writeSmall(bBands, s"$dir/store/bands/batch=$batchId", "bk")
+        else bBands.write.mode("overwrite").parquet(s"$dir/store/bands/batch=$batchId")
+      }
+      st("set sig write") {
+        if (indexed)
+          sources.Indexed.writeSmall(bSets, s"$dir/store/sets/batch=$batchId", "id",
+            pageRows = 128)
+        else bSets.write.mode("overwrite").parquet(s"$dir/store/sets/batch=$batchId")
+      }
+      if (measured)
+        println(f"  TOTAL                  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
   }
 
   /** One composed-ladder arrival, the ingestPipelineSink foreachBatch

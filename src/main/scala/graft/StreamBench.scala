@@ -102,7 +102,11 @@ object StreamBench {
       clf = Some((clfModel, -1e9)),
       dsir = Some((dsirModel, -1000.0)),
       decon = Some((evalGrams, 3, 0L)),
-      nearDup = true)
+      nearDup = true,
+      // the LM/DSIR models and the eval grams above train on
+      // lower(text); the classifier on raw text — score each stage
+      // on the transform its model saw (the IngestPipeline contract)
+      lmText = lower, dsirText = lower, deconText = lower)
 
     /** rows for micro-batch `k` of `size` docs: unique ids, every
       * token prefixed with the (gate, batch) tag. */

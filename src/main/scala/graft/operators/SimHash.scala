@@ -126,10 +126,20 @@ object SimHash {
       "pigeonhole: need maxHamming <= chunks - agree")
     require(64 % chunks == 0, "chunks must divide 64")
     if (agree == 1 && !allowQuadraticBand) {
-      // one cheap count job (parquet row-count pushdown for table
-      // scans) buys refusing an n²/2^width band at corpus scale —
-      // the engine's one measured scale-killer if run unguarded
-      val nDocs = docs.count()
+      // refusing an n²/2^width band at corpus scale is worth one
+      // cheap job: Catalyst's plan-time row-count estimate answers
+      // for free when available (CBO stats / a bare LocalRelation);
+      // otherwise a count() ACTION runs here, at builder time —
+      // parquet row-count pushdown makes it metadata-only for table
+      // scans, but callers on expensive upstream plans should pass
+      // agree > 1 or allowQuadraticBand to skip it. A streaming
+      // frame can't be counted (or sized) at all: the guard refuses
+      // it rather than guessing.
+      require(!docs.isStreaming,
+        "SimHash.nearDupPairs: cannot verify corpus size on a streaming input — " +
+          "use combination banding (agree > 1) or pass allowQuadraticBand = true")
+      val nDocs = docs.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.longValue).getOrElse(docs.count())
       require(nDocs <= QuadraticBandMaxDocs,
         s"SimHash.nearDupPairs: corpus has $nDocs docs > $QuadraticBandMaxDocs — " +
           s"the agree = 1 single-chunk band is quadratic (~n^2*$chunks/2^${64 / chunks} " +

@@ -397,7 +397,16 @@ final class CompiledTokenWeights(entries: Array[(String, Double)])
     b
   }
   private val vals: Array[Long] =
-    entries.map(e => CompiledLm.toFixed(e._2))
+    entries.map { e =>
+      val f = CompiledLm.toFixed(e._2)
+      // `Missing` doubles as the OOV sentinel: a weight that fixes to
+      // it (~-9.2e10 in scale-8) would silently read as out-of-vocab.
+      // Unreachable for any realistic log-odds — make that explicit.
+      require(f != CompiledTokenWeights.Missing,
+        s"CompiledTokenWeights: weight ${e._2} for token '${e._1}' fixes to " +
+          "the OOV sentinel (Long.MinValue at scale 8) and cannot be represented")
+      f
+    }
   private val cap: Int = {
     var c = 16
     while (c < n * 2) c <<= 1

@@ -539,20 +539,32 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // GRAFT_SINK_PROFILE=1: per-section stderr timers (dev only)
+          val prof = sys.env.get("GRAFT_SINK_PROFILE").contains("1")
+          def st[T](name: String)(body: => T): T = {
+            val t0 = System.nanoTime()
+            val r = body
+            if (prof) System.err.println(
+              f"[d10 sink b=$batchId] $name%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+            r
+          }
           val spark = batch.sparkSession
           val b = spread(batch)
           val (storeBands, storeSets) =
             nearDupStore(spark, storePath, b, idName, text, n, k, bandRows)
           val (pb, ps) = storePruners(spark, storePath)
-          val (surv, bBands, bSets) = graft.operators.Incremental.gate(
-            storeBands, storeSets, b, col(idName), text, n, k, bandRows, threshold,
-            prunedBands = pb, prunedSets = ps)
+          val (surv, bBands, bSets) = st("gate construct") {
+            graft.operators.Incremental.gate(
+              storeBands, storeSets, b, col(idName), text, n, k, bandRows, threshold,
+              prunedBands = pb, prunedSets = ps)
+          }
           val survDocs = b.join(
             surv.withColumnRenamed("id", idName), Seq(idName), "left_semi")
-          if (!survDocs.isEmpty)
-            appendBatchWrite(survDocs, batchId, outPath, partCol)
+          val nonEmpty = st("isEmpty") { !survDocs.isEmpty }
+          if (nonEmpty)
+            st("corpus write") { appendBatchWrite(survDocs, batchId, outPath, partCol) }
           // AFTER the survivor merge: see the replay analysis above
-          writeSignatures(bBands, bSets, storePath, batchId)
+          st("sig writes") { writeSignatures(bBands, bSets, storePath, batchId) }
         }
       }
       .start()
@@ -621,14 +633,27 @@ object EventStream {
     * gate — each stage shrinks the next stage's input, so the
     * expensive relational gates see only what the cheap rules kept.
     * `lm`/`clf`/`dsir` carry (model, cutoff); `decon` carries
-    * (persisted eval-gram set, n, maxShared). */
+    * (persisted eval-gram set, n, maxShared).
+    *
+    * The per-stage `*Text` transforms close a silent model/input
+    * mismatch: a model trained on TRANSFORMED text (e.g.
+    * `lower(text)` — the standalone gates let the caller pass that
+    * column directly) must score the same transform of the scrubbed
+    * text here, or every verdict quietly shifts. Each defaults to
+    * identity; pass e.g. `lmText = lower` to match a
+    * lowercase-trained LM. `deconText` must match how the eval-gram
+    * set was built (C19's contract). */
   final case class IngestPipeline(
       minQuality: Double = 0.0,
       lm: Option[(graft.operators.LangModel.Model, Double)] = None,
       clf: Option[(graft.operators.Classifier.Model, Double)] = None,
       dsir: Option[(graft.operators.Dsir.Model, Double)] = None,
       decon: Option[(DataFrame, Int, Long)] = None,
-      nearDup: Boolean = true)
+      nearDup: Boolean = true,
+      lmText: Column => Column = identity,
+      clfText: Column => Column = identity,
+      dsirText: Column => Column = identity,
+      deconText: Column => Column = identity)
 
   /** D16: the COMPOSED streaming ingest pipeline — the streaming twin
     * of C21's batch pipeline and the form a production crawl ingest
@@ -688,20 +713,24 @@ object EventStream {
           // expensive ladder order per row
           cfg.lm.foreach { case (m, maxScore) =>
             surv = surv.filter(graft.operators.LangModel
-              .scoreCol(scrubbedText, m).getField("lm_score") <= maxScore) }
+              .scoreCol(cfg.lmText(scrubbedText), m)
+              .getField("lm_score") <= maxScore) }
           cfg.clf.foreach { case (m, cutoff) =>
             surv = surv.filter(graft.operators.Classifier
-              .scoreCol(scrubbedText, m).getField("logodds") > cutoff) }
+              .scoreCol(cfg.clfText(scrubbedText), m)
+              .getField("logodds") > cutoff) }
           cfg.dsir.foreach { case (m, minLogw) =>
             surv = surv.filter(graft.operators.Dsir
-              .scoreCol(scrubbedText, m).getField("logw") >= minLogw) }
+              .scoreCol(cfg.dsirText(scrubbedText), m)
+              .getField("logw") >= minLogw) }
           cfg.decon.foreach { case (evalGrams, n, maxShared) =>
             // both sides of the anti-join read `surv` — fine: its
             // upstream past the quality pin is only the three cheap
             // kernel filters (measured 0.17 s at 50k docs)
             surv = surv.join(
               graft.operators.Contamination
-                .sharedGramsVs(surv, evalGrams, col(idName), scrubbedText, n)
+                .sharedGramsVs(surv, evalGrams, col(idName),
+                  cfg.deconText(scrubbedText), n)
                 .filter(col("shared_grams") > maxShared)
                 .select(col("id").as(idName)),
               Seq(idName), "left_anti") }
@@ -766,11 +795,18 @@ object EventStream {
     * micro-batch id collides with; pick `watermark` ≤ the newest
     * batch id so only checkpoint-uncommitted batches stay
     * replayable; the consolidated dir is fully written BEFORE any
-    * source is deleted (a crash between leaves duplicates that the
-    * next run absorbs — acceptable here because compaction runs
-    * between arrivals under the single-writer contract, and readers
-    * of an ingest corpus tolerate a transiently duplicated closed
-    * batch the same way they tolerate the pre-compaction layout).
+    * source is deleted.
+    *
+    * Unlike the signature store (where a duplicated closed batch
+    * only costs extra self-matches), corpus duplicates change what
+    * readers SEE — so the crash window between "consolidated dir
+    * written" and "sources deleted" must CONVERGE, not compound: the
+    * consolidated dir carries a `_SOURCES` completion marker (an
+    * underscore file — invisible to parquet readers) naming the dirs
+    * it covers, and every run first finishes any marker's recorded
+    * deletions before planning. A crash mid-delete therefore
+    * duplicates rows only until the next compaction run; the
+    * remaining unmarked window is the single marker-file create.
     * Returns (dirsBefore, dirsAfter). */
   def ingestCorpusCompact(spark: SparkSession, path: String, partCol: String,
                           watermark: Long, targetBytes: Long = 128L << 20): (Int, Int) = {
@@ -778,13 +814,32 @@ object EventStream {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0, 0)
-    val parts = fs.listStatus(root).toSeq.filter(_.isDirectory)
+    def listParts() = fs.listStatus(root).toSeq.filter(_.isDirectory)
       .flatMap { st =>
         val n = st.getPath.getName
         if (n.startsWith("batch="))
           scala.util.Try(n.stripPrefix("batch=").toLong).toOption.map((_, st.getPath))
         else None
       }
+    // crash convergence: a prior run that wrote its consolidated dir
+    // and marker but died mid-delete leaves sources the marker names
+    // — finish those deletions FIRST, so the duplicates converge
+    // instead of being re-consolidated (idempotent: already-deleted
+    // names no-op)
+    listParts().filter(_._1 < 0).foreach { case (_, p) =>
+      val m = new org.apache.hadoop.fs.Path(p, CompactSourcesMarker)
+      if (fs.exists(m)) {
+        val in = fs.open(m)
+        val names =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        names.foreach { nm =>
+          val sp = new org.apache.hadoop.fs.Path(root, nm)
+          if (fs.exists(sp)) fs.delete(sp, true)
+        }
+      }
+    }
+    val parts = listParts()
     val closed = parts.filter(_._1 < watermark)
     if (closed.size <= 1) return (parts.size, parts.size)
     val bytes = closed.map { case (_, p) => fs.getContentSummary(p).getLength }.sum
@@ -798,11 +853,23 @@ object EventStream {
         .drop("batch")
         .coalesce(nFiles)
     } finally spark.conf.set(inferKey, inferPrev)
+    val outDir = new org.apache.hadoop.fs.Path(root, s"batch=$nextId")
     consolidated.write.mode(SaveMode.Overwrite).partitionBy(partCol)
-      .parquet(new org.apache.hadoop.fs.Path(root, s"batch=$nextId").toString)
+      .parquet(outDir.toString)
+    // completion marker BEFORE any delete: names the covered sources
+    // so a crash mid-delete is finished by the next run (above)
+    val marker = fs.create(
+      new org.apache.hadoop.fs.Path(outDir, CompactSourcesMarker), true)
+    try marker.write(
+      closed.map(_._2.getName).mkString("\n").getBytes("UTF-8"))
+    finally marker.close()
     closed.foreach { case (_, p) => fs.delete(p, true) }
     (parts.size, parts.size - closed.size + 1)
   }
+
+  /** See `ingestCorpusCompact`: the consolidated-dir completion
+    * marker naming the source dirs it covers. */
+  private val CompactSourcesMarker = "_SOURCES"
 
   /** Signature-store compaction — the lifecycle pass the append-only
     * D10 store needs (reference parity: the weekly cleanup DAG,
