@@ -40,6 +40,7 @@ object GateProfile {
         "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sources.Indexed.configureSession(spark) // wide pushdown chunks for the store probes
     import spark.implicits._
 
     if (sys.env.get("GATE_MODE").contains("ladder")) {

@@ -198,10 +198,13 @@ object StreamBench {
           }.toDF()
           val (b, s) = operators.Incremental.signatures(
             seed, col("doc_id"), col("text"))
-          sources.Indexed.writeSmall(b,
-            s"$dir/store/bands/batch=${1000000 + k}", "bk")
-          sources.Indexed.writeSmall(s,
-            s"$dir/store/sets/batch=${1000000 + k}", "id", pageRows = 128)
+          // preseed chunks are 250k docs (~1M band rows) — setup, not
+          // a per-arrival path: the distributed write+sidecar shape
+          // beats single-task writeSmall here
+          sources.Indexed.write(b,
+            s"$dir/store/bands/batch=${1000000 + k}", "bk", 8)
+          sources.Indexed.write(s,
+            s"$dir/store/sets/batch=${1000000 + k}", "id", 8, pageRows = 128)
           written += n; k += 1
         }
         streaming.EventStream.nearDupStoreCompact(spark, s"$dir/store", 2000000L)

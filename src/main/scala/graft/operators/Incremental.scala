@@ -46,6 +46,18 @@ import graft.plans.ArrayExpressions
   */
 object Incremental {
 
+  /** Enforceable bound on the micro-batch contract: past this many
+    * batch BAND rows (≈ docs × k/bandRows — ~1M docs at the 8/2
+    * default) the gate's driver-side collects and broadcasts (batch
+    * band keys, candidate ids) stop being "micro" and `gate` FALLS
+    * BACK to the declarative `microBatch = false` shape for the rest
+    * of the call: no pruner collects, no broadcast pins — Catalyst/
+    * AQE plan the joins. Results are identical either way; only the
+    * plan shape changes. (The batch tables are still checkpointed by
+    * then — executor-side, MEMORY_AND_DISK, spillable — the bound
+    * exists to protect the DRIVER.) */
+  val MaxMicroBatchBandRows: Long = 4L << 20
+
   /** Signature tables for a doc set: bands (id, bi, bk) — one row per
     * band for the bucketed store layout — and sets (id, s) with the
     * sorted distinct xxhash64-shingle LONG array for exact
@@ -94,12 +106,16 @@ object Incremental {
     * minhash pipeline runs once, not once per downstream join.
     * `microBatch = false` opts OUT of all the pins for a
     * corpus-sized arrival, where broadcasting/checkpointing the
-    * "batch" would itself be the scale defect. */
+    * "batch" would itself be the scale defect — and a caller who
+    * passes a corpus-sized frame WITH `microBatch = true` is demoted
+    * to the same shape automatically once the batch band table
+    * exceeds `maxBandRows` (the contract is enforced, not assumed). */
   def gate(storeBands: DataFrame, storeSets: DataFrame, batch: DataFrame,
            id: Column, text: Column, n: Int = 3, k: Int = 8, bandRows: Int = 2,
            threshold: Double = 0.5, microBatch: Boolean = true,
            prunedBands: Option[Seq[Any] => Option[DataFrame]] = None,
-           prunedSets: Option[Seq[Any] => Option[DataFrame]] = None)
+           prunedSets: Option[Seq[Any] => Option[DataFrame]] = None,
+           maxBandRows: Long = MaxMicroBatchBandRows)
     : (DataFrame, DataFrame, DataFrame) = {
     val (bBands0, bSets0) = signatures(batch, id, text, n, k, bandRows)
     // micro-batch contract (the streaming sinks): the batch tables
@@ -113,7 +129,18 @@ object Incremental {
     val (bBands, bSets) =
       if (microBatch) (bBands0.localCheckpoint(true), bSets0.localCheckpoint(true))
       else (bBands0, bSets0)
-    def hint(df: DataFrame): DataFrame = if (microBatch) broadcast(df) else df
+    // the contract is ENFORCED, not documentary: counting the
+    // checkpointed band table is one trivial job, and an oversized
+    // "micro-batch" demotes to the declarative shape instead of
+    // collecting/broadcasting an unbounded batch onto the driver
+    val micro = microBatch && {
+      val nBand = bBands.count()
+      if (nBand > maxBandRows) System.err.println(
+        s"Incremental.gate: $nBand batch band rows > $maxBandRows — " +
+          "not a micro-batch; falling back to the declarative plan shape")
+      nBand <= maxBandRows
+    }
+    def hint(df: DataFrame): DataFrame = if (micro) broadcast(df) else df
 
     val inter = ArrayExpressions.sortedIntersectSize(col("sa"), col("sb"))
     val jac = round(inter.cast("double") /
@@ -130,11 +157,11 @@ object Incremental {
       // (possibly store-sized) right side down to candidate rows with
       // a scan, never a shuffle of the store
       val pruned =
-        if (microBatch) prunedRight.flatMap(f =>
+        if (micro) prunedRight.flatMap(f =>
           f(cand.select(col("oid")).distinct().collect().map(_.get(0)).toSeq))
         else None
       val reduced = pruned.map(_.select(col("id"), col("s"))).getOrElse {
-        if (microBatch) rightSets.join(
+        if (micro) rightSets.join(
           broadcast(cand.select(col("oid").as("id")).distinct()), Seq("id"), "left_semi")
         else rightSets
       }
@@ -149,7 +176,7 @@ object Incremental {
     // keys (batch-bounded — collected off the checkpointed batch
     // table) select a point-read of the store instead of a scan
     val effStoreBands =
-      if (microBatch)
+      if (micro)
         prunedBands.flatMap(f =>
             f(bBands.select(col("bk")).distinct().collect().map(_.get(0)).toSeq))
           .map(_.select(col("id"), col("bi"), col("bk")))
@@ -161,7 +188,7 @@ object Incremental {
         Seq("bi", "bk"))
       .select(col("cid"), col("oid")).distinct()
     val vsStore = verified(
-      if (microBatch) vsStoreCand.localCheckpoint(true) else vsStoreCand,
+      if (micro) vsStoreCand.localCheckpoint(true) else vsStoreCand,
       bSets, storeSets, prunedSets)
 
     // within-batch: keep-first by id (the C2 pair orientation) — all

@@ -138,8 +138,16 @@ object SimHash {
       require(!docs.isStreaming,
         "SimHash.nearDupPairs: cannot verify corpus size on a streaming input — " +
           "use combination banding (agree > 1) or pass allowQuadraticBand = true")
-      val nDocs = docs.queryExecution.optimizedPlan.stats.rowCount
-        .map(_.longValue).getOrElse(docs.count())
+      // trust the plan-time rowCount only when it is EXACT: with CBO
+      // enabled, FilterEstimation propagates post-filter selectivity
+      // ESTIMATES into rowCount, and an underestimate would silently
+      // admit the n² band this guard exists to refuse. Without CBO,
+      // rowCount is only populated where it is provably exact
+      // (LocalRelation, Range, limits, leaf metadata counts).
+      val exactPlanCount =
+        if (docs.sparkSession.sessionState.conf.cboEnabled) None
+        else docs.queryExecution.optimizedPlan.stats.rowCount.map(_.longValue)
+      val nDocs = exactPlanCount.getOrElse(docs.count())
       require(nDocs <= QuadraticBandMaxDocs,
         s"SimHash.nearDupPairs: corpus has $nDocs docs > $QuadraticBandMaxDocs — " +
           s"the agree = 1 single-chunk band is quadratic (~n^2*$chunks/2^${64 / chunks} " +

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.util.sketch.BloomFilter
 
-/** Key-indexed parquet layout (SURVEY E16): file-level min/max
+/** Key-indexed parquet layout (SURVEY E17): file-level min/max
   * data skipping + a membership bloom on plain parquet — the
   * Delta/Iceberg data-skipping design re-expressed as sidecars, built
   * for POINT-LOOKUP probes of a large store by a small key set (the
@@ -56,7 +56,8 @@ import org.apache.spark.util.sketch.BloomFilter
   * of parquet files (the `batch=N` append layout); each dir may or
   * may not carry a sidecar — unindexed dirs are read whole, so old
   * stores keep working and the probe degrades gracefully. Sidecar
-  * loads are cached by (path, sidecar mtime); the per-call cost
+  * loads are cached per dir (replaced on sidecar mtime change,
+  * evicted when the dir leaves the root listing); the per-call cost
   * against an unchanged store is one root listing.
   *
   * Scale: the per-probe cost is O(|keys|) bloom probes + O(hit
@@ -111,45 +112,76 @@ object Indexed {
     writeSidecar(df.sparkSession, dir, keyCol, fpp, pageRows)
   }
 
-  /** BATCH write for streaming appends: one sorted file + sidecar at
-    * the cost of TWO jobs total (the data write and one key collect —
-    * a streaming gate pays this per micro-batch, so the distributed
-    * stats/bloom jobs `writeSidecar` runs are the wrong shape here;
-    * measured +3 s/arrival of pure job-scheduling at 500-doc
-    * batches). The caller asserts batch-boundedness by choosing this
-    * entry point. */
+  /** BATCH write for streaming appends: sorted file(s) + sidecar at
+    * the cost of TWO jobs for a small batch (the data write and ONE
+    * read-back of the written key column — a streaming gate pays this
+    * per micro-batch, so the distributed stats/bloom jobs
+    * `writeSidecar` runs are the wrong shape here; measured
+    * +3 s/arrival of pure job-scheduling at 500-doc batches). The
+    * caller asserts batch-boundedness by choosing this entry point.
+    *
+    * Layout is ADAPTIVE on `nRows` (caller-known — e.g. a cheap
+    * `count()` of an already-checkpointed micro-batch table; -1 =
+    * unknown): up to `fileRows` rows write as ONE sorted file; bigger
+    * batches range-partition into ceil(nRows/fileRows) sorted files
+    * (capped at 32) so a 50k-doc arrival doesn't serialize its whole
+    * write through a single task (measured: the `coalesce(1)` write
+    * was the per-arrival serial floor of the r10 D10 sink at 50k-doc
+    * batches). File ranges are disjoint, so per-file [lo,hi]
+    * manifests stay as selective as the single-file form.
+    *
+    * The sidecar (per-file min/max + bloom) is always built from
+    * READING BACK the written files, never from re-evaluating `df`:
+    * a second evaluation of a non-deterministic frame would yield a
+    * bloom inconsistent with the written data, and bloom false
+    * negatives silently drop real matches downstream. */
   def writeSmall(df: DataFrame, dir: String, keyCol: String,
-                 pageRows: Int = DefaultPageRows, fpp: Double = 0.01): Unit = {
+                 pageRows: Int = DefaultPageRows, fpp: Double = 0.01,
+                 nRows: Long = -1L, fileRows: Int = 65536): Unit = {
     val spark = df.sparkSession
-    df.coalesce(1).sortWithinPartitions(col(keyCol))
+    val nFiles =
+      if (nRows <= fileRows) 1
+      else math.min(32L, (nRows + fileRows - 1) / fileRows).toInt
+    val clustered =
+      if (nFiles <= 1) df.coalesce(1)
+      else df.repartitionByRange(nFiles, col(keyCol))
+    clustered.sortWithinPartitions(col(keyCol))
       .write.mode(SaveMode.Overwrite)
       .option("parquet.page.row.count.limit", pageRows.toString)
       .parquet(dir)
     val dt = df.schema(keyCol).dataType
     if (!supported(dt)) return
-    val keys = df.select(col(keyCol)).collect().map(_.get(0)).filter(_ != null)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataFiles = fs.listStatus(new Path(dir)).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
         && !st.getPath.getName.startsWith("."))
-    if (keys.isEmpty || dataFiles.size != 1) {
-      // empty batch (a 0-row file matches nothing) or an unexpected
-      // layout: write a fileless/bloomless sidecar only when empty,
-      // else leave unindexed
-      if (keys.isEmpty && dataFiles.size <= 1)
-        serializeSidecar(fs, dir, dt, pageRows, Seq.empty,
-          BloomFilter.create(1, fpp))
+    if (dataFiles.isEmpty) {
+      // empty batch: a fileless sidecar (empty bloom) matches nothing
+      serializeSidecar(fs, dir, dt, pageRows, Seq.empty, BloomFilter.create(1, fpp))
       return
     }
-    val bloom = BloomFilter.create(math.max(keys.length, 1).toLong, fpp)
-    var lo: Any = keys(0); var hi: Any = keys(0)
-    keys.foreach { k =>
-      bloomPut(bloom, k)
-      if (leq(k, lo)) lo = k
-      if (leq(hi, k)) hi = k
+    // read back (file, key) from what was actually written — one job
+    // over batch-sized files, and the only evaluation the sidecar
+    // trusts (null keys go in no manifest/bloom: they match no probe)
+    val fk = spark.read.parquet(dir)
+      .select(input_file_name().as("__f"), col(keyCol).as("__k"))
+      .collect()
+    val bloom = BloomFilter.create(math.max(fk.length, 1).toLong, fpp)
+    val perFile = scala.collection.mutable.LinkedHashMap.empty[String, (Any, Any, Long)]
+    fk.foreach { r =>
+      val k = r.get(1)
+      if (k != null) {
+        bloomPut(bloom, k)
+        val f = r.getString(0).split('/').last
+        perFile.get(f) match {
+          case None => perFile.put(f, (k, k, 1L))
+          case Some((lo, hi, n)) => perFile.put(f,
+            (if (leq(k, lo)) k else lo, if (leq(hi, k)) k else hi, n + 1))
+        }
+      }
     }
     serializeSidecar(fs, dir, dt, pageRows,
-      Seq((dataFiles.head.getPath.getName, lo, hi, keys.length.toLong)), bloom)
+      perFile.iterator.map { case (f, (lo, hi, n)) => (f, lo, hi, n) }.toSeq, bloom)
   }
 
   /** Build + write the `_graft_idx` sidecar for an already-written
@@ -265,10 +297,16 @@ object Indexed {
                             bloom: Option[BloomFilter], rows: Long,
                             pageRows: Int)
 
-  /** (path, bloom-file mtime) → DirIndex. The cache never needs
-    * explicit invalidation: compaction DELETES dirs (stale keys just
-    * stop being requested) and rewrites land under new mtimes. */
-  private val cache = TrieMap.empty[(String, Long), DirIndex]
+  /** dir path → (sidecar mtime, DirIndex). One entry per LIVE dir:
+    * a rewrite under the same path replaces its entry (mtime check),
+    * and `load` drops entries whose dir vanished from the root
+    * listing — without that, a long-running stream compacting its
+    * store would pin every superseded dir's bloom (~10 bits/key) in
+    * driver memory forever. */
+  private val cache = TrieMap.empty[String, (Long, DirIndex)]
+
+  /** Test hook: the dirs currently cached (across all roots). */
+  private[graft] def cachedDirs: Set[String] = cache.keySet.toSet
 
   /** List the data subdirectories of a store root. Also accepts a
     * root that directly contains parquet files (treated as one dir). */
@@ -279,12 +317,24 @@ object Indexed {
     if (dirs.nonEmpty) dirs.map(_.getPath) else Seq(root)
   }
 
-  /** Load (with caching) every data dir's sidecar under `root`. */
+  /** Load (with caching) every data dir's sidecar under `root`;
+    * evicts cache entries for dirs compaction deleted and replaces
+    * entries whose sidecar was rewritten (mtime change). */
   def load(spark: SparkSession, root: String): Seq[DirIndex] = {
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) return Seq.empty
-    dataDirs(fs, rootPath).map { d =>
+    val rootPath0 = new Path(root)
+    val fs = rootPath0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath0)) return Seq.empty
+    val rootPath = fs.makeQualified(rootPath0)
+    val dirs = dataDirs(fs, rootPath)
+    // evict this root's entries that are no longer in the live
+    // listing (scoped to the root: other stores' entries stay)
+    val live = dirs.map(_.toString).toSet
+    cache.keys.foreach { k =>
+      if (!live.contains(k) &&
+          (k == rootPath.toString || new Path(k).getParent == rootPath))
+        cache.remove(k)
+    }
+    dirs.map { d =>
       val idxFile = new Path(new Path(d, IdxDir), IdxFile)
       val mtime =
         if (fs.exists(idxFile)) fs.getFileStatus(idxFile).getModificationTime
@@ -303,13 +353,18 @@ object Indexed {
           entries.map(st => (st.getPath.toString, null: Any, null: Any)).toArray,
           None, -1L, DefaultPageRows)
       }
-      if (mtime < 0) unindexed
-      else cache.getOrElseUpdate((d.toString, mtime),
-        parseSidecar(fs, d) match {
-          case Some((files, bloom, rows, pr)) =>
-            DirIndex(d.toString, indexed = true, files, Some(bloom), rows, pr)
-          case None => unindexed // unreadable sidecar: slower, never wrong
-        })
+      if (mtime < 0) { cache.remove(d.toString); unindexed }
+      else cache.get(d.toString) match {
+        case Some((m, di)) if m == mtime => di
+        case _ =>
+          val di = parseSidecar(fs, d) match {
+            case Some((files, bloom, rows, pr)) =>
+              DirIndex(d.toString, indexed = true, files, Some(bloom), rows, pr)
+            case None => unindexed // unreadable sidecar: slower, never wrong
+          }
+          cache.put(d.toString, (mtime, di))
+          di
+      }
     }
   }
 
@@ -320,11 +375,27 @@ object Indexed {
     case other => b.mightContain(other)
   }
 
+  /** Key ordering for manifest range checks — MUST match the
+    * ordering Spark's min/max wrote the manifests under. For strings
+    * that is UTF8String's unsigned UTF-8 BYTE order, which disagrees
+    * with java.lang.String's UTF-16 code-unit order for supplementary
+    * characters vs U+E000–U+FFFF: comparing with String.<= here could
+    * wrongly prune a file that holds a probe key (silent row loss)
+    * for such keys. */
   @inline private def leq(a: Any, b: Any): Boolean = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long) => x <= y
     case (x: java.lang.Integer, y: java.lang.Integer) => x <= y
-    case (x: String, y: String) => x <= y
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) <= 0
     case _ => true // unknown pairing: keep the file (never unsound)
+  }
+
+  /** Total order consistent with `leq` — used to sort probe keys so
+    * pushdown chunks span contiguous key ranges. */
+  private val keyOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int =
+      if (leq(a, b)) { if (leq(b, a)) 0 else -1 } else 1
   }
 
   /** The pruned probe: rows of `root` whose `keyName` ∈ `keys`,
@@ -334,10 +405,10 @@ object Indexed {
     * plan, which is always correct. Returns Some(empty) when the
     * blooms rule every key out — the probe then costs NOTHING.
     *
-    * Sets `spark.sql.parquet.pushdown.inFilterThreshold` to
-    * `keyCap` on the session (once; idempotent): the surviving-key
-    * filter must push as OR-of-Eq for per-value granule pruning —
-    * see the object scaladoc. */
+    * Leaves session conf untouched: the surviving-key filter chunks
+    * to the session's current In-pushdown threshold (per-value
+    * granule pruning either way); call `configureSession` once at
+    * setup for the preferred wider chunks. */
   def prunedRead(spark: SparkSession, root: String, keyName: String,
                  keys: Seq[Any], keyCap: Int = DefaultKeyCap): Option[DataFrame] = {
     val dirs = load(spark, root)
@@ -376,7 +447,7 @@ object Indexed {
     if (alive.size > keyCap || est * 2 >= total) return None
     // file selection: keep a file iff some alive key ∈ [lo, hi]
     // (merge over the lo-sorted manifest); unindexed dirs keep all
-    val sortedKeys = alive.sortBy(_.toString)
+    val sortedKeys = alive.sorted(keyOrdering)
     val files = dirs.flatMap { d =>
       if (!d.indexed) d.files.map(_._1)
       else d.files.collect {
@@ -384,13 +455,41 @@ object Indexed {
       }
     }
     if (files.isEmpty) return emptyOf
-    // OR-of-Eq pushdown needs the threshold ABOVE the chunk size
+    // per-value pushdown WITHOUT touching session conf: parquet
+    // expands an In to per-value Eq granule checks only when its
+    // value count is at or below the SESSION'S
+    // `spark.sql.parquet.pushdown.inFilterThreshold` — so chunk the
+    // sorted keys to min(ChunkSize, threshold) and OR the chunks as a
+    // BALANCED tree (parquet's predicate visitor recurses per node;
+    // a left-deep chain of thousands overflows it). `configureSession`
+    // raises the threshold to the preferred 512-key chunks once, at
+    // setup, where the caller can see it; an un-configured session
+    // still prunes per-value, just through more/smaller chunks (the
+    // residual Catalyst filter stays cheap either way: each chunk
+    // optimizes to an InSet hash probe).
+    val thr = spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt
+    val chunk = math.max(1, math.min(ChunkSize, thr))
+    def orTree(cs: IndexedSeq[Column]): Column =
+      if (cs.size == 1) cs.head
+      else orTree(cs.grouped(2)
+        .map(g => if (g.size == 2) g(0) || g(1) else g(0)).toIndexedSeq)
+    val pred = orTree(sortedKeys.grouped(chunk)
+      .map(ch => col(keyName).isInCollection(ch)).toIndexedSeq)
+    Some(spark.read.parquet(files: _*).filter(pred))
+  }
+
+  /** Session-level setup (explicit and documented — `prunedRead`
+    * itself never mutates session conf): raise the parquet In-pushdown
+    * threshold so probe predicates chunk at the preferred 512 keys
+    * instead of the 10-key default. Affects how ANY In of 11–1024
+    * values pushes down on this session (per-value Eq checks instead
+    * of a set-min/max range check — strictly more pruning, slightly
+    * larger pushed predicates), which is why it is a visible setup
+    * call made once by the streaming sinks and benches, not a hidden
+    * side effect of every probe. */
+  def configureSession(spark: SparkSession): Unit =
     if (spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt
         <= ChunkSize)
       spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
         (2 * ChunkSize).toString)
-    val pred = sortedKeys.grouped(ChunkSize)
-      .map(ch => col(keyName).isInCollection(ch)).reduce(_ || _)
-    Some(spark.read.parquet(files: _*).filter(pred))
-  }
 }

@@ -533,7 +533,11 @@ object EventStream {
                       storePath: String, outPath: String, partCol: String,
                       checkpoint: String, n: Int = 3, k: Int = 8,
                       bandRows: Int = 2, threshold: Double = 0.5)
-    : org.apache.spark.sql.streaming.StreamingQuery =
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    // session-level setup for the store probes (documented conf
+    // raise, made once and visibly at sink construction — see
+    // Indexed.configureSession)
+    graft.sources.Indexed.configureSession(docs.sparkSession)
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
@@ -568,6 +572,7 @@ object EventStream {
         }
       }
       .start()
+  }
 
   /** The D10 store's point-lookup pruners (Indexed sidecars): given
     * the arriving batch's band keys / candidate ids, a pruned read of
@@ -592,14 +597,20 @@ object EventStream {
 
   private def writeSignatures(bBands: DataFrame, bSets: DataFrame,
                               storePath: String, batchId: Long): Unit = {
-    // writeSmall: one sorted file + one key-collect per table (the
+    // writeSmall: sorted file(s) + one read-back per table (the
     // batch tables are localCheckpointed and micro-batch-sized) —
     // the distributed sidecar jobs cost ~3 s/arrival of scheduling
-    // at small batches, which would dominate the gate's floor
+    // at small batches, which would dominate the gate's floor. The
+    // counts (trivial jobs on checkpointed frames) let writeSmall go
+    // parallel for LARGE arrivals instead of serializing the write
+    // through one task; set rows carry whole shingle arrays, so
+    // their per-file row budget is much smaller than the bands'.
     graft.sources.Indexed.writeSmall(bBands,
-      s"$storePath/bands/batch=$batchId", "bk", pageRows = BandPageRows)
+      s"$storePath/bands/batch=$batchId", "bk", pageRows = BandPageRows,
+      nRows = bBands.count(), fileRows = 65536)
     graft.sources.Indexed.writeSmall(bSets,
-      s"$storePath/sets/batch=$batchId", "id", pageRows = SetPageRows)
+      s"$storePath/sets/batch=$batchId", "id", pageRows = SetPageRows,
+      nRows = bSets.count(), fileRows = 8192)
   }
 
   /** The D10 signature store as (bands, sets) — empty frames with the
@@ -691,6 +702,9 @@ object EventStream {
     // downstream stages score the SCRUBBED text — the pipeline
     // contract: PII never reaches a model or the corpus
     val scrubbedText = col("scrubbed")
+    // session-level setup for the D10 store probes (see
+    // Indexed.configureSession — visible, once, at construction)
+    if (cfg.nearDup) graft.sources.Indexed.configureSession(docs.sparkSession)
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)

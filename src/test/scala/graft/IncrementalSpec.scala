@@ -174,6 +174,31 @@ class IncrementalSpec extends SparkSpec {
     assert(bs.collect().toSet == ws.collect().toSet)
   }
 
+  test("micro-batch contract enforced: oversized batches demote to the declarative shape") {
+    // a caller who passes a corpus-sized frame with microBatch = true
+    // must not trigger the driver-side collects/broadcasts: the gate
+    // demotes itself once the batch band table exceeds maxBandRows.
+    // Results are identical; the pruners (driver point-read path)
+    // must never be invoked.
+    val all = corpus.sortBy(_._1)
+    val want = globalKept(all)
+    val boom: Option[Seq[Any] => Option[DataFrame]] =
+      Some(_ => fail("pruner invoked for an over-bound batch — the size guard is dead"))
+    val (eb, es) = Incremental.signatures(df(Nil), col("doc_id"), col("text"))
+    val (surv, _, _) = Incremental.gate(eb, es, df(all), col("doc_id"), col("text"),
+      threshold = T, prunedBands = boom, prunedSets = boom, maxBandRows = 10)
+    assert(surv.as[Long].collect().toSet == want,
+      "demoted gate must still compute the keep-first survivors")
+    // under the bound, the micro path (and its pruners) stays active
+    var pruned = 0
+    val count: Option[Seq[Any] => Option[DataFrame]] =
+      Some { _ => pruned += 1; None }
+    Incremental.gate(eb, es, df(all.take(3)), col("doc_id"), col("text"),
+      threshold = T, prunedBands = count, prunedSets = count)
+      ._1.as[Long].collect()
+    assert(pruned > 0, "in-bound batch must keep the micro-batch pruner path")
+  }
+
   test("gate never shuffles the store: per-arrival shuffle flat as the store doubles") {
     // The store-scan-only plan shape is pinned by explicit hints, not
     // by Catalyst's size estimates — so it must hold even with

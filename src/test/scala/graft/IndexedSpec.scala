@@ -137,6 +137,87 @@ class IndexedSpec extends SparkSpec {
     assert(Indexed.prunedRead(spark, nested, "bk", Seq("x")).isEmpty)
   }
 
+  test("cache evicts superseded dirs: compaction deletes stop pinning blooms") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-evict").toString
+    Indexed.write(mkDF(0, 5000).coalesce(1), s"$root/batch=0", "bk", 0)
+    Indexed.write(mkDF(5000, 5000).coalesce(1), s"$root/batch=1", "bk", 0)
+    Indexed.load(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toString
+    assert(Indexed.cachedDirs.count(_.startsWith(q)) == 2)
+    // compaction shape: batch=1 consolidated away, batch=0 survives
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/batch=1"), true)
+    Indexed.load(spark, root)
+    val cached = Indexed.cachedDirs.filter(_.startsWith(q))
+    assert(cached.size == 1 && cached.head.endsWith("batch=0"),
+      s"stale entry not evicted: $cached")
+    // other roots' entries are untouched by this root's eviction
+    val other = java.nio.file.Files.createTempDirectory("graft-idx-evict2").toString
+    Indexed.write(mkDF(0, 2000).coalesce(1), s"$other/batch=0", "bk", 0)
+    Indexed.load(spark, other)
+    Indexed.load(spark, root)
+    val qo = fs.makeQualified(new org.apache.hadoop.fs.Path(other)).toString
+    assert(Indexed.cachedDirs.count(_.startsWith(qo)) == 1)
+  }
+
+  test("prunedRead leaves session conf untouched; low thresholds still prune per-value") {
+    val conf = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val saved = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "10") // the un-configured default
+      val root = java.nio.file.Files.createTempDirectory("graft-idx-conf").toString
+      Indexed.write(mkDF(0, 200000), s"$root/batch=-1", "bk", 8)
+      val keys: Seq[Any] = keysOf(mkDF(0, 200000), 24) // > one 10-key chunk
+      val got = Indexed.prunedRead(spark, root, "bk", keys).get
+      assert(got.count() == keys.size)
+      assert(spark.conf.get(conf) == "10",
+        "prunedRead must not mutate session conf")
+      val (rows, _) = scanStats(got)
+      assert(rows < 200000 / 2,
+        s"10-key chunks must still push per-value granule checks (got $rows rows)")
+      assert(spark.conf.get(conf) == "10")
+    } finally spark.conf.set(conf, saved)
+  }
+
+  test("string manifest ranges compare as UTF-8 bytes, not UTF-16 code units") {
+    // U+FFFD sorts BELOW U+1F600 in UTF-8 bytes (EF.. < F0..) but
+    // ABOVE it in UTF-16 code units (FFFD > D83D): a file whose
+    // manifest max is the emoji key must NOT be range-pruned for the
+    // U+FFFD probe — with String.<= ordering the row silently vanished
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-utf8").toString
+    Indexed.write(mkDF(0, 5000).coalesce(1), s"$root/batch=0", "bk", 0)
+    // written via write() so the manifest min/max comes from SPARK's
+    // aggregation (UTF8String order) \u2014 the ordering leq must match
+    val special = Seq(("aa", 1L), ("\uFFFDz", 2L), ("\uD83D\uDE00z", 3L))
+      .toDF("bk", "payload")
+    Indexed.write(special.coalesce(1), s"$root/batch=1", "bk", 0)
+    val got = Indexed.prunedRead(spark, root, "bk", Seq("\uFFFDz"))
+    assert(got.isDefined, "indexed store must take the pruned path")
+    assert(got.get.select("bk", "payload").as[(String, Long)].collect().toSeq ==
+      Seq(("\uFFFDz", 2L)))
+  }
+
+  test("writeSmall nRows hint goes parallel: several sorted files, parity, pruning") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-par").toString
+    Indexed.writeSmall(mkDF(0, 100000), s"$root/batch=0", "bk",
+      nRows = 100000L, fileRows = 16384)
+    val nFiles = new java.io.File(s"$root/batch=0").listFiles
+      .count(f => f.getName.startsWith("part-"))
+    assert(nFiles > 1, s"100k rows at 16384/file must write several files (got $nFiles)")
+    val keys: Seq[Any] = keysOf(mkDF(0, 100000), 2)
+    val got = Indexed.prunedRead(spark, root, "bk", keys).get
+    assert(got.count() == 2)
+    val want = spark.read.parquet(s"$root/batch=0")
+      .filter(col("bk").isInCollection(keys))
+      .select("bk", "payload").as[(String, Long)].collect().toSet
+    assert(got.select("bk", "payload").as[(String, Long)].collect().toSet == want)
+    val (rows, filesTouched) = scanStats(got)
+    assert(filesTouched < nFiles,
+      s"2 keys must not touch all $nFiles range-disjoint files")
+    assert(rows < 50000, s"page pruning must hold on the parallel layout (got $rows)")
+  }
+
   test("sidecar replay-safety: rewrite refreshes the cache (mtime-keyed)") {
     val root = java.nio.file.Files.createTempDirectory("graft-idx-replay").toString
     Indexed.write(mkDF(0, 20000).coalesce(1), s"$root/batch=0", "bk", 0)
