@@ -230,7 +230,12 @@ object StreamBench {
           input.addData(mkBatch("growth", k, growthSize): _*)
           val t0 = System.nanoTime()
           q.processAllAvailable()
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          // per-batch trace: the medians hide the compaction sawtooth
+          // (arrival cost tracks UNCOMPACTED DIR COUNT, not store
+          // size — the curve is the evidence)
+          System.err.println(f"[streambench] d10 growth batch $k%3d: $sec%.3f s")
+          sec
         }
         val head = median(secs.take(10)); val tail = median(secs.takeRight(10))
         System.err.println(f"[streambench] d10 growth n=$growthBatches size=$growthSize " +
@@ -250,7 +255,8 @@ object StreamBench {
       val head = median(secs.take(10)); val tail = median(secs.takeRight(10))
       s""","d10_growth":{"n":$growthBatches,"size":$growthSize,"compact_every":$compactEvery,"preseed":$preseed,""" +
         f""""first10_median_sec":$head%.3f,"last10_median_sec":$tail%.3f,""" +
-        f""""ratio":${tail / head}%.2f}"""
+        f""""ratio":${tail / head}%.2f,""" +
+        s""""secs":[${secs.map(s => f"$s%.3f").mkString(",")}]}"""
     }.getOrElse("")
     val line = s"""{"gates":{$json}$growthJson,"n_batches":$nBatches,"sf":"$sfDir","cpus":"$cpus"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

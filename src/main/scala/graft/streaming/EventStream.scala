@@ -562,9 +562,14 @@ object EventStream {
               storeBands, storeSets, b, col(idName), text, n, k, bandRows, threshold,
               prunedBands = pb, prunedSets = ps)
           }
+          // materialize the survivor ID list once (batch-sized longs):
+          // without this pin the gate's verify joins re-run for BOTH
+          // the emptiness probe and the corpus write — measured ~2 s
+          // of duplicated work per 50k-doc arrival
+          val survIds = st("surv ids") { surv.localCheckpoint(true) }
           val survDocs = b.join(
-            surv.withColumnRenamed("id", idName), Seq(idName), "left_semi")
-          val nonEmpty = st("isEmpty") { !survDocs.isEmpty }
+            survIds.withColumnRenamed("id", idName), Seq(idName), "left_semi")
+          val nonEmpty = st("isEmpty") { !survIds.isEmpty }
           if (nonEmpty)
             st("corpus write") { appendBatchWrite(survDocs, batchId, outPath, partCol) }
           // AFTER the survivor merge: see the replay analysis above
@@ -710,6 +715,15 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // GRAFT_SINK_PROFILE=1: per-section stderr timers (dev only)
+          val prof = sys.env.get("GRAFT_SINK_PROFILE").contains("1")
+          def st[T](name: String)(body: => T): T = {
+            val t0 = System.nanoTime()
+            val r = body
+            if (prof) System.err.println(
+              f"[d16 sink b=$batchId] $name%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+            r
+          }
           val spark = batch.sparkSession
           // quality+scrub applies INSIDE the body, downstream of the
           // spread — the whole per-row ladder parallelizes even when
@@ -718,8 +732,9 @@ object EventStream {
           // otherwise substitute the scrub-regex alias into EVERY
           // kernel filter, re-running the scrub once per stage
           // (measured 8.98 → 3.87 s for the 50k-doc map ladder)
-          var surv = qualityGate(spread(batch), text, cfg.minQuality)
-            .localCheckpoint(true)
+          var surv = st("quality+scrub") {
+            qualityGate(spread(batch), text, cfg.minQuality)
+              .localCheckpoint(true) }
           // the three model verdicts are map-side kernel columns, so
           // the whole score ladder is ONE conjunctive filter over one
           // pass of the batch — no per-stage score/semi-join shuffles.
@@ -750,21 +765,25 @@ object EventStream {
               Seq(idName), "left_anti") }
           // pin the survivor set once: the near-dup gate and the
           // two writes below each run actions over it
-          val pinned = surv.localCheckpoint(true)
+          val pinned = st("score ladder") { surv.localCheckpoint(true) }
           if (cfg.nearDup) {
             val (storeBands, storeSets) =
               nearDupStore(spark, storePath, pinned, idName, scrubbedText)
             val (pb, ps) = storePruners(spark, storePath)
-            val (ids, bBands, bSets) = graft.operators.Incremental.gate(
-              storeBands, storeSets, pinned, col(idName), scrubbedText,
-              prunedBands = pb, prunedSets = ps)
+            val (ids0, bBands, bSets) = st("gate construct") {
+              graft.operators.Incremental.gate(
+                storeBands, storeSets, pinned, col(idName), scrubbedText,
+                prunedBands = pb, prunedSets = ps) }
+            // pin the survivor ids (batch-sized longs) so the gate's
+            // verify joins run once, not once per downstream action
+            val ids = st("surv ids") { ids0.localCheckpoint(true) }
             val survDocs = pinned.join(
               ids.withColumnRenamed("id", idName), Seq(idName), "left_semi")
-            if (!survDocs.isEmpty)
-              appendBatchWrite(survDocs, batchId, outPath, partCol)
+            if (st("isEmpty") { !ids.isEmpty })
+              st("corpus write") { appendBatchWrite(survDocs, batchId, outPath, partCol) }
             // signatures of ALL score-gated docs (not just near-dup
             // survivors), AFTER the corpus write — D10's contract
-            writeSignatures(bBands, bSets, storePath, batchId)
+            st("sig writes") { writeSignatures(bBands, bSets, storePath, batchId) }
           } else if (!pinned.isEmpty)
             appendBatchWrite(pinned, batchId, outPath, partCol)
         }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 import org.apache.spark.sql.functions._
 import graft.sources.Indexed
 
-/** E16 key-indexed parquet layout: prunedRead must be bit-identical
+/** E17 key-indexed parquet layout: prunedRead must be bit-identical
   * to read-everything+filter (the bloom has no false negatives and
   * manifest/page pruning only removes granules that cannot hold a
   * probe key), must actually SKIP (scan-node metrics), and must
