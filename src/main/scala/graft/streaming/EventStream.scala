@@ -307,6 +307,16 @@ object EventStream {
     if (batch.rdd.getNumPartitions < par) batch.repartition(par) else batch
   }
 
+  /** The column's plain name when it is a bare reference to one of
+    * `df`'s columns (`col("text")` prints as just "text"; computed
+    * expressions print as their SQL — `lower(text)` — and match no
+    * column), None otherwise — used by the D16 sink to drop the raw
+    * text column once `scrubbed` exists. */
+  private def plainColName(c: Column, df: DataFrame): Option[String] = {
+    val s = c.toString
+    if (df.columns.contains(s)) Some(s) else None
+  }
+
   def qualityGate(docs: DataFrame, text: Column, minScore: Double = 0.0): DataFrame =
     graft.operators.Quality.scrubbed(graft.operators.Quality.scored(docs, text), text)
       .filter(col("quality_score") >= minScore)
@@ -682,7 +692,9 @@ object EventStream {
     * Semantics are EXACTLY the standalone gates', composed: D7
     * quality+scrub runs FIRST, inside the batch body just after the
     * parallelism spread (so every later stage and the landed corpus
-    * see the scrubbed text and carry the quality columns), then the
+    * see the scrubbed text and carry the quality columns — the RAW
+    * text column is dropped right there, so unscrubbed PII reaches
+    * neither a model nor the corpus), then the
     * LM, classifier, and DSIR verdicts (map-side kernel columns —
     * the three gates fold into ONE filter pass), the D9 anti-join
     * against the eval grams, and the D10 near-dup gate against the
@@ -733,8 +745,15 @@ object EventStream {
           // kernel filter, re-running the scrub once per stage
           // (measured 8.98 → 3.87 s for the 50k-doc map ladder)
           var surv = st("quality+scrub") {
-            qualityGate(spread(batch), text, cfg.minQuality)
-              .localCheckpoint(true) }
+            val gated = qualityGate(spread(batch), text, cfg.minQuality)
+            // the pipeline contract: PII never reaches a model OR the
+            // corpus — once `scrubbed` exists, the RAW text column is
+            // dropped (when `text` is a plain column; an expression
+            // input leaves nothing droppable). Also roughly halves
+            // the bytes this checkpoint and the landed corpus carry.
+            val noRaw = plainColName(text, batch).filter(_ != "scrubbed")
+              .map(gated.drop).getOrElse(gated)
+            noRaw.localCheckpoint(true) }
           // the three model verdicts are map-side kernel columns, so
           // the whole score ladder is ONE conjunctive filter over one
           // pass of the batch — no per-stage score/semi-join shuffles.

@@ -575,9 +575,12 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // 8 matches STORED 1 (cross-arrival) and drops; 9 lands
       assert(landed() == Set(1L, 9L))
-      // the corpus carries the D7 outputs: scrubbed text + quality
+      // the corpus carries the D7 outputs: scrubbed text + quality —
+      // and NOT the raw text column (the PII-never-lands contract)
       val cols = spark.read.parquet(dir + "/corpus").columns.toSet
       assert(cols.contains("scrubbed") && cols.contains("quality_score"))
+      assert(!cols.contains("text"),
+        "raw (unscrubbed) text must not reach the landed corpus")
       // equals the batch rules composed on the same input: per-doc
       // score gates are pure, so sequential == intersection, then
       // global keep-first near-dup over the score-clean set
