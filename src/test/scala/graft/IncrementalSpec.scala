@@ -293,4 +293,39 @@ class IncrementalSpec extends SparkSpec {
     assert(replay.as[Long].collect().isEmpty,
       "replayed batch must fully self-match against the compacted store")
   }
+
+  test("gate over the sinks' writeSmall MULTI-FILE layout is bit-identical too") {
+    // the streaming sinks append via writeSmall, which past the nRows
+    // hint range-partitions each batch dir into several sorted files;
+    // the gate + pruners must see exactly the same survivors there
+    import graft.sources.Indexed
+    val all = corpus.sortBy(_._1)
+    val want = globalKept(all)
+    val store = java.nio.file.Files.createTempDirectory("graft-gate-ws").toString
+    val pb: Option[Seq[Any] => Option[DataFrame]] =
+      Some(keys => Indexed.prunedRead(spark, s"$store/bands", "bk", keys))
+    val ps: Option[Seq[Any] => Option[DataFrame]] =
+      Some(keys => Indexed.prunedRead(spark, s"$store/sets", "id", keys))
+    var kept = Set.empty[Long]
+    for ((b, i) <- all.grouped(6).zipWithIndex) {
+      val haveStore = new java.io.File(s"$store/bands").exists()
+      val (storeBands, storeSets) =
+        if (haveStore) (spark.read.parquet(s"$store/bands"),
+          spark.read.parquet(s"$store/sets"))
+        else Incremental.signatures(df(Nil), col("doc_id"), col("text"))
+      val (surv, bb, bs) = Incremental.gate(storeBands, storeSets, df(b),
+        col("doc_id"), col("text"), threshold = T,
+        prunedBands = pb, prunedSets = ps)
+      kept ++= surv.as[Long].collect()
+      // tiny fileRows forces the parallel multi-file path per dir
+      Indexed.writeSmall(bb, s"$store/bands/batch=$i", "bk",
+        nRows = bb.count(), fileRows = 8)
+      Indexed.writeSmall(bs, s"$store/sets/batch=$i", "id",
+        nRows = bs.count(), fileRows = 4)
+    }
+    val nFiles = new java.io.File(s"$store/bands/batch=0").listFiles
+      .count(_.getName.startsWith("part-"))
+    assert(nFiles > 1, s"fixture must exercise the multi-file layout (got $nFiles)")
+    assert(kept == want, s"writeSmall-layout gate diverged: got $kept want $want")
+  }
 }
