@@ -242,6 +242,54 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("Indexed.prunedRead ≡ scan+filter under adversarial keys and random layouts") {
+    // E17 parity as a property: hostile string keys (supplementary
+    // chars above U+FFFF, U+E000-U+FFFF, empties, shared prefixes,
+    // duplicates) written through BOTH write paths (write() with a
+    // range shuffle, writeSmall() single- and multi-file), probed
+    // with present + absent keys — the probe must return exactly the
+    // scan+filter rows every time. Exercises the UTF-8 manifest
+    // ordering, the chunked pushdown at the default In threshold,
+    // and the bloom's no-false-negative contract.
+    import graft.sources.Indexed
+    val keyG: Gen[String] = Gen.frequency(
+      5 -> Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString),
+      2 -> Gen.listOfN(3, Gen.oneOf("�", "", "😀", "¬", "ß"))
+        .map(_.mkString("k", "", "")),
+      1 -> Gen.const(""),
+      1 -> Gen.listOfN(2, Gen.alphaChar).map("pfx-" + _.mkString))
+    for (trial <- 0 until 3) {
+      // small pages + a few thousand rows keep the probe on the right
+      // side of the cost gate (est = alive × pageRows per dir)
+      val keys = samples(keyG, 6000).distinct
+      val rows = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      val root = java.nio.file.Files.createTempDirectory(s"graft-idx-prop$trial").toString
+      val (d0, d1) = rows.splitAt(rows.length / 2)
+      val df0 = d0.toDF("bk", "payload"); val df1 = d1.toDF("bk", "payload")
+      if (trial % 2 == 0) {
+        Indexed.write(df0.coalesce(2), s"$root/batch=0", "bk", 3, pageRows = 8)
+        Indexed.writeSmall(df1, s"$root/batch=1", "bk", pageRows = 8,
+          nRows = d1.length.toLong, fileRows = math.max(1, d1.length / 4))
+      } else {
+        Indexed.writeSmall(df0, s"$root/batch=0", "bk", pageRows = 8)
+        Indexed.write(df1.coalesce(1), s"$root/batch=1", "bk", 0, pageRows = 8)
+      }
+      val present = samples(Gen.oneOf(keys), 60).distinct
+      val absent = (0 until 40).map(i => s"�missing-$trial-$i")
+      val probe: Seq[Any] = present ++ absent
+      val got = Indexed.prunedRead(spark, root, "bk", probe)
+      assert(got.isDefined, s"trial $trial must take the pruned path")
+      val want = spark.read.parquet(root)
+        .filter(col("bk").isInCollection(probe))
+        .select("bk", "payload").as[(String, Long)].collect().toSet
+      val gotSet = got.get.select("bk", "payload").as[(String, Long)].collect().toSet
+      assert(gotSet == want,
+        s"trial $trial: missing=${(want -- gotSet).take(5)} extra=${(gotSet -- want).take(5)}")
+      assert(want.map(_._1) == present.filter(keys.contains).toSet,
+        s"trial $trial fixture: every present key must match")
+    }
+  }
+
   test("sortedIntersectSize on long arrays equals set intersection size") {
     // the near-dup verifiers pass sorted xxhash64 sets — include
     // negative longs (xxhash64 spans the full range) and both the
