@@ -72,9 +72,9 @@ object Components {
     }
     // GRAFT_CC_FORCE_DISTRIBUTED=1: dev knob for measuring the
     // distributed iteration on graphs the driver path would absorb
-    val effLimit =
-      if (sys.env.contains("GRAFT_CC_FORCE_DISTRIBUTED")) -1L else driverLimit
-    if (integralId && sym.count() <= effLimit)
+    // (checked BEFORE the count so forcing skips that job entirely)
+    val forced = sys.env.contains("GRAFT_CC_FORCE_DISTRIBUTED")
+    if (!forced && integralId && sym.count() <= driverLimit)
       return smallGraph(nodes, id, sym, idType)
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     val tStart = System.nanoTime()

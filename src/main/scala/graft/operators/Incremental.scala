@@ -58,6 +58,16 @@ object Incremental {
     * exists to protect the DRIVER.) */
   val MaxMicroBatchBandRows: Long = 4L << 20
 
+  /** Separate (tighter) bound for the PRUNER path: its driver-side
+    * key collects (distinct band keys ≈ band rows; candidate ids)
+    * are useful only while `Indexed.prunedRead` can plausibly accept
+    * the probe, and a multi-million-key collect would hurt the
+    * driver long before the demotion bound trips. Above this many
+    * band rows the gate keeps the micro-batch broadcast pins but
+    * skips the pruners — the broadcast semi-join store path is the
+    * fallback, identical results. 512k keys ≈ ~30 MB collected. */
+  val MaxPrunerBandRows: Long = 1L << 19
+
   /** Signature tables for a doc set: bands (id, bi, bk) — one row per
     * band for the bucketed store layout — and sets (id, s) with the
     * sorted distinct xxhash64-shingle LONG array for exact
@@ -133,13 +143,19 @@ object Incremental {
     // checkpointed band table is one trivial job, and an oversized
     // "micro-batch" demotes to the declarative shape instead of
     // collecting/broadcasting an unbounded batch onto the driver
+    val nBand = if (microBatch) bBands.count() else 0L
     val micro = microBatch && {
-      val nBand = bBands.count()
       if (nBand > maxBandRows) System.err.println(
         s"Incremental.gate: $nBand batch band rows > $maxBandRows — " +
           "not a micro-batch; falling back to the declarative plan shape")
       nBand <= maxBandRows
     }
+    // the pruner point-read path pays driver-side key collects — cap
+    // them at a depth where prunedRead can still plausibly win (its
+    // own alive-key cap is far smaller); past it the broadcast
+    // semi-join store path below is the same answer without the
+    // collect
+    val usePruners = micro && nBand <= MaxPrunerBandRows
     def hint(df: DataFrame): DataFrame = if (micro) broadcast(df) else df
 
     val inter = ArrayExpressions.sortedIntersectSize(col("sa"), col("sb"))
@@ -157,7 +173,7 @@ object Incremental {
       // (possibly store-sized) right side down to candidate rows with
       // a scan, never a shuffle of the store
       val pruned =
-        if (micro) prunedRight.flatMap(f =>
+        if (usePruners) prunedRight.flatMap(f =>
           f(cand.select(col("oid")).distinct().collect().map(_.get(0)).toSeq))
         else None
       val reduced = pruned.map(_.select(col("id"), col("s"))).getOrElse {
@@ -176,7 +192,7 @@ object Incremental {
     // keys (batch-bounded — collected off the checkpointed batch
     // table) select a point-read of the store instead of a scan
     val effStoreBands =
-      if (micro)
+      if (usePruners)
         prunedBands.flatMap(f =>
             f(bBands.select(col("bk")).distinct().collect().map(_.get(0)).toSeq))
           .map(_.select(col("id"), col("bi"), col("bk")))

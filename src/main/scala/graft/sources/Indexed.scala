@@ -162,9 +162,13 @@ object Indexed {
     }
     // read back (file, key) from what was actually written — one job
     // over batch-sized files, and the only evaluation the sidecar
-    // trusts (null keys go in no manifest/bloom: they match no probe)
+    // trusts (null keys go in no manifest/bloom: they match no
+    // probe). The path trims to its basename EXECUTOR-side: a full
+    // ~130-char URI per collected row would 5× the driver transfer
+    // for no information the manifest keeps.
     val fk = spark.read.parquet(dir)
-      .select(input_file_name().as("__f"), col(keyCol).as("__k"))
+      .select(substring_index(input_file_name(), "/", -1).as("__f"),
+        col(keyCol).as("__k"))
       .collect()
     val bloom = BloomFilter.create(math.max(fk.length, 1).toLong, fpp)
     val perFile = scala.collection.mutable.LinkedHashMap.empty[String, (Any, Any, Long)]
@@ -172,7 +176,7 @@ object Indexed {
       val k = r.get(1)
       if (k != null) {
         bloomPut(bloom, k)
-        val f = r.getString(0).split('/').last
+        val f = r.getString(0)
         perFile.get(f) match {
           case None => perFile.put(f, (k, k, 1L))
           case Some((lo, hi, n)) => perFile.put(f,
@@ -323,17 +327,19 @@ object Indexed {
   def load(spark: SparkSession, root: String): Seq[DirIndex] = {
     val rootPath0 = new Path(root)
     val fs = rootPath0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath0)) return Seq.empty
     val rootPath = fs.makeQualified(rootPath0)
-    val dirs = dataDirs(fs, rootPath)
     // evict this root's entries that are no longer in the live
-    // listing (scoped to the root: other stores' entries stay)
-    val live = dirs.map(_.toString).toSet
-    cache.keys.foreach { k =>
+    // listing — including the whole-root-deleted case, or its blooms
+    // would stay pinned for JVM life (scoped: other stores' entries
+    // stay)
+    def evict(live: Set[String]): Unit = cache.keys.foreach { k =>
       if (!live.contains(k) &&
           (k == rootPath.toString || new Path(k).getParent == rootPath))
         cache.remove(k)
     }
+    if (!fs.exists(rootPath0)) { evict(Set.empty); return Seq.empty }
+    val dirs = dataDirs(fs, rootPath)
+    evict(dirs.map(_.toString).toSet)
     dirs.map { d =>
       val idxFile = new Path(new Path(d, IdxDir), IdxFile)
       val mtime =
@@ -391,11 +397,22 @@ object Indexed {
     case _ => true // unknown pairing: keep the file (never unsound)
   }
 
-  /** Total order consistent with `leq` — used to sort probe keys so
-    * pushdown chunks span contiguous key ranges. */
+  /** Total order consistent with `leq` within a type; cross-type
+    * pairs order by class name so the order stays TRANSITIVE when a
+    * caller mixes key types in one probe (Seq[Any] is the public
+    * API; an intransitive comparator would make TimSort throw
+    * mid-probe instead of returning rows). Cross-type order is
+    * arbitrary — only chunk locality, never correctness, depends on
+    * it. */
   private val keyOrdering: Ordering[Any] = new Ordering[Any] {
-    def compare(a: Any, b: Any): Int =
-      if (leq(a, b)) { if (leq(b, a)) 0 else -1 } else 1
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+      case (x: java.lang.Integer, y: java.lang.Integer) => java.lang.Integer.compare(x, y)
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      case _ => a.getClass.getName.compareTo(b.getClass.getName)
+    }
   }
 
   /** The pruned probe: rows of `root` whose `keyName` ∈ `keys`,
@@ -417,14 +434,29 @@ object Indexed {
     def emptyOf: Option[DataFrame] =
       dirs.collectFirst { case d if d.files.nonEmpty => d.files.head._1 }
         .map(f => spark.read.parquet(f).limit(0))
-    val distinctKeys = keys.distinct
+    // nulls never satisfy an In predicate — drop them up front
+    val distinctKeys = keys.filter(_ != null).distinct
     // a key is alive if ANY dir might hold it: an unindexed dir keeps
-    // every key alive; an indexed dir vouches via its bloom
+    // every key alive; an indexed dir vouches via its bloom. Bloom
+    // ELIMINATION is only sound for keys whose runtime type hashes
+    // like the store's key type (integral↔integral, string↔string):
+    // a String probing a long-keyed store misses the bloom by
+    // construction, yet the caller's scan+filter might still match
+    // it after Spark's implicit coercion — such keys stay alive and
+    // ride the pushed predicate, identical to the scan plan's.
     val anyUnindexed = dirs.exists(!_.indexed)
     val blooms = dirs.flatMap(_.bloom)
+    val storeSample: Option[Any] = dirs.iterator.filter(_.indexed)
+      .flatMap(_.files.iterator.map(_._2)).find(_ != null)
+    def integral(x: Any): Boolean =
+      x.isInstanceOf[java.lang.Long] || x.isInstanceOf[java.lang.Integer]
+    def bloomable(k: Any): Boolean = storeSample.exists(s =>
+      (integral(k) && integral(s)) ||
+        (k.isInstanceOf[String] && s.isInstanceOf[String]))
     val alive: Seq[Any] =
       if (anyUnindexed) distinctKeys
-      else distinctKeys.filter(k => blooms.exists(b => mightContain(b, k)))
+      else distinctKeys.filter(k =>
+        !bloomable(k) || blooms.exists(b => mightContain(b, k)))
     if (alive.isEmpty) {
       if (sys.env.contains("GRAFT_IDX_DEBUG"))
         println(s"prunedRead($root): keys=${distinctKeys.size} alive=0 -> empty")

@@ -307,14 +307,21 @@ object EventStream {
     if (batch.rdd.getNumPartitions < par) batch.repartition(par) else batch
   }
 
-  /** The column's plain name when it is a bare reference to one of
-    * `df`'s columns (`col("text")` prints as just "text"; computed
+  /** The df column a bare reference names (`col("text")` prints as
+    * just "text"; `col("my col")` prints backtick-quoted; computed
     * expressions print as their SQL — `lower(text)` — and match no
     * column), None otherwise — used by the D16 sink to drop the raw
-    * text column once `scrubbed` exists. */
-  private def plainColName(c: Column, df: DataFrame): Option[String] = {
-    val s = c.toString
-    if (df.columns.contains(s)) Some(s) else None
+    * text column once `scrubbed` exists. Resolution is
+    * CASE-INSENSITIVE like Spark's own (a `col("Text")` that every
+    * stage resolves against a `text` column must not silently skip
+    * the PII drop). */
+  private[graft] def plainColName(c: Column, df: DataFrame): Option[String] = {
+    val s0 = c.toString
+    val s =
+      if (s0.length > 1 && s0.head == '`' && s0.last == '`')
+        s0.substring(1, s0.length - 1).replace("``", "`")
+      else s0
+    df.columns.find(_.equalsIgnoreCase(s))
   }
 
   def qualityGate(docs: DataFrame, text: Column, minScore: Double = 0.0): DataFrame =
@@ -751,8 +758,16 @@ object EventStream {
             // dropped (when `text` is a plain column; an expression
             // input leaves nothing droppable). Also roughly halves
             // the bytes this checkpoint and the landed corpus carry.
-            val noRaw = plainColName(text, batch).filter(_ != "scrubbed")
-              .map(gated.drop).getOrElse(gated)
+            val raw = plainColName(text, batch).filter(_ != "scrubbed")
+            if (raw.isEmpty)
+              // the contract can't be honored automatically for a
+              // computed text expression — say so instead of
+              // silently landing whatever raw columns feed it
+              System.err.println("ingestPipelineSink: text is not a plain " +
+                s"column of the input (${text.toString}) — the raw column(s) " +
+                "behind it will LAND in the corpus; drop them upstream if " +
+                "they carry PII")
+            val noRaw = raw.map(gated.drop).getOrElse(gated)
             noRaw.localCheckpoint(true) }
           // the three model verdicts are map-side kernel columns, so
           // the whole score ladder is ONE conjunctive filter over one

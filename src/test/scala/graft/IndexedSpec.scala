@@ -110,6 +110,27 @@ class IndexedSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("mixed-type probe keys neither crash the sort nor lose rows") {
+    // Seq[Any] is the public probe API: a caller mixing Integer and
+    // Long probes against a long-keyed store must get the long rows
+    // back (Integer probes bloom/compare as longs), and the key sort
+    // must stay a lawful total order (an intransitive comparator
+    // makes TimSort throw mid-probe)
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-mix").toString
+    val df = spark.range(0, 30000).select(col("id"), col("id").as("payload"))
+    Indexed.write(df, s"$root/batch=-1", "id", 3, pageRows = 8)
+    val keys: Seq[Any] = (0 until 40).flatMap(i => Seq[Any](
+      java.lang.Long.valueOf(i * 700L),
+      java.lang.Integer.valueOf(i * 700 + 1))) :+ (null: Any)
+    val got = Indexed.prunedRead(spark, root, "id", keys)
+    assert(got.isDefined)
+    val longKeys = keys.collect {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+    }.filter(_ < 30000).toSet
+    assert(got.get.select("id").as[Long].collect().toSet == longKeys)
+  }
+
   test("degrades to None: key cap, unindexed root, nested unindexed dir") {
     val root = java.nio.file.Files.createTempDirectory("graft-idx-degrade").toString
     Indexed.write(mkDF(0, 2000).coalesce(1), s"$root/batch=0", "bk", 0)

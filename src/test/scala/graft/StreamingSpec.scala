@@ -497,6 +497,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D16 raw-column resolution matches Spark's: case-insensitive, backticks, expressions") {
+    import org.apache.spark.sql.functions.{col, lower}
+    val df = spark.createDataFrame(Seq(IngestDoc(1L, "en", "x"))).toDF("doc_id", "lang", "text")
+    // case-mismatched reference still resolves (Spark is
+    // case-insensitive, so every stage would run — the PII drop must
+    // not silently skip)
+    assert(EventStream.plainColName(col("Text"), df).contains("text"))
+    assert(EventStream.plainColName(col("text"), df).contains("text"))
+    // a computed expression names no droppable column
+    assert(EventStream.plainColName(lower(col("text")), df).isEmpty)
+    // backtick-printed names resolve too
+    val odd = df.withColumnRenamed("text", "my text")
+    assert(EventStream.plainColName(col("my text"), odd).contains("my text"))
+  }
+
   test("D16 ingestPipelineSink: one stream applies the whole ladder; equals the batch rules composed") {
     import org.apache.spark.sql.functions.{col, lower}
     import graft.operators.{Classifier, Contamination, Dsir, LangModel, Quality}
