@@ -125,7 +125,8 @@ object Incremental {
            threshold: Double = 0.5, microBatch: Boolean = true,
            prunedBands: Option[Seq[Any] => Option[DataFrame]] = None,
            prunedSets: Option[Seq[Any] => Option[DataFrame]] = None,
-           maxBandRows: Long = MaxMicroBatchBandRows)
+           maxBandRows: Long = MaxMicroBatchBandRows,
+           maxPrunerBandRows: Long = MaxPrunerBandRows)
     : (DataFrame, DataFrame, DataFrame) = {
     val (bBands0, bSets0) = signatures(batch, id, text, n, k, bandRows)
     // micro-batch contract (the streaming sinks): the batch tables
@@ -155,7 +156,7 @@ object Incremental {
     // own alive-key cap is far smaller); past it the broadcast
     // semi-join store path below is the same answer without the
     // collect
-    val usePruners = micro && nBand <= MaxPrunerBandRows
+    val usePruners = micro && nBand <= maxPrunerBandRows
     def hint(df: DataFrame): DataFrame = if (micro) broadcast(df) else df
 
     val inter = ArrayExpressions.sortedIntersectSize(col("sa"), col("sb"))

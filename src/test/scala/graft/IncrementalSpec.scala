@@ -197,6 +197,15 @@ class IncrementalSpec extends SparkSpec {
       threshold = T, prunedBands = count, prunedSets = count)
       ._1.as[Long].collect()
     assert(pruned > 0, "in-bound batch must keep the micro-batch pruner path")
+    // between the two bounds: pruner collects skipped, broadcast pins
+    // (and results) retained — the tiered enforcement
+    val boom2: Option[Seq[Any] => Option[DataFrame]] =
+      Some(_ => fail("pruner invoked past maxPrunerBandRows"))
+    val (surv2, _, _) = Incremental.gate(eb, es, df(all), col("doc_id"), col("text"),
+      threshold = T, prunedBands = boom2, prunedSets = boom2,
+      maxBandRows = 1000000, maxPrunerBandRows = 10)
+    assert(surv2.as[Long].collect().toSet == want,
+      "pruner-capped gate must still compute the keep-first survivors")
   }
 
   test("gate never shuffles the store: per-arrival shuffle flat as the store doubles") {
