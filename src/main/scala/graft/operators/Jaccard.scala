@@ -23,31 +23,76 @@ import graft.plans.ArrayExpressions
   * arrays via the native codegen `SortedIntersectSize` (E2) — one
   * O(|A|+|B|) pass per candidate, no per-pair set allocation.
   *
-  * Execution shape: ONE aggregation exchange builds the sorted sets;
-  * the prefix explode is map-side on top of it; the prefix self-join
-  * shuffles only (hash, id, sz) rows and its two sides collapse into
-  * a ReusedExchange; size-compatibility (J ≥ t ⟹ t·|B| ≤ |A| ≤
-  * |B|/t) prunes inside the join condition. The verify joins carry NO
-  * broadcast hint: the set table is O(corpus), and a forced broadcast
-  * is an OOM at scale (measured: the 100× ScaleGen corpus killed the
-  * job at 500k docs). AQE broadcasts it when it is ACTUALLY small at
-  * runtime and shuffles on the doc id otherwise; pre-bucketed corpora
-  * (Sink.writeBucketed) keep the verify joins exchange-free.
+  * Execution shape: a TWO-STEP operator. Step 1 (`sortedSets`) builds
+  * the per-doc sorted hash-set table in one aggregation exchange;
+  * step 2 (`nearDupPairsFromSets`) consumes that table FOUR times —
+  * both prefix-index sides and both verify joins. Feeding step 2 the
+  * bare aggregation re-executes the merge-side `collect_set` at every
+  * consumer (Spark reuses EXCHANGES, not the operators above them):
+  * measured at sf10, the 500k sorted arrays were rebuilt 4× —
+  * 26.6 GB shuffle read against 13.3 GB written, and the 16→32-thread
+  * scaling row was FLAT (§6 round-11). `nearDupPairs` therefore
+  * inserts an explicit repartition ABOVE the merged aggregation once
+  * the input clears `BarrierMinInputBytes` (below it the rebuild is
+  * milliseconds and the barrier's fixed stage latency would be the
+  * larger cost): that second exchange becomes the plan's reuse
+  * point — the merge aggregation runs ONCE to fill it and all four
+  * consumers read it as ReusedExchange (keyed on xxhash64(id), not
+  * id, so Catalyst cannot elide it as redundant with the
+  * aggregation's own partitioning — PlanSpec pins the single-build
+  * shape). No cache, no lifecycle:
+  * the barrier is shuffle files, the same fault-tolerance story as
+  * every other stage, and honest under repeated benchmark actions
+  * (a `persist` would be silently rematched by the CacheManager
+  * across reps and measure cache reads). Callers that probe several
+  * thresholds over one corpus can do better still: build `sortedSets`
+  * once, land it with `Sink.writeBucketed` on `id` (E9), and call
+  * `nearDupPairsFromSets` per threshold — zero rebuilds across runs.
+  *
+  * The prefix self-join shuffles only (hash, id, sz, pos) rows;
+  * size-compatibility (J ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t) prunes inside
+  * the join condition. The verify joins carry NO broadcast hint: the
+  * set table is O(corpus), and a forced broadcast is an OOM at scale
+  * (measured: the 100× ScaleGen corpus killed the job at 500k docs).
+  * AQE broadcasts it when it is ACTUALLY small at runtime.
   */
 object Jaccard {
 
-  /** All pairs (doc_a < doc_b) with exact Jaccard(shingles) ≥ t,
-    * thresholded on the 6-rounded score. Returns (doc_a, doc_b,
-    * jaccard). */
-  def nearDupPairs(docs: DataFrame, id: Column, text: Column,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // per-doc ASC-sorted distinct hash array + size, in one exchange
-    // (map-side partial collect_set collapses duplicate shingles).
-    // xxhash64 longs, not md5 hex strings: the verify joins below
-    // ship one array per candidate pair, so element width IS the
-    // operator's shuffle volume (see Shingles.hashSets).
-    val sets = Shingles.hashSets(Shingles.exploded(docs, id, text, n))
+  /** Plan-time input-size floor above which `nearDupPairs` inserts
+    * the build-once repartition barrier. The barrier is a pure win
+    * only once the merged set build is expensive: it costs a fixed
+    * extra stage round-trip plus set-table re-exchanges (~0.5 s of
+    * local scheduling — measured +0.55 s at sf0.1/5k docs, +0.28 s at
+    * sf1/50k docs, where the 4× rebuild it removes is milliseconds)
+    * and saves 3 of 4 merged-aggregation executions (measured −7.3 s
+    * and a restored 16→32-thread curve at sf10/500k docs, where each
+    * rebuild sorts 500k arrays). Crossover sits near ~12 MB of input
+    * on this box; 16 MB keeps every toy corpus on the inline plan
+    * while anything corpus-shaped gets the single-build barrier.
+    * Compared against `docs`' optimizedPlan stats sizeInBytes — for
+    * a file scan that is the actual file size, for derived plans a
+    * Catalyst estimate; both error directions only flip which of two
+    * CORRECT plan shapes runs. */
+  val BarrierMinInputBytes: Long = 16L << 20
+
+  /** Step 1: per-doc ASC-sorted distinct xxhash64 shingle-set table
+    * (id, hs, sz) — one aggregation exchange (map-side partial
+    * collect_set collapses duplicate shingles). xxhash64 longs, not
+    * md5 hex strings: the verify joins ship one array per candidate
+    * pair, so element width IS the operator's shuffle volume (see
+    * Shingles.hashSets). Reusable across thresholds — persist it with
+    * `Sink.writeBucketed` on `id` for exchange-free verify joins. */
+  def sortedSets(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    Shingles.hashSets(Shingles.exploded(docs, id, text, n))
       .select(col("id"), col("s").as("hs"), size(col("s")).as("sz"))
+
+  /** Step 2: all pairs (doc_a < doc_b) with exact Jaccard ≥ t over a
+    * prebuilt `sortedSets` table (columns id, hs, sz — hs ascending).
+    * The input is consumed four times; hand it a materialized or
+    * barrier-protected table (see the object scaladoc) or accept the
+    * merge-agg re-execution. Returns (doc_a, doc_b, jaccard) with the
+    * score 6-rounded. */
+  def nearDupPairsFromSets(sets: DataFrame, threshold: Double = 0.5): DataFrame = {
     // prefix index: first sz − ⌈t·sz⌉ + 1 hashes of the sorted set,
     // with each hash's position for the PPJoin positional filter
     val plen = (col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
@@ -84,5 +129,34 @@ object Jaccard {
         round(inter.cast("double") / (col("sza") + col("szb") - inter), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** All pairs (doc_a < doc_b) with exact Jaccard(shingles) ≥ t,
+    * thresholded on the 6-rounded score: `sortedSets` built once
+    * behind a repartition barrier (see the object scaladoc), then
+    * `nearDupPairsFromSets`. Returns (doc_a, doc_b, jaccard). */
+  def nearDupPairs(docs: DataFrame, id: Column, text: Column,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // The barrier keys on xxhash64(id), NOT id: the aggregation below
+    // is already hash-partitioned on id, and Catalyst elides a
+    // repartition whose expressions semantically equal the child's
+    // partitioning — the 4× merge re-execution would silently return.
+    // A derived key can never be elided, needs no magic partition
+    // count, and stays fully AQE-friendly: the set table is the
+    // CORPUS-sized but byte-LIGHT side (~8 bytes/shingle — 220 MB at
+    // sf10 against the verify stages' 13 GB of candidate-pair array
+    // traffic), so letting each consumer re-exchange it under
+    // ENSURE_REQUIREMENTS costs almost nothing and keeps every
+    // downstream stage's partition count an AQE decision (a barrier
+    // pinned on id fed the verify joins exchange-free but froze them
+    // at the barrier's fixed REPARTITION_BY_COL count — measured
+    // +0.6-0.8 s of un-coalescible tiny-task scheduling per query at
+    // sf0.1 for zero sf10 benefit).
+    val sets = sortedSets(docs, id, text, n)
+    val barrier =
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes >= BarrierMinInputBytes
+    nearDupPairsFromSets(
+      if (barrier) sets.repartition(xxhash64(col("id"))) else sets,
+      threshold)
   }
 }

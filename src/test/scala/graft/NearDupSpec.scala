@@ -81,6 +81,22 @@ class NearDupSpec extends SparkSpec {
     assert(got((1L, 4L)) == math.rint(9.0 / 11.0 * 1e6) / 1e6)
   }
 
+  test("Jaccard two-step (sortedSets → nearDupPairsFromSets) equals the one-call form") {
+    // the reuse path a multi-threshold caller takes: one set build,
+    // pairs derived from it — must be row-identical to nearDupPairs
+    val sets = Jaccard.sortedSets(corpus, col("doc_id"), col("text"), 3)
+    val twoStep = Jaccard.nearDupPairsFromSets(sets, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val oneCall = Jaccard.nearDupPairs(corpus, col("doc_id"), col("text"), 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(twoStep == oneCall && twoStep.nonEmpty)
+    // the set table's contract: hs ascending, sz = its length
+    val rows = sets.select("hs", "sz").as[(Seq[Long], Int)].collect()
+    rows.foreach { case (hs, sz) =>
+      assert(hs.size == sz && hs == hs.sorted)
+    }
+  }
+
   test("Jaccard size-compat pruning doesn't lose qualifying pairs") {
     // identical 12-token docs (J=1) plus a one-shingle doc sharing nothing
     val df = Seq(
