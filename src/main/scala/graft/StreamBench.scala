@@ -160,6 +160,13 @@ object StreamBench {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.length / 2)
     }
+    // JSON numbers must be locale-independent: the f"" interpolator
+    // renders %.3f with the JVM default locale, so a comma-decimal
+    // default (de_DE, fr_FR, …) would emit 4,123 and invalidate the
+    // record — format every JSON field through Locale.ROOT (stderr
+    // traces are human logs and may stay locale-formatted)
+    def j(v: Double, digits: Int = 3): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     // optional comma-separated gate-name filter (local profiling —
     // a full-gate run takes tens of minutes at the larger sizes)
     val gateFilter = sys.env.get("SPARK_GRAFT_STREAM_GATES")
@@ -246,17 +253,17 @@ object StreamBench {
     } else None
     val json = results.groupBy(_._1).toSeq.sortBy(_._1).map { case (gate, rs) =>
       val per = rs.sortBy(_._2).map { case (_, size, secs, med) =>
-        s""""batch_$size":{"secs":[${secs.map(s => f"$s%.3f").mkString(",")}],""" +
-          f""""median_sec":$med%.3f,"rows_per_sec":${size / med}%.0f}"""
+        s""""batch_$size":{"secs":[${secs.map(j(_)).mkString(",")}],""" +
+          s""""median_sec":${j(med)},"rows_per_sec":${j(size / med, 0)}}"""
       }.mkString(",")
       s""""$gate":{$per}"""
     }.mkString(",")
     val growthJson = growth.map { secs =>
       val head = median(secs.take(10)); val tail = median(secs.takeRight(10))
       s""","d10_growth":{"n":$growthBatches,"size":$growthSize,"compact_every":$compactEvery,"preseed":$preseed,""" +
-        f""""first10_median_sec":$head%.3f,"last10_median_sec":$tail%.3f,""" +
-        f""""ratio":${tail / head}%.2f,""" +
-        s""""secs":[${secs.map(s => f"$s%.3f").mkString(",")}]}"""
+        s""""first10_median_sec":${j(head)},"last10_median_sec":${j(tail)},""" +
+        s""""ratio":${j(tail / head, 2)},""" +
+        s""""secs":[${secs.map(j(_)).mkString(",")}]}"""
     }.getOrElse("")
     val line = s"""{"gates":{$json}$growthJson,"n_batches":$nBatches,"sf":"$sfDir","cpus":"$cpus"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

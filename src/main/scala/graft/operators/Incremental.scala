@@ -51,11 +51,11 @@ object Incremental {
     * default) the gate's driver-side collects and broadcasts (batch
     * band keys, candidate ids) stop being "micro" and `gate` FALLS
     * BACK to the declarative `microBatch = false` shape for the rest
-    * of the call: no pruner collects, no broadcast pins — Catalyst/
-    * AQE plan the joins. Results are identical either way; only the
-    * plan shape changes. (The batch tables are still checkpointed by
-    * then — executor-side, MEMORY_AND_DISK, spillable — the bound
-    * exists to protect the DRIVER.) */
+    * of the call: no pruner collects, no broadcast pins, no eager
+    * batch checkpoint — Catalyst/AQE plan the joins and the batch
+    * tables stay lazy end to end (the guard compares a COUNT BOUND,
+    * docs × k/bandRows, taken before anything materializes). Results
+    * are identical either way; only the plan shape changes. */
   val MaxMicroBatchBandRows: Long = 4L << 20
 
   /** Separate (tighter) bound for the PRUNER path: its driver-side
@@ -129,6 +129,22 @@ object Incremental {
            maxPrunerBandRows: Long = MaxPrunerBandRows)
     : (DataFrame, DataFrame, DataFrame) = {
     val (bBands0, bSets0) = signatures(batch, id, text, n, k, bandRows)
+    // the contract is ENFORCED, not documentary — and the guard runs
+    // BEFORE anything materializes: every doc emits at most
+    // k/bandRows band rows (short docs emit none), so one cheap
+    // count of the incoming batch upper-bounds the band table
+    // without running the shingle→minhash pipeline, and an oversized
+    // "micro-batch" demotes to the declarative shape WITHOUT first
+    // paying an eager corpus-sized checkpoint it would immediately
+    // abandon (the bound can only demote EARLY — on batches padded
+    // with short docs — which errs toward the scale-safe shape)
+    val nBandBound = if (microBatch) batch.count() * (k / bandRows) else 0L
+    val micro = microBatch && {
+      if (nBandBound > maxBandRows) System.err.println(
+        s"Incremental.gate: ≤$nBandBound batch band rows (bound) > $maxBandRows — " +
+          "not a micro-batch; falling back to the declarative plan shape")
+      nBandBound <= maxBandRows
+    }
     // micro-batch contract (the streaming sinks): the batch tables
     // are small → materialize them once (the shingle→minhash
     // pipeline would otherwise re-run under every downstream join)
@@ -138,19 +154,11 @@ object Incremental {
     // broadcast or checkpoint corpus-scale tables: it keeps the
     // declarative shape and lets Catalyst/AQE choose.
     val (bBands, bSets) =
-      if (microBatch) (bBands0.localCheckpoint(true), bSets0.localCheckpoint(true))
+      if (micro) (bBands0.localCheckpoint(true), bSets0.localCheckpoint(true))
       else (bBands0, bSets0)
-    // the contract is ENFORCED, not documentary: counting the
-    // checkpointed band table is one trivial job, and an oversized
-    // "micro-batch" demotes to the declarative shape instead of
-    // collecting/broadcasting an unbounded batch onto the driver
-    val nBand = if (microBatch) bBands.count() else 0L
-    val micro = microBatch && {
-      if (nBand > maxBandRows) System.err.println(
-        s"Incremental.gate: $nBand batch band rows > $maxBandRows — " +
-          "not a micro-batch; falling back to the declarative plan shape")
-      nBand <= maxBandRows
-    }
+    // the pruner cap below compares the ACTUAL band-row count —
+    // counting the already-checkpointed table is one trivial job
+    val nBand = if (micro) bBands.count() else nBandBound
     // the pruner point-read path pays driver-side key collects — cap
     // them at a depth where prunedRead can still plausibly win (its
     // own alive-key cap is far smaller); past it the broadcast

@@ -141,12 +141,25 @@ object SimHash {
       // trust the plan-time rowCount only when it is EXACT: with CBO
       // enabled, FilterEstimation propagates post-filter selectivity
       // ESTIMATES into rowCount, and an underestimate would silently
-      // admit the n² band this guard exists to refuse. Without CBO,
-      // rowCount is only populated where it is provably exact
-      // (LocalRelation, Range, limits, leaf metadata counts).
+      // admit the n² band this guard exists to refuse. Even WITHOUT
+      // CBO the size-only visitor propagates two estimates: Sample
+      // reports ceil(child × fraction) — which can undercount the
+      // actual draw and admit an over-cap corpus — and GlobalLimit
+      // reports the limit value, an upper bound that would spuriously
+      // refuse a small limited corpus. Either node in the plan →
+      // fall back to the count() action; everything else that
+      // populates rowCount without CBO is exact (LocalRelation,
+      // Range, leaf metadata counts).
+      val plan = docs.queryExecution.optimizedPlan
+      val estimatedNode = plan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
+        case _ => false
+      }
       val exactPlanCount =
-        if (docs.sparkSession.sessionState.conf.cboEnabled) None
-        else docs.queryExecution.optimizedPlan.stats.rowCount.map(_.longValue)
+        if (docs.sparkSession.sessionState.conf.cboEnabled || estimatedNode) None
+        else plan.stats.rowCount.map(_.longValue)
       val nDocs = exactPlanCount.getOrElse(docs.count())
       require(nDocs <= QuadraticBandMaxDocs,
         s"SimHash.nearDupPairs: corpus has $nDocs docs > $QuadraticBandMaxDocs — " +

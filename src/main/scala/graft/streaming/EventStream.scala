@@ -311,17 +311,36 @@ object EventStream {
     * just "text"; `col("my col")` prints backtick-quoted; computed
     * expressions print as their SQL — `lower(text)` — and match no
     * column), None otherwise — used by the D16 sink to drop the raw
-    * text column once `scrubbed` exists. Resolution is
-    * CASE-INSENSITIVE like Spark's own (a `col("Text")` that every
-    * stage resolves against a `text` column must not silently skip
-    * the PII drop). */
+    * text column once `scrubbed` exists. Resolution follows the
+    * session's `spark.sql.caseSensitive` (default false, like
+    * Spark's own analyzer: a `col("Text")` that every stage resolves
+    * against a `text` column must not silently skip the PII drop;
+    * under case-sensitive analysis only the exact name may match),
+    * and an AMBIGUOUS case-insensitive hit (two columns differing
+    * only by case) returns None — the caller's warning path — rather
+    * than guessing a column Spark's resolver might not pick. Read at
+    * sink-construction time: this is a driver-side plan decision,
+    * not an executed expression.
+    *
+    * TODO(robustness): keying off `Column.toString` pins this to
+    * Spark's current rendering of bare references; a Spark release
+    * changing it would downgrade the drop to the logged warning
+    * (never a wrong drop — misrendered names match no column).
+    * StreamingSpec pins today's rendering; the sturdier contract
+    * would take the raw-text column BY NAME from the caller. */
   private[graft] def plainColName(c: Column, df: DataFrame): Option[String] = {
     val s0 = c.toString
     val s =
       if (s0.length > 1 && s0.head == '`' && s0.last == '`')
         s0.substring(1, s0.length - 1).replace("``", "`")
       else s0
-    df.columns.find(_.equalsIgnoreCase(s))
+    val caseSensitive = df.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    if (caseSensitive) df.columns.find(_ == s)
+    else df.columns.filter(_.equalsIgnoreCase(s)) match {
+      case Array(one) => Some(one)
+      case _          => None // missing or ambiguous — warn, don't guess
+    }
   }
 
   def qualityGate(docs: DataFrame, text: Column, minScore: Double = 0.0): DataFrame =

@@ -185,18 +185,26 @@ class IncrementalSpec extends SparkSpec {
     val boom: Option[Seq[Any] => Option[DataFrame]] =
       Some(_ => fail("pruner invoked for an over-bound batch — the size guard is dead"))
     val (eb, es) = Incremental.signatures(df(Nil), col("doc_id"), col("text"))
-    val (surv, _, _) = Incremental.gate(eb, es, df(all), col("doc_id"), col("text"),
+    val (surv, demotedBands, _) = Incremental.gate(eb, es, df(all), col("doc_id"), col("text"),
       threshold = T, prunedBands = boom, prunedSets = boom, maxBandRows = 10)
     assert(surv.as[Long].collect().toSet == want,
       "demoted gate must still compute the keep-first survivors")
+    // the demote path must stay LAZY end to end: the guard counts a
+    // bound BEFORE materializing, so an over-bound batch is never
+    // eagerly localCheckpointed (a checkpointed table plans as a
+    // LogicalRDD scan; the lazy one keeps its aggregation lineage)
+    assert(!demotedBands.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      "over-bound batch must not be checkpointed on the demote path")
     // under the bound, the micro path (and its pruners) stays active
     var pruned = 0
     val count: Option[Seq[Any] => Option[DataFrame]] =
       Some { _ => pruned += 1; None }
-    Incremental.gate(eb, es, df(all.take(3)), col("doc_id"), col("text"),
-      threshold = T, prunedBands = count, prunedSets = count)
-      ._1.as[Long].collect()
+    val (inSurv, microBands, _) = Incremental.gate(eb, es, df(all.take(3)),
+      col("doc_id"), col("text"), threshold = T, prunedBands = count, prunedSets = count)
+    inSurv.as[Long].collect()
     assert(pruned > 0, "in-bound batch must keep the micro-batch pruner path")
+    assert(microBands.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      "in-bound batch keeps the materialize-once checkpoint")
     // between the two bounds: pruner collects skipped, broadcast pins
     // (and results) retained — the tiered enforcement
     val boom2: Option[Seq[Any] => Option[DataFrame]] =

@@ -58,6 +58,24 @@ class NearDupSpec extends SparkSpec {
     val got = SimHash.nearDupPairs(corpus, col("doc_id"), col("text"))
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 4L), (2L, 5L)))
+    // Sample/Limit plans report ESTIMATED plan-time row counts even
+    // without CBO (GlobalLimit reports the limit value — an upper
+    // bound). The guard must fall back to a real count() there: a
+    // 500-doc corpus behind an over-cap LIMIT is admitted, not
+    // spuriously refused on the limit's value. (Parquet-backed on
+    // purpose: a limit over a LocalRelation is constant-folded away
+    // by EliminateLimits and would never reach the guard.)
+    val limited = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit((SimHash.QuadraticBandMaxDocs + 1).toInt)
+    SimHash.nearDupPairs(limited, col("doc_id"), col("text")).queryExecution.executedPlan
+    // and a Sample plan (rowCount = ceil(child × fraction), which can
+    // undercount the draw) must also take the count() path — every
+    // row sampled in, so the guard still refuses the over-cap corpus
+    val sampled = big.sample(1.0, seed = 7)
+    val e2 = intercept[IllegalArgumentException] {
+      SimHash.nearDupPairs(sampled, col("doc_id"), col("text"))
+    }
+    assert(e2.getMessage.contains("quadratic"))
   }
 
   test("SimHash bitString renders 64 bits matching the packed long") {
