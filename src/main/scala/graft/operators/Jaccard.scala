@@ -72,8 +72,10 @@ object Jaccard {
     * Compared against `docs`' optimizedPlan stats sizeInBytes — for
     * a file scan that is the actual file size, for derived plans a
     * Catalyst estimate; both error directions only flip which of two
-    * CORRECT plan shapes runs. */
-  val BarrierMinInputBytes: Long = 16L << 20
+    * CORRECT plan shapes runs. Shared with the near-dup family's
+    * other adaptive choice (hot-key salting) as
+    * Skew.CorpusScaleMinInputBytes. */
+  val BarrierMinInputBytes: Long = Skew.CorpusScaleMinInputBytes
 
   /** Step 1: per-doc ASC-sorted distinct xxhash64 shingle-set table
     * (id, hs, sz) — one aggregation exchange (map-side partial
@@ -92,12 +94,34 @@ object Jaccard {
     * barrier-protected table (see the object scaladoc) or accept the
     * merge-agg re-execution. Returns (doc_a, doc_b, jaccard) with the
     * score 6-rounded. */
-  def nearDupPairsFromSets(sets: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def nearDupPairsFromSets(sets: DataFrame, threshold: Double = 0.5,
+                           salts: Int = 1, hotMin: Long = 4096): DataFrame = {
     // prefix index: first sz − ⌈t·sz⌉ + 1 hashes of the sorted set,
     // with each hash's position for the PPJoin positional filter
     val plen = (col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
-    val prefix = sets.select(col("id"), col("sz"),
+    val prefix0 = sets.select(col("id"), col("sz"),
       posexplode(slice(col("hs"), lit(1), plen)).as(Seq("pos", "h")))
+    // salting adds a third consumer of the prefix table (the hot-key
+    // count aggregate, beside the two join sides) — materialize it
+    // behind its own reuse barrier so detection doesn't re-run the
+    // explode pipeline per consumer (same xxhash64-keyed barrier
+    // trick as the set build; the (id, pos) key is just a balanced
+    // deterministic spread, downstream exchanges re-key anyway)
+    val prefix =
+      if (salts > 1) prefix0.repartition(xxhash64(col("id"), col("pos")))
+      else prefix0
+    // hot-prefix salting (salts ≥ 2): a boilerplate shingle hash that
+    // lands low in the xxhash64 order sits in EVERY template-carrying
+    // doc's prefix — one join key with f·n rows per side, (f·n)² pair
+    // emissions from one task, invisible to AQE's input-byte skew
+    // split. Skew.selfJoinSides spreads each hot key over `salts`
+    // tasks while every pair still meets exactly once (parity pinned
+    // in NearDupSpec). The positional/size filters below are
+    // per-pair-instance and commute with salting.
+    val (prefA, prefB) =
+      if (salts > 1) Skew.selfJoinSides(prefix, Seq("h"), col("id"), salts, hotMin)
+      else (prefix, prefix)
+    val saltEq = if (salts > 1) col("a.__salt") === col("b.__salt") else lit(true)
     // positional filter (PPJoin): at the FIRST common hash, overlap
     // ≤ min of the remaining suffix lengths, which must reach the
     // J ≥ t overlap bound t·(|A|+|B|)/(1+t). Later common hashes may
@@ -106,8 +130,8 @@ object Jaccard {
     // (−1e-9: the real-valued bound must never round up past an
     // integer overlap that exactly meets it.)
     val alpha = lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz")) - lit(1e-9)
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+    val cand = prefA.as("a").join(prefB.as("b"),
+        col("a.h") === col("b.h") && saltEq && col("a.id") < col("b.id") &&
           col("a.sz") >= lit(threshold) * col("b.sz") &&
           col("b.sz") >= lit(threshold) * col("a.sz") &&
           least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= alpha)
@@ -136,7 +160,8 @@ object Jaccard {
     * behind a repartition barrier (see the object scaladoc), then
     * `nearDupPairsFromSets`. Returns (doc_a, doc_b, jaccard). */
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5,
+                   salts: Int = 1, hotMin: Long = 4096): DataFrame = {
     // The barrier keys on xxhash64(id), NOT id: the aggregation below
     // is already hash-partitioned on id, and Catalyst elides a
     // repartition whose expressions semantically equal the child's
@@ -153,10 +178,14 @@ object Jaccard {
     // +0.6-0.8 s of un-coalescible tiny-task scheduling per query at
     // sf0.1 for zero sf10 benefit).
     val sets = sortedSets(docs, id, text, n)
-    val barrier =
+    // `salts` ≥ 2 is the boilerplate-corpus opt-in (hot prefix keys —
+    // see nearDupPairsFromSets; detection costs a window pass that a
+    // uniform corpus shouldn't pay by default, measured §6 round-12);
+    // the build-once barrier stays plan-time-size gated.
+    val corpusScale =
       docs.queryExecution.optimizedPlan.stats.sizeInBytes >= BarrierMinInputBytes
     nearDupPairsFromSets(
-      if (barrier) sets.repartition(xxhash64(col("id"))) else sets,
-      threshold)
+      if (corpusScale) sets.repartition(xxhash64(col("id"))) else sets,
+      threshold, salts, hotMin)
   }
 }

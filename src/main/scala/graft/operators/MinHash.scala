@@ -55,10 +55,26 @@ object MinHash {
 
   /** Full near-dup pipeline: shingle → sign → band → candidate join →
     * exact-Jaccard verification at `threshold` (on the rounded score).
-    * Returns (doc_a, doc_b, jaccard). */
+    * Returns (doc_a, doc_b, jaccard).
+    *
+    * `salts` controls hot-band-key salting (boilerplate templates put
+    * f·n docs under one band key and the self-join then emits (f·n)²
+    * pairs from one task — Skew.selfJoinSides): 1 = off (default),
+    * ≥ 2 = spread keys holding > hotMin band rows over that many
+    * tasks. EXPLICIT OPT-IN for boilerplate-heavy corpora (real web
+    * ingest): detection costs a window pass over the band table —
+    * measured ~7% on a uniform corpus where it buys nothing, vs a
+    * 1.4× wall / 1.7× straggler win on the skewed twin (SkewBench,
+    * §6 round-12) — and a pipeline that runs exact/line dedup first
+    * (C1/C45, the c21 order) strips the worst boilerplate before
+    * this operator sees it. The candidate SET is identical at any
+    * setting (each pair meets exactly once — NearDupSpec pins
+    * parity). */
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
                    n: Int = 3, k: Int = 8, bandRows: Int = 2,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   salts: Int = 1, hotMin: Long = 4096): DataFrame = {
+    val effSalts = salts
     val ex = Shingles.exploded(docs, id, text, n)
     // hashed long sets for the verify step (the SIGNATURE stays
     // md5-based for engine portability — see the object scaladoc;
@@ -66,9 +82,22 @@ object MinHash {
     // representation that keeps the candidate-pair shuffle lean)
     val sh = Shingles.hashSets(ex)
     val sig = signatureAgg(ex, "id", "sh", k)
-    val banded = sig.select(col("id"), posexplode(bandArray(k, bandRows)).as(Seq("bi", "bk")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+    val banded0 = sig.select(col("id"), posexplode(bandArray(k, bandRows)).as(Seq("bi", "bk")))
+    // salting adds a third consumer of the band table (the hot-key
+    // count aggregate) — materialize it behind a reuse barrier so
+    // detection doesn't re-run the signature merge-agg per consumer
+    // (the derived xxhash64 key can't be elided; downstream
+    // exchanges re-key on (bi, bk) anyway)
+    val banded =
+      if (effSalts > 1) banded0.repartition(xxhash64(col("id"), col("bi")))
+      else banded0
+    val (bandA, bandB) =
+      if (effSalts > 1) Skew.selfJoinSides(banded, Seq("bi", "bk"), col("id"), effSalts, hotMin)
+      else (banded, banded)
+    val saltEq =
+      if (effSalts > 1) col("a.__salt") === col("b.__salt") else lit(true)
+    val cand = bandA.as("a").join(bandB.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") && saltEq &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()

@@ -115,6 +115,40 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("hot-key salting parity: salted pair sets equal unsalted on a boilerplate-skewed corpus") {
+    // 60 of 200 docs share a 12-token template — hot band keys for
+    // MinHash, hot prefix hashes for Jaccard (the planted pairs stay
+    // below the 0.5 threshold: J ≈ 10/30); docs 501/502 are a true
+    // near-dup pair so the outputs are non-empty. Salting must return
+    // the EXACT same pair sets: every (a, b) meets exactly once — at
+    // a's salt — whatever the salts/hotMin setting.
+    val tmpl = (0 until 12).map(i => s"boiler$i").mkString(" ")
+    val rows = (1 to 200).map { i =>
+      val body = (0 until 10).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, if (i % 3 == 0) tmpl + " " + body else body)
+    } ++ Seq(
+      (501L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (502L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"))
+    val df = rows.toDF("doc_id", "text")
+    def pairs(d: DataFrame): Set[(Long, Long, Double)] =
+      d.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+    val jBase = pairs(Jaccard.nearDupPairs(df, col("doc_id"), col("text"), 3, 0.5, salts = 1))
+    assert(jBase.exists(p => p._1 == 501L && p._2 == 502L))
+    val sets = Jaccard.sortedSets(df, col("doc_id"), col("text"), 3)
+    // hot keys only (the production shape) and everything-hot
+    // (hotMin = 0 stresses the exactly-once meeting on cold keys too)
+    assert(pairs(Jaccard.nearDupPairsFromSets(sets, 0.5, salts = 8, hotMin = 10)) == jBase)
+    assert(pairs(Jaccard.nearDupPairsFromSets(sets, 0.5, salts = 4, hotMin = 0)) == jBase)
+
+    val mBase = pairs(MinHash.nearDupPairs(df, col("doc_id"), col("text"), salts = 1))
+    assert(pairs(MinHash.nearDupPairs(df, col("doc_id"), col("text"),
+      salts = 8, hotMin = 10)) == mBase)
+    assert(pairs(MinHash.nearDupPairs(df, col("doc_id"), col("text"),
+      salts = 4, hotMin = 0)) == mBase)
+    assert(mBase.nonEmpty)
+  }
+
   test("Jaccard size-compat pruning doesn't lose qualifying pairs") {
     // identical 12-token docs (J=1) plus a one-shingle doc sharing nothing
     val df = Seq(
