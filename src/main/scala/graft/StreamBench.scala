@@ -118,43 +118,76 @@ object StreamBench {
           text.split("\\s+").filter(_.nonEmpty).map(pfx + _).mkString(" "))
       }
 
+    // SPARK_GRAFT_STREAM_SOURCE=file swaps the MemoryStream for a
+    // parquet FILE stream whose every batch arrives PRE-PARTITIONED
+    // into SPARK_GRAFT_STREAM_SOURCE_FILES files (default 32) — the
+    // round-11 open question's experiment: a MemoryStream delivers a
+    // whole batch as ONE block, so the sinks' spread() repartition
+    // pays a single-task deserialize+shuffle-write before any kernel
+    // runs; a Kafka topic with 32 partitions (or a spooled file drop)
+    // never has that stage. Batch-write time (the producer's cost) is
+    // OUTSIDE the timer; file listing + scan is inside, as it would
+    // be in production.
+    val sourceMode = sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE", "memory")
+    val sourceFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE_FILES", "32").toInt
+
     /** drive one (gate, batchSize) run: warmup batch 0 (unmeasured),
       * then `nBatches` measured batches. Returns per-batch seconds. */
     def run(gate: String, size: Int,
-            start: (MemoryStream[StreamDoc], String) => StreamingQuery): Seq[Double] = {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-sb-$gate-$size").toString
-      val input = MemoryStream[StreamDoc](spark)(Encoders.product[StreamDoc])
-      val q = start(input, dir)
-      try {
-        input.addData(mkBatch(s"${gate}s${size}w", 0, size): _*)
-        q.processAllAvailable() // warmup: codegen + sink setup
-        (1 to nBatches).map { k =>
-          input.addData(mkBatch(s"${gate}s$size", k, size): _*)
-          val t0 = System.nanoTime()
-          q.processAllAvailable()
-          (System.nanoTime() - t0) / 1e9
-        }
-      } finally q.stop()
-    }
+            start: (DataFrame, String) => StreamingQuery): Seq[Double] =
+      if (sourceMode == "file") {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-sb-$gate-$size").toString
+        val spool = dir + "/spool"
+        def feed(tag: String, k: Int): Unit =
+          spark.createDataset(mkBatch(tag, k, size))(Encoders.product[StreamDoc])
+            .repartition(sourceFiles).write.mode("append").parquet(spool)
+        feed(s"${gate}s${size}w", 0) // the path must exist before readStream plans
+        val src = spark.readStream
+          .schema(Encoders.product[StreamDoc].schema).parquet(spool)
+        val q = start(src, dir)
+        try {
+          q.processAllAvailable() // warmup batch = the pre-written spool files
+          (1 to nBatches).map { k =>
+            feed(s"${gate}s$size", k)
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+        } finally q.stop()
+      } else {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-sb-$gate-$size").toString
+        val input = MemoryStream[StreamDoc](spark)(Encoders.product[StreamDoc])
+        val q = start(input.toDF(), dir)
+        try {
+          input.addData(mkBatch(s"${gate}s${size}w", 0, size): _*)
+          q.processAllAvailable() // warmup: codegen + sink setup
+          (1 to nBatches).map { k =>
+            input.addData(mkBatch(s"${gate}s$size", k, size): _*)
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+        } finally q.stop()
+      }
 
-    val gates: Seq[(String, (MemoryStream[StreamDoc], String) => StreamingQuery)] = Seq(
+    val gates: Seq[(String, (DataFrame, String) => StreamingQuery)] = Seq(
       "d9_decontamination" -> ((in, dir) =>
-        streaming.EventStream.decontaminationSink(in.toDF(), evalGrams, "doc_id",
+        streaming.EventStream.decontaminationSink(in, evalGrams, "doc_id",
           lower(col("text")), n = 3, maxShared = 0, dir + "/corpus", "lang", dir + "/ckpt")),
       "d10_neardup" -> ((in, dir) =>
-        streaming.EventStream.nearDupGateSink(in.toDF(), "doc_id", col("text"),
+        streaming.EventStream.nearDupGateSink(in, "doc_id", col("text"),
           dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")),
       "d13_dsir" -> ((in, dir) =>
-        streaming.EventStream.dsirGateSink(in.toDF(), "doc_id", lower(col("text")),
+        streaming.EventStream.dsirGateSink(in, "doc_id", lower(col("text")),
           dsirModel, minLogw = -1000.0, dir + "/corpus", "lang", dir + "/ckpt")),
       "d15_classifier" -> ((in, dir) =>
-        streaming.EventStream.classifierGateSink(in.toDF(), "doc_id", col("text"),
+        streaming.EventStream.classifierGateSink(in, "doc_id", col("text"),
           clfModel, cutoff = -1e9, dir + "/corpus", "lang", dir + "/ckpt")),
       // D16: the realistic number — one stream through the WHOLE
       // ladder (quality+scrub → LM → classifier → DSIR → decon →
       // near-dup store gate), one corpus landing
       "d16_pipeline" -> ((in, dir) =>
-        streaming.EventStream.ingestPipelineSink(in.toDF(), "doc_id", col("text"),
+        streaming.EventStream.ingestPipelineSink(in, "doc_id", col("text"),
           pipelineCfg, dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")))
 
     def median(xs: Seq[Double]): Double = {
@@ -265,7 +298,8 @@ object StreamBench {
         s""""ratio":${j(tail / head, 2)},""" +
         s""""secs":[${secs.map(j(_)).mkString(",")}]}"""
     }.getOrElse("")
-    val line = s"""{"gates":{$json}$growthJson,"n_batches":$nBatches,"sf":"$sfDir","cpus":"$cpus"}"""
+    val line = s"""{"gates":{$json}$growthJson,"n_batches":$nBatches,""" +
+      s""""source":"$sourceMode","sf":"$sfDir","cpus":"$cpus"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[streambench] $outPath not written: $e") }
