@@ -76,9 +76,8 @@ object SkewBench {
     // barrier FORCED on both, so the A/B isolates salting at the
     // plan shape a corpus-scale input gets (the sf1-sized fixtures
     // sit below the auto gate)
-    def barrieredSets: DataFrame = operators.Jaccard
-      .sortedSets(docs, col("doc_id"), col("text"), 3)
-      .repartition(xxhash64(col("id")))
+    def barrieredSets: DataFrame = operators.Jaccard.barriered(
+      operators.Jaccard.sortedSets(docs, col("doc_id"), col("text"), 3))
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "c2_unsalted" -> (() => operators.MinHash.nearDupPairs(
         docs, col("doc_id"), col("text"), salts = 1)),

@@ -36,10 +36,11 @@ import graft.plans.ArrayExpressions
   * the input clears `BarrierMinInputBytes` (below it the rebuild is
   * milliseconds and the barrier's fixed stage latency would be the
   * larger cost): that second exchange becomes the plan's reuse
-  * point — the merge aggregation runs ONCE to fill it and all four
-  * consumers read it as ReusedExchange (keyed on xxhash64(id), not
-  * id, so Catalyst cannot elide it as redundant with the
-  * aggregation's own partitioning — PlanSpec pins the single-build
+  * point — the merge aggregation runs ONCE to fill it, all four
+  * consumers read it as ReusedExchange, and its id-partitioning
+  * feeds the verify joins with no further exchange (see `barriered`
+  * for the key/count choice and the measured rejection of the
+  * AQE-flexible alternative — PlanSpec pins the single-build
   * shape). No cache, no lifecycle:
   * the barrier is shuffle files, the same fault-tolerance story as
   * every other stage, and honest under repeated benchmark actions
@@ -87,6 +88,32 @@ object Jaccard {
   def sortedSets(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
     Shingles.hashSets(Shingles.exploded(docs, id, text, n))
       .select(col("id"), col("s").as("hs"), size(col("s")).as("sz"))
+
+  /** The build-once materialization barrier `nearDupPairs` puts above
+    * the merged aggregation: repartition on the doc id at 2× the
+    * session's shuffle-partition count. The count must differ from
+    * the aggregation's own (EnsureRequirements elides a repartition
+    * whose partitioning semantically equals its child's — count
+    * included — and the 4× merge re-execution silently returns); 2×
+    * also gives the array-payload verify joins a finer task grain.
+    * Keying on `id` (REPARTITION_BY_NUM) rather than a derived
+    * expression feeds both verify joins exchange-free — an
+    * xxhash64(id)-keyed variant that kept every downstream exchange
+    * AQE-coalescible/skew-splittable measured STRICTLY worse at sf10
+    * (66.4/27.4/17.7 s at 8/16/32 threads vs this form's
+    * 42.9/22.7/16.1): the set table re-exchanges it added cost more
+    * at every width than AQE's runtime freedom bought. What the
+    * fixed partitioning gives up: AQE cannot coalesce or skew-split
+    * the verify joins — acceptable because verify-join skew is
+    * LINEAR in a doc's candidate count (the quadratic surface is the
+    * prefix self-join, which keeps full AQE and the opt-in salting).
+    * Read at plan-construction time on purpose — the count is baked
+    * into this plan, not re-read at execution. */
+  def barriered(sets: DataFrame): DataFrame = {
+    val parts = 2 * sets.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    sets.repartition(parts, col("id"))
+  }
 
   /** Step 2: all pairs (doc_a < doc_b) with exact Jaccard ≥ t over a
     * prebuilt `sortedSets` table (columns id, hs, sz — hs ascending).
@@ -185,7 +212,7 @@ object Jaccard {
     val corpusScale =
       docs.queryExecution.optimizedPlan.stats.sizeInBytes >= BarrierMinInputBytes
     nearDupPairsFromSets(
-      if (corpusScale) sets.repartition(xxhash64(col("id"))) else sets,
+      if (corpusScale) barriered(sets) else sets,
       threshold, salts, hotMin)
   }
 }

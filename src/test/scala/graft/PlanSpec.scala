@@ -287,23 +287,24 @@ class PlanSpec extends SparkSpec {
     // partial-agg exchange re-executed at all four consumers (both
     // prefix sides + both verify joins) — 500k arrays rebuilt 4× at
     // sf10, flat 16→32-thread scaling. The fix pins this shape: one
-    // repartition exchange (keyed on xxhash64(id) so the elision rule
-    // can never fold it into the aggregation's own id-partitioning)
-    // above the merged aggregation is the reuse point, so exactly one
-    // partial and one merge collect_set execute, and every other
-    // consumer is a ReusedExchange. Forced here via the two-step
-    // composition because the sf0.001 fixture sits (correctly) below
-    // the BarrierMinInputBytes auto-switch.
-    import org.apache.spark.sql.functions.{col, xxhash64}
+    // repartition exchange (id-keyed at 2× the session count, so the
+    // elision rule can never fold it into the aggregation's own
+    // partitioning — Jaccard.barriered) above the merged aggregation
+    // is the reuse point, so exactly one partial and one merge
+    // collect_set execute, and every other consumer is a
+    // ReusedExchange. Forced here via the two-step composition
+    // because the sf0.001 fixture sits (correctly) below the
+    // BarrierMinInputBytes auto-switch.
+    import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val df = operators.Jaccard.nearDupPairsFromSets(
-      operators.Jaccard.sortedSets(docs, col("doc_id"), col("text"), 3)
-        .repartition(xxhash64(col("id"))), 0.5)
+      operators.Jaccard.barriered(
+        operators.Jaccard.sortedSets(docs, col("doc_id"), col("text"), 3)), 0.5)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert("functions=\\[partial_collect_set".r.findAllIn(p).size == 1, p)
     assert("functions=\\[collect_set".r.findAllIn(p).size == 1, p)
-    assert(p.contains("REPARTITION_BY_COL"), p)
+    assert(p.contains("REPARTITION_BY_NUM"), p)
     assert("ReusedExchange".r.findAllIn(p).size >= 3, p)
   }
 
@@ -313,7 +314,7 @@ class PlanSpec extends SparkSpec {
     // 4× rebuild of a 500-doc set table is cheaper than the extra
     // stage round-trips)
     val small = plan("c4_dedup_ngram_jaccard")
-    assert(!small.contains("REPARTITION_BY_COL"), small)
+    assert(!small.contains("REPARTITION_BY_NUM"), small)
     // a lazily-defined corpus whose PLAN-TIME stats clear the floor
     // flips the barrier on — asserted on the initial plan, nothing
     // executed (Range stats are exact plan-time row/byte counts)
@@ -322,6 +323,6 @@ class PlanSpec extends SparkSpec {
     assert(big.queryExecution.optimizedPlan.stats.sizeInBytes
       >= operators.Jaccard.BarrierMinInputBytes)
     val forced = operators.Jaccard.nearDupPairs(big, col("doc_id"), col("text"))
-    assert(forced.queryExecution.executedPlan.toString.contains("REPARTITION_BY_COL"))
+    assert(forced.queryExecution.executedPlan.toString.contains("REPARTITION_BY_NUM"))
   }
 }
