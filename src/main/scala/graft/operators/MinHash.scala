@@ -63,8 +63,8 @@ object MinHash {
     * ≥ 2 = spread keys holding > hotMin band rows over that many
     * tasks. EXPLICIT OPT-IN for boilerplate-heavy corpora (real web
     * ingest): detection costs a window pass over the band table —
-    * measured ~7% on a uniform corpus where it buys nothing, vs a
-    * 1.4× wall / 1.7× straggler win on the skewed twin (SkewBench,
+    * measured ~9% on a uniform corpus where it buys nothing, vs a
+    * 1.4× wall / 1.9× straggler win on the skewed twin (SkewBench,
     * §6 round-12) — and a pipeline that runs exact/line dedup first
     * (C1/C45, the c21 order) strips the worst boilerplate before
     * this operator sees it. The candidate SET is identical at any
