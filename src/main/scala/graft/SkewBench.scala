@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   SPARK_GRAFT_SF_DIR=/tmp/sf1skew sbt "runMain graft.SkewBench"
   *   env: SPARK_GRAFT_SALTS (16), SPARK_GRAFT_HOTMIN (512),
-  *        SPARK_GRAFT_REPS (3), SPARK_GRAFT_BENCH_OUT (skewbench_out.json)
+  *        SPARK_GRAFT_REPS (3), SPARK_GRAFT_BENCH_OUT (skewbench_out.json),
+  *        SPARK_GRAFT_SHUFFLE_PARTITIONS (32 — 256 emulates a
+  *        cluster-width reducer count for the salting-residual check),
+  *        SPARK_GRAFT_SKEW_VARIANTS (comma-separated name prefixes to
+  *        run a subset, e.g. "c3" for the SimHash rows)
   */
 object SkewBench {
   def main(args: Array[String]): Unit = {
@@ -36,8 +40,9 @@ object SkewBench {
     // prefix table is ~400 MB), so -1 makes the sf1-sized corpus
     // execute the sf10-shaped plan
     val bcast = sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "10MB")
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32").toInt
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.autoBroadcastJoinThreshold", bcast)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -78,16 +83,35 @@ object SkewBench {
     // sit below the auto gate)
     def barrieredSets: DataFrame = operators.Jaccard.barriered(
       operators.Jaccard.sortedSets(docs, col("doc_id"), col("text"), 3))
-    val variants: Seq[(String, () => DataFrame)] = Seq(
+    val allVariants: Seq[(String, () => DataFrame)] = Seq(
       "c2_unsalted" -> (() => operators.MinHash.nearDupPairs(
         docs, col("doc_id"), col("text"), salts = 1)),
       s"c2_salted$salts" -> (() => operators.MinHash.nearDupPairs(
         docs, col("doc_id"), col("text"), salts = salts, hotMin = hotMin)),
+      // c3/c3b: the SimHash chunk-value self-join is the same
+      // pair-generating shape as c2's band join — a template-dominated
+      // fingerprint cluster puts f·n rows under one (ci, cv) key
+      "c3_unsalted" -> (() => operators.SimHash.nearDupPairs(
+        docs, col("doc_id"), col("text"), salts = 1)),
+      s"c3_salted$salts" -> (() => operators.SimHash.nearDupPairs(
+        docs, col("doc_id"), col("text"), salts = salts, hotMin = hotMin)),
+      "c3b_unsalted" -> (() => operators.SimHash.nearDupPairs(
+        docs, col("doc_id"), col("text"), maxHamming = 3, agree = 5, salts = 1)),
+      s"c3b_salted$salts" -> (() => operators.SimHash.nearDupPairs(
+        docs, col("doc_id"), col("text"), maxHamming = 3, agree = 5,
+        salts = salts, hotMin = hotMin)),
       "c4_unsalted" -> (() => operators.Jaccard.nearDupPairsFromSets(
         barrieredSets, 0.5, salts = 1)),
       s"c4_salted$salts" -> (() => operators.Jaccard.nearDupPairsFromSets(
         barrieredSets, 0.5, salts = salts, hotMin = hotMin)),
       "c45_line_dedup" -> (() => SparkEntry.queries("c45_line_dedup")(spark, dir)))
+    val prefixes = sys.env.get("SPARK_GRAFT_SKEW_VARIANTS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val variants = prefixes match {
+      case Some(ps) => allVariants.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => allVariants
+    }
+    require(variants.nonEmpty, s"no variants match $prefixes")
 
     // full warmup pass (same reasoning as Bench: steady-state only)
     variants.foreach { case (_, f) =>
@@ -119,7 +143,8 @@ object SkewBench {
       line
     }
     val out = s"""{"variants":{${rows.mkString(",")}},"sf":"$dir",""" +
-      s""""salts":$salts,"hot_min":$hotMin,"reps":$reps,"broadcast":"$bcast"}"""
+      s""""salts":$salts,"hot_min":$hotMin,"reps":$reps,"broadcast":"$bcast",""" +
+      s""""shuffle_partitions":$shufParts}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (out + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[skewbench] $outPath not written: $e") }

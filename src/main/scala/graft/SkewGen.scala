@@ -38,6 +38,12 @@ object SkewGen {
     val denom = if (args.length > 2) args(2).toInt else 10
     val tmplTokens = if (args.length > 3) args(3).toInt else 60
     require(denom >= 2 && tmplTokens >= 3, s"bad args denom=$denom tmpl=$tmplTokens")
+    // overwrite-while-reading guard: same dir as src and dst would
+    // destroy the source mid-copy (compare canonical paths so
+    // /tmp/sf1 and /tmp//sf1/. don't slip through)
+    require(new java.io.File(src).getCanonicalPath !=
+      new java.io.File(dst).getCanonicalPath,
+      s"src and dst must differ (both resolve to $src)")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

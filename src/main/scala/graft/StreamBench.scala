@@ -126,8 +126,10 @@ object StreamBench {
     // pays a single-task deserialize+shuffle-write before any kernel
     // runs; a Kafka topic with 32 partitions (or a spooled file drop)
     // never has that stage. Batch-write time (the producer's cost) is
-    // OUTSIDE the timer; file listing + scan is inside, as it would
-    // be in production.
+    // INSIDE the timer (reported separately on stderr) — the query
+    // runs continuously, so any timer started after the write returns
+    // would let processing begin before t0 and undercount; file
+    // listing + scan is inside too, as it would be in production.
     val sourceMode = sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE", "memory")
     val sourceFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE_FILES", "32").toInt
 
@@ -148,10 +150,21 @@ object StreamBench {
         try {
           q.processAllAvailable() // warmup batch = the pre-written spool files
           (1 to nBatches).map { k =>
-            feed(s"${gate}s$size", k)
+            // t0 BEFORE feed(): the query runs continuously, so it can
+            // list and start processing batch k's files the moment the
+            // producer commits them — a timer started after feed()
+            // returns misses that head start and undercounts vs the
+            // memory mode (ADVICE r12). The measured second therefore
+            // INCLUDES the producer write; the stderr line reports the
+            // write alone so processing is bounded in [sec−write, sec].
             val t0 = System.nanoTime()
+            feed(s"${gate}s$size", k)
+            val wSec = (System.nanoTime() - t0) / 1e9
             q.processAllAvailable()
-            (System.nanoTime() - t0) / 1e9
+            val sec = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[streambench] $gate size=$size batch $k%2d: " +
+              f"$sec%.3f s total (feed write $wSec%.3f s)")
+            sec
           }
         } finally q.stop()
       } else {

@@ -189,21 +189,15 @@ object Jaccard {
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
                    n: Int = 3, threshold: Double = 0.5,
                    salts: Int = 1, hotMin: Long = 4096): DataFrame = {
-    // The barrier keys on xxhash64(id), NOT id: the aggregation below
-    // is already hash-partitioned on id, and Catalyst elides a
-    // repartition whose expressions semantically equal the child's
-    // partitioning — the 4× merge re-execution would silently return.
-    // A derived key can never be elided, needs no magic partition
-    // count, and stays fully AQE-friendly: the set table is the
-    // CORPUS-sized but byte-LIGHT side (~8 bytes/shingle — 220 MB at
-    // sf10 against the verify stages' 13 GB of candidate-pair array
-    // traffic), so letting each consumer re-exchange it under
-    // ENSURE_REQUIREMENTS costs almost nothing and keeps every
-    // downstream stage's partition count an AQE decision (a barrier
-    // pinned on id fed the verify joins exchange-free but froze them
-    // at the barrier's fixed REPARTITION_BY_COL count — measured
-    // +0.6-0.8 s of un-coalescible tiny-task scheduling per query at
-    // sf0.1 for zero sf10 benefit).
+    // The barrier is `barriered`: an id-keyed REPARTITION_BY_NUM at
+    // 2× the session's shuffle-partition count — see its scaladoc for
+    // why the count must differ from the aggregation's (elision) and
+    // for the measured rejection of the xxhash64(id)-keyed
+    // AQE-flexible alternative (66.4/27.4/17.7 s vs 42.9/22.7/16.1 at
+    // sf10 8/16/32 threads — the set-table re-exchanges it added cost
+    // more at every width than AQE's runtime freedom bought).
+    // PlanSpec pins the shape: one partial + one merge collect_set,
+    // REPARTITION_BY_NUM above it, auto-switch in both directions.
     val sets = sortedSets(docs, id, text, n)
     // `salts` ≥ 2 is the boilerplate-corpus opt-in (hot prefix keys —
     // see nearDupPairsFromSets; detection costs a window pass that a

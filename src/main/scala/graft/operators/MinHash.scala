@@ -74,7 +74,6 @@ object MinHash {
                    n: Int = 3, k: Int = 8, bandRows: Int = 2,
                    threshold: Double = 0.5,
                    salts: Int = 1, hotMin: Long = 4096): DataFrame = {
-    val effSalts = salts
     val ex = Shingles.exploded(docs, id, text, n)
     // hashed long sets for the verify step (the SIGNATURE stays
     // md5-based for engine portability — see the object scaladoc;
@@ -89,13 +88,13 @@ object MinHash {
     // (the derived xxhash64 key can't be elided; downstream
     // exchanges re-key on (bi, bk) anyway)
     val banded =
-      if (effSalts > 1) banded0.repartition(xxhash64(col("id"), col("bi")))
+      if (salts > 1) banded0.repartition(xxhash64(col("id"), col("bi")))
       else banded0
     val (bandA, bandB) =
-      if (effSalts > 1) Skew.selfJoinSides(banded, Seq("bi", "bk"), col("id"), effSalts, hotMin)
+      if (salts > 1) Skew.selfJoinSides(banded, Seq("bi", "bk"), col("id"), salts, hotMin)
       else (banded, banded)
     val saltEq =
-      if (effSalts > 1) col("a.__salt") === col("b.__salt") else lit(true)
+      if (salts > 1) col("a.__salt") === col("b.__salt") else lit(true)
     val cand = bandA.as("a").join(bandB.as("b"),
         col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") && saltEq &&
           col("a.id") < col("b.id"))

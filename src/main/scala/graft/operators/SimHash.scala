@@ -120,7 +120,8 @@ object SimHash {
 
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
                    n: Int = 3, maxHamming: Int = 7, chunks: Int = 8,
-                   agree: Int = 1, allowQuadraticBand: Boolean = false): DataFrame = {
+                   agree: Int = 1, allowQuadraticBand: Boolean = false,
+                   salts: Int = 1, hotMin: Long = 4096): DataFrame = {
     require(agree >= 1 && agree <= chunks, "need 1 <= agree <= chunks")
     require(maxHamming <= chunks - agree,
       "pigeonhole: need maxHamming <= chunks - agree")
@@ -180,12 +181,34 @@ object SimHash {
     // would build the entire fingerprint pipeline a second time for
     // the build side (2× the scan/shingle/aggregate work AND 2× the
     // codegen of the wide aggregate).
-    def bandJoin(chunked: DataFrame, extraCond: Column): DataFrame =
-      chunked.as("a").hint("shuffle_hash").join(chunked.as("b"),
-        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+    //
+    // `salts` ≥ 2 is the boilerplate-corpus opt-in, wired exactly like
+    // MinHash/Jaccard (§6 round-12/13): a template-dominated corpus
+    // puts near-identical fingerprints under one hot (ci, cv) key and
+    // the self-join emits (f·n)² candidate pairs from ONE task —
+    // invisible to AQE's input-byte skew split. Skew.selfJoinSides
+    // spreads each hot key over `salts` tasks; every pair instance
+    // still meets exactly once (at a's salt), so both the
+    // first-agreeing-chunk filter (per-pair-instance, commutes with
+    // salting) and the dedup'd combination path return the identical
+    // pair set — NearDupSpec pins parity. The xxhash64(id, ci) reuse
+    // barrier keeps hot detection's window pass from re-running the
+    // fingerprint pipeline per consumer (the derived key can't be
+    // elided; downstream exchanges re-key on (ci, cv) anyway).
+    def sides(chunked0: DataFrame): (DataFrame, DataFrame) =
+      if (salts > 1) Skew.selfJoinSides(
+        chunked0.repartition(xxhash64(col("id"), col("ci"))),
+        Seq("ci", "cv"), col("id"), salts, hotMin)
+      else (chunked0, chunked0)
+    val saltEq = if (salts > 1) col("a.__salt") === col("b.__salt") else lit(true)
+    def bandJoin(chunked: DataFrame, extraCond: Column): DataFrame = {
+      val (left, right) = sides(chunked)
+      left.as("a").hint("shuffle_hash").join(right.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") && saltEq &&
           col("a.id") < col("b.id") && extraCond)
         .select(col("a.id").as("doc_a"), col("a.sig").as("siga"),
           col("b.id").as("doc_b"), col("b.sig").as("sigb"))
+    }
     val cand = if (agree == 1) {
       val chunked = sigs.select(col("id"), col("sig"),
         posexplode(array((0 until chunks).map(chunkVal): _*)).as(Seq("ci", "cv")))

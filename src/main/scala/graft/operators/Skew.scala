@@ -53,9 +53,11 @@ object Skew {
     * EXACTLY ONCE — at a's salt — so the candidate SET is identical
     * (the parity property NearDupSpec pins); the hot key's emission
     * spreads over `salts` tasks. Cold keys ride salt 0 unreplicated:
-    * cost on an unskewed corpus is one count aggregate over the key
-    * table plus two broadcast probes of an (almost always empty) hot
-    * list.
+    * cost on an unskewed corpus is one key-partitioned window
+    * exchange (shared by both sides via ReusedExchange), a per-side
+    * sort for the window, and the two (keys…, __salt) repartitions —
+    * measured ~9% (c2) / ~22% (c4) at sf10, which is why callers keep
+    * salting opt-in.
     *
     * Hot detection is DECLARATIVE and SINGLE-LINEAGE: a count() over
     * a window partitioned by the key attaches each row's key

@@ -149,6 +149,42 @@ class NearDupSpec extends SparkSpec {
     assert(mBase.nonEmpty)
   }
 
+  test("SimHash hot-key salting parity: salted pair sets equal unsalted on a template-dominated corpus") {
+    // Template-DOMINATED docs (12 template tokens + 1 unique) drive
+    // near-identical fingerprints, plus 30 docs with IDENTICAL text
+    // (hamming 0, so every chunk key of that cluster is hot at
+    // hotMin = 10 and both band configurations return non-empty).
+    // Salting must return the exact same (doc_a, doc_b, hamming) set
+    // on both banding paths: each pair INSTANCE meets exactly once —
+    // at a's salt — so the first-agreeing-chunk filter (agree = 1)
+    // commutes with salting and the combination path's distinct()
+    // sees the same instance multiset.
+    val tmpl = (0 until 12).map(i => s"boiler$i").mkString(" ")
+    val same = (0 until 14).map(j => s"same$j").mkString(" ")
+    val rows = (1 to 200).map { i =>
+      if (i % 3 == 0) (i.toLong, s"$tmpl uniq$i")
+      else (i.toLong, (0 until 14).map(j => s"w${i}_$j").mkString(" "))
+    } ++ (601 to 630).map(i => (i.toLong, same))
+    val df = rows.toDF("doc_id", "text")
+    def pairs(d: DataFrame): Set[(Long, Long, Long)] =
+      d.select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+
+    val base = pairs(SimHash.nearDupPairs(df, col("doc_id"), col("text")))
+    assert(base.exists(p => p._1 == 601L && p._2 == 602L && p._3 == 0L))
+    assert(pairs(SimHash.nearDupPairs(df, col("doc_id"), col("text"),
+      salts = 8, hotMin = 10)) == base)
+    assert(pairs(SimHash.nearDupPairs(df, col("doc_id"), col("text"),
+      salts = 4, hotMin = 0)) == base)
+
+    val b3 = pairs(SimHash.nearDupPairs(df, col("doc_id"), col("text"),
+      maxHamming = 3, agree = 5))
+    assert(b3.exists(p => p._1 == 601L && p._2 == 602L))
+    assert(pairs(SimHash.nearDupPairs(df, col("doc_id"), col("text"),
+      maxHamming = 3, agree = 5, salts = 8, hotMin = 10)) == b3)
+    assert(pairs(SimHash.nearDupPairs(df, col("doc_id"), col("text"),
+      maxHamming = 3, agree = 5, salts = 4, hotMin = 0)) == b3)
+  }
+
   test("Jaccard size-compat pruning doesn't lose qualifying pairs") {
     // identical 12-token docs (J=1) plus a one-shingle doc sharing nothing
     val df = Seq(
