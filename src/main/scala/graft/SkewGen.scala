@@ -37,6 +37,18 @@ object SkewGen {
     val dst = if (args.length > 1) args(1) else "/tmp/sf1skew"
     val denom = if (args.length > 2) args(2).toInt else 10
     val tmplTokens = if (args.length > 3) args(3).toInt else 60
+    // "prepend" (default): template + the doc's own text — hot
+    // band/prefix/line keys, true pair set unchanged. "replace": the
+    // doc BECOMES the template verbatim — an exact-duplicate cluster
+    // (the crawl error-page / cookie-wall regime), the one plant that
+    // concentrates SimHash: identical text ⟹ identical fingerprint ⟹
+    // every planted pair shares every chunk key. Replace-mode planted
+    // pairs ARE near-dups (hamming 0, Jaccard 1), so the answer set
+    // GROWS by C(planted, 2) — fine for straggler A/Bs (both variants
+    // return it), unusable for wall-clock twins against the uniform
+    // corpus.
+    val mode = if (args.length > 4) args(4) else "prepend"
+    require(mode == "prepend" || mode == "replace", s"bad mode $mode")
     require(denom >= 2 && tmplTokens >= 3, s"bad args denom=$denom tmpl=$tmplTokens")
     // overwrite-while-reading guard: same dir as src and dst would
     // destroy the source mid-copy (compare canonical paths so
@@ -60,10 +72,12 @@ object SkewGen {
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    val plantedText =
+      if (mode == "replace") lit(template)
+      else concat(lit(template + "\n"), col("text"))
     val planted = docs.select(
       col("doc_id"),
-      when(col("doc_id") % denom === 0,
-        concat(lit(template + "\n"), col("text"))).otherwise(col("text")).as("text"),
+      when(col("doc_id") % denom === 0, plantedText).otherwise(col("text")).as("text"),
       col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     planted.write.mode("overwrite").parquet(s"$dst/documents.parquet")
@@ -71,7 +85,7 @@ object SkewGen {
     val p = spark.read.parquet(s"$dst/documents.parquet")
       .filter(col("text").startsWith("boiler·0 ")).count()
     println(s"[skewgen] $dst: $n docs, $p planted (${100.0 * p / n}%), " +
-      s"template $tmplTokens tokens")
+      s"template $tmplTokens tokens, mode $mode")
     spark.stop()
   }
 }

@@ -140,12 +140,31 @@ object StreamBench {
       if (sourceMode == "file") {
         val dir = java.nio.file.Files.createTempDirectory(s"graft-sb-$gate-$size").toString
         val spool = dir + "/spool"
-        def feed(tag: String, k: Int): Unit =
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spool))
+        // write each batch to a per-batch STAGING dir, then ONE atomic
+        // directory rename into the glob-monitored spool: the running
+        // query lists the spool continuously, and anything less than a
+        // single rename gets listed MID-COMMIT — the batch splits
+        // across two micro-batches, each paying the sink ladder's
+        // fixed cost (measured: direct multi-file writes split ~4 of 6
+        // arrivals, medians 12 → 21 s of double-ladder noise; even a
+        // per-FILE rename loop still split 1 of 7). This is the
+        // documented file-source recipe (files must appear atomically;
+        // for multi-file batches, rename a whole directory into the
+        // glob scope) and the honest analogue of a Kafka topic
+        // delivering a produced batch.
+        def feed(tag: String, k: Int): Unit = {
+          val stage = s"$dir/stage-$tag-$k"
           spark.createDataset(mkBatch(tag, k, size))(Encoders.product[StreamDoc])
-            .repartition(sourceFiles).write.mode("append").parquet(spool)
+            .repartition(sourceFiles).write.mode("overwrite").parquet(stage)
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(stage),
+            java.nio.file.Paths.get(s"$spool/b-$tag-$k"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
         feed(s"${gate}s${size}w", 0) // the path must exist before readStream plans
         val src = spark.readStream
-          .schema(Encoders.product[StreamDoc].schema).parquet(spool)
+          .schema(Encoders.product[StreamDoc].schema).parquet(s"$spool/*")
         val q = start(src, dir)
         try {
           q.processAllAvailable() // warmup batch = the pre-written spool files
