@@ -43,6 +43,11 @@ object SkewBench {
     val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", shufParts)
+      // experiment knob (round-13 residual hunt): AQE's input-byte
+      // partition coalescing packs tiny-input/quadratic-output salt
+      // cells back into one reducer
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true"))
       .config("spark.sql.autoBroadcastJoinThreshold", bcast)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -54,6 +59,12 @@ object SkewBench {
     // a stage so "max task" isn't a black box (stage ids are matched
     // to operators by reading the executed plan's stage markers)
     val stageMs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    // the straggler's anatomy: metrics of the single longest task —
+    // distinguishes "one cell genuinely holds the work" (big shuffle
+    // read / output rows) from a memory-pressure artifact (spill, GC)
+    case class MaxTask(ms: Long, stage: Int, shufRMb: Double, shufWMb: Double,
+                       spillMb: Double, gcMs: Long, recordsR: Long)
+    @volatile var maxTask = MaxTask(0, -1, 0, 0, 0, 0, 0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -64,6 +75,14 @@ object SkewBench {
           tasks.increment()
           stageMs.merge(t.stageId, (t.taskInfo.duration, t.taskInfo.duration),
             (a, b) => (a._1 + b._1, math.max(a._2, b._2)))
+          synchronized {
+            if (t.taskInfo.duration > maxTask.ms) maxTask = MaxTask(
+              t.taskInfo.duration, t.stageId,
+              m.shuffleReadMetrics.totalBytesRead / 1e6,
+              m.shuffleWriteMetrics.bytesWritten / 1e6,
+              (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6,
+              m.jvmGCTime, m.shuffleReadMetrics.recordsRead)
+          }
         }
       }
     })
@@ -123,6 +142,7 @@ object SkewBench {
     val rows = variants.map { case (name, f) =>
       val times = (1 to reps).map { _ =>
         shufW.reset(); shufR.reset(); tasks.reset(); maxTaskMs.reset(); stageMs.clear()
+        synchronized { maxTask = MaxTask(0, -1, 0, 0, 0, 0, 0) }
         val t0 = System.nanoTime()
         f().write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
@@ -133,6 +153,10 @@ object SkewBench {
             s"stage $sid max=${j(mx / 1e3)}s sum=${j(sum / 1e3)}s" }
           .mkString("; ")
         System.err.println(s"[skewbench] $name rep top stages: $top")
+        val mt = maxTask
+        System.err.println(f"[skewbench] $name rep max task: ${mt.ms / 1e3}%.3f s " +
+          f"stage ${mt.stage} shuf_r=${mt.shufRMb}%.1f MB (${mt.recordsR} rec) " +
+          f"shuf_w=${mt.shufWMb}%.1f MB spill=${mt.spillMb}%.1f MB gc=${mt.gcMs} ms")
         (sec, maxTaskMs.get() / 1e3, shufW.sum() / 1e6, shufR.sum() / 1e6, tasks.sum())
       }
       val best = times.minBy(_._1)

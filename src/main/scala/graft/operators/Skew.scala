@@ -91,18 +91,35 @@ object Skew {
     // key over `salts` tasks (and the join then needs no further
     // exchange; elision cannot fold it into the window's bare-key
     // exchange because the expression lists differ).
+    //
+    // The EXPLICIT partition count is load-bearing for the same
+    // reason (round 13): a bare REPARTITION_BY_COL is fair game for
+    // AQE's input-byte partition coalescing, and a hot salt cell is
+    // exactly the partition AQE misjudges — a few MB of input rows
+    // that emit a quadratic pair volume. Measured on the skewed sf1
+    // twin at 256 partitions: AQE packed ~20-30 salt cells back into
+    // one reducer and the salted straggler sat at 23.6-30.9 s
+    // regardless of salts (16 or 64) or partition count (32 or 256);
+    // the same plan with non-coalescible placement runs the max task
+    // at 2.9 s. REPARTITION_BY_NUM (the session count, read at plan
+    // time like Jaccard.barriered) pins the cell spread without
+    // touching AQE anywhere else — the cost, more (mostly tiny)
+    // tasks on an unskewed corpus, lands only on callers who opted
+    // into salting.
+    val parts = table.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val scattered = counted
       .withColumn("__salt",
         when(col("__n") > hotMin, pmod(xxhash64(unique), lit(salts)).cast("int"))
           .otherwise(lit(0)))
       .drop("__n")
-      .repartition(saltKeys: _*)
+      .repartition(parts, saltKeys: _*)
     val replicated = counted
       .withColumn("__salt", explode(
         when(col("__n") > hotMin, sequence(lit(0), lit(salts - 1)))
           .otherwise(array(lit(0)))))
       .drop("__n")
-      .repartition(saltKeys: _*)
+      .repartition(parts, saltKeys: _*)
     (scattered, replicated)
   }
 }
