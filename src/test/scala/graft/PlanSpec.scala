@@ -326,6 +326,35 @@ class PlanSpec extends SparkSpec {
     assert(forced.queryExecution.executedPlan.toString.contains("REPARTITION_BY_NUM"))
   }
 
+  test("E5 salted self-join sides ride non-coalescible REPARTITION_BY_NUM exchanges") {
+    // The round-13 residual post-mortem (§6): a bare
+    // REPARTITION_BY_COL on (keys…, __salt) is fair game for AQE's
+    // input-byte partition coalescing, which packed 20-30
+    // tiny-input/quadratic-OUTPUT hot salt cells back into one
+    // reducer — the salted straggler sat at ~13 s regardless of
+    // salts or partition count until selfJoinSides pinned an
+    // explicit count. This pin is the regression tripwire: both
+    // salted sides must carry REPARTITION_BY_NUM, and the executed
+    // join must run at the pinned count (a coalescible exchange on
+    // this toy input would collapse to a handful of partitions).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = (1 to 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) "hot" else s"k$i")).toDF("id", "k")
+    val (a, b) = operators.Skew.selfJoinSides(t, Seq("k"), col("id"),
+      salts = 8, hotMin = 100)
+    val j = a.as("a").join(b.as("b"),
+      col("a.k") === col("b.k") && col("a.__salt") === col("b.__salt") &&
+        col("a.id") < col("b.id"))
+    assert(j.count() > 0)
+    val p = j.queryExecution.executedPlan.toString
+    assert("REPARTITION_BY_NUM".r.findAllIn(p).size >= 2, p)
+    val pinned = spark.sessionState.conf.numShufflePartitions
+    assert(j.rdd.getNumPartitions == pinned,
+      s"salted join ran at ${j.rdd.getNumPartitions} partitions, expected $pinned — " +
+        "AQE coalescing re-packed the salt cells")
+  }
+
   test("c4 multi-threshold path: bucketed sortedSets feeds the verify joins with no exchange above the bucketed scan") {
     // The E9 composition the Jaccard object scaladoc promises: a
     // caller probing several thresholds lands sortedSets ONCE with
