@@ -1,4 +1,7 @@
 package graft
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every `SparkEntry.queries`
@@ -84,6 +87,51 @@ object Bench {
     val loadPre = loadavg()
     val calibPre = calibMin()
 
+    // ---- per-query diagnostics (round 14: the suite-inflation hunt) ---
+    // A query's wall seconds alone can't attribute an in-suite
+    // inflation (r13: c38 29.6/41.0 s in-suite vs 17.3 standalone,
+    // min-of-3 per run — NOT transient noise). Three cheap probes per
+    // query separate the suspects: driver+executor GC time (suite-long
+    // heap debt), task spill bytes (execution-memory contention), and
+    // the BlockManager's resident RDD storage (this suite's operators
+    // localCheckpoint intermediates — Components per CC round, the
+    // packing prefix sums — and those blocks are freed only when a
+    // DRIVER GC lets the ContextCleaner collect them, so storage can
+    // accumulate across a 95-query suite and squeeze execution
+    // memory). All three land in the FULL file record only; the
+    // stdout line (the driver's scrape) is unchanged.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val spillBytes = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) spillBytes.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    })
+    def storageSnapshot(): (Long, Int) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum, spark.sparkContext.getPersistentRDDs.size)
+    }
+    // SPARK_GRAFT_BENCH_HYGIENE=1: between queries, drop every
+    // persistent RDD (nothing references a prior query's checkpoint
+    // blocks once its action returned), clear the SQL cache, and ask
+    // for a driver GC so the ContextCleaner can reap broadcast/shuffle
+    // state. OFF by default — the protocol the cross-round records
+    // were measured under stays the default; this knob is the A/B for
+    // the inflation experiment.
+    val hygiene = sys.env.get("SPARK_GRAFT_BENCH_HYGIENE").contains("1")
+    def hygienePass(): Unit = if (hygiene) {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      System.gc()
+      org.apache.spark.graft.Listeners.settle(spark.sparkContext)
+      Thread.sleep(200) // let async unpersist/cleaner messages land
+    }
+
     // local profiling with a name filter warms only the filtered set
     // (the driver passes no args → full warmup, unchanged)
     val warmSet = if (args.isEmpty) SparkEntry.queries
@@ -105,23 +153,37 @@ object Bench {
     // record. A rep that THROWS records the -1.0 sentinel; a query
     // whose every rep fails reports -1.0 — a broken query must never
     // masquerade as a fast one.
-    val results = (if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+    val resultsFull = (if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
                    else args.toSeq.map(n => n -> SparkEntry.queries(n)))
       .map { case (name, fn) =>
       // noop sink: computes every output column (count() would let
       // Catalyst prune the projections) without any write cost.
+      hygienePass()
       val times = (1 to reps).map { _ =>
+        // drain the listener bus so a prior rep's straggling task-end
+        // events don't leak into this rep's spill total (outside the
+        // timer on both ends)
+        org.apache.spark.graft.Listeners.settle(spark.sparkContext)
+        spillBytes.reset()
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.Listeners.settle(spark.sparkContext)
+          (sec, (gcMillis() - g0) / 1e3, spillBytes.sum() / 1e6)
         } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); (-1.0, 0.0, 0.0)
         }
       }
-      val ok = times.filter(_ >= 0)
-      name -> (if (ok.isEmpty) -1.0 else ok.min)
+      val ok = times.filter(_._1 >= 0)
+      // diagnostics ride the rep that produced the reported (min) time
+      val best = if (ok.isEmpty) (-1.0, 0.0, 0.0) else ok.minBy(_._1)
+      val (storageBytes, nRdds) = storageSnapshot()
+      (name, best._1, best._2, best._3, storageBytes / 1e6, nRdds)
     }
+    val results = resultsFull.map { case (name, sec, _, _, _, _) => name -> sec }
     // post-sweep calibration: load arriving MID-run shows up as
     // pre/post disagreement even if the pre measurement was quiet
     val calibPost = calibMin()
@@ -154,13 +216,21 @@ object Bench {
     val line =
       s"""{"queries":$qs,"calib":${ms(calib)},"out":"$outPath",""" +
       s""""metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir"}"""
+    // per-query diagnostics (gc seconds + spill MB of the min rep;
+    // resident RDD storage MB + block count right AFTER the query) —
+    // the attribution record for any in-suite-vs-standalone gap
+    val diag = resultsFull.map { case (name, _, gcSec, spillMb, storMb, nRdds) =>
+      "\"" + name + s"""":{"gc_sec":${ms(gcSec)},"spill_mb":${ms(spillMb)},""" +
+        s""""storage_mb_after":${ms(storMb)},"rdds_after":$nRdds}"""
+    }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"cpus":"$cpus","shuffle_partitions":"$shufflePartitions",""" +
-      s""""n_queries":${results.size},""" +
+      s""""n_queries":${results.size},"hygiene":$hygiene,""" +
       s""""calib":$calib,"calib_pre":$calibPre,"calib_post":$calibPost,""" +
       s""""calib_ref":"min-of-3 bit_xor(xxhash64(id)) over range(2^28), warmed",""" +
       s""""loadavg_pre":"$loadPre","loadavg_post":"$loadPost",""" +
+      s""""diag":$diag,""" +
       s""""queries":$qsFull}"""
     // best-effort: the bench must still report via stdout if cwd
     // isn't writable (e.g. run from a read-only checkout)

@@ -357,6 +357,11 @@ object GateProfile {
         }
       }
     })
+    // measured-stage samples, dumped as JSON at the end: a per-stage
+    // attribution a SURVEY table cites must trace to a committed
+    // record, not stderr prose (VERDICT r13 item 2)
+    val stageRows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double, Double, Double)]
     def stage[T](name: String)(body: => T): T = {
       shufW.reset(); shufR.reset(); inBytes.reset()
       val t0 = System.nanoTime()
@@ -364,6 +369,7 @@ object GateProfile {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"  $name%-22s $sec%6.2f s  input=${inBytes.sum / 1e6}%8.1f MB " +
         f"shuffle_w=${shufW.sum / 1e6}%7.1f MB shuffle_r=${shufR.sum / 1e6}%7.1f MB")
+      stageRows += ((name, sec, inBytes.sum / 1e6, shufW.sum / 1e6, shufR.sum / 1e6))
       r
     }
 
@@ -378,6 +384,10 @@ object GateProfile {
       // the sink's exact shape: spread → quality+scrub → PIN (the
       // pin stops predicate pushdown re-inlining the scrub regexes
       // into every kernel filter), then kernels + decon → final pin
+      // TOTAL starts BEFORE the first stage — it used to start after
+      // the quality pin, silently excluding that stage from the
+      // stage-sum-vs-total comparison this profiler exists to make
+      val t0 = System.nanoTime()
       var batch: org.apache.spark.sql.DataFrame = null
       st("quality+scrub pin") {
         batch = EventStream.qualityGate(
@@ -385,7 +395,6 @@ object GateProfile {
           col("text"), -1e9).localCheckpoint(true)
       }
       val scrubbedText = col("scrubbed")
-      val t0 = System.nanoTime()
       var surv = batch
         .filter(operators.LangModel.scoreCol(scrubbedText, lmModel)
           .getField("lm_score") <= 1e9)
@@ -419,8 +428,26 @@ object GateProfile {
         bBands.write.mode("overwrite").parquet(s"$dir/store/bands/batch=$batchId")
         bSets.write.mode("overwrite").parquet(s"$dir/store/sets/batch=$batchId")
       }
-      if (measured)
-        println(f"  TOTAL                  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      if (measured) {
+        val total = (System.nanoTime() - t0) / 1e9
+        println(f"  TOTAL                  $total%6.2f s")
+        // committed-record twin of the stdout table (GATE_PROF_OUT)
+        def j(v: Double): String =
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+        val rows = stageRows.map { case (n, sec, in, w, r) =>
+          s""""$n":{"sec":${j(sec)},"input_mb":${j(in)},""" +
+            s""""shuffle_write_mb":${j(w)},"shuffle_read_mb":${j(r)}}"""
+        }.mkString(",")
+        val out = sys.env.getOrElse("GATE_PROF_OUT", "gateprofile_out.json")
+        val line = s"""{"mode":"ladder","batch":$batchSize,""" +
+          s""""store_batches":$storeBatches,"sf":"$sfDir",""" +
+          s""""total_sec":${j(total)},"stages":{$rows}}"""
+        try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (line + "\n").getBytes("UTF-8"))
+        catch { case e: Exception =>
+          System.err.println(s"[gateprofile] $out not written: $e") }
+        println(line)
+      }
     }
   }
 }

@@ -64,6 +64,13 @@ object SkewBench {
     // read / output rows) from a memory-pressure artifact (spill, GC)
     case class MaxTask(ms: Long, stage: Int, shufRMb: Double, shufWMb: Double,
                        spillMb: Double, gcMs: Long, recordsR: Long)
+    // ONE lock object shared by the listener's read-modify-write and
+    // the per-rep reset below: a bare `synchronized` in the anonymous
+    // listener locks the listener instance while one in `main` locks
+    // the SkewBench object — two monitors, no mutual exclusion
+    // (ADVICE r13; benign under the single listener-bus thread, but
+    // the locks must mean what they say)
+    val mtLock = new Object
     @volatile var maxTask = MaxTask(0, -1, 0, 0, 0, 0, 0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -75,7 +82,7 @@ object SkewBench {
           tasks.increment()
           stageMs.merge(t.stageId, (t.taskInfo.duration, t.taskInfo.duration),
             (a, b) => (a._1 + b._1, math.max(a._2, b._2)))
-          synchronized {
+          mtLock.synchronized {
             if (t.taskInfo.duration > maxTask.ms) maxTask = MaxTask(
               t.taskInfo.duration, t.stageId,
               m.shuffleReadMetrics.totalBytesRead / 1e6,
@@ -142,7 +149,7 @@ object SkewBench {
     val rows = variants.map { case (name, f) =>
       val times = (1 to reps).map { _ =>
         shufW.reset(); shufR.reset(); tasks.reset(); maxTaskMs.reset(); stageMs.clear()
-        synchronized { maxTask = MaxTask(0, -1, 0, 0, 0, 0, 0) }
+        mtLock.synchronized { maxTask = MaxTask(0, -1, 0, 0, 0, 0, 0) }
         val t0 = System.nanoTime()
         f().write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9

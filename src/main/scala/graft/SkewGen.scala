@@ -53,9 +53,12 @@ object SkewGen {
     // overwrite-while-reading guard: same dir as src and dst would
     // destroy the source mid-copy (compare canonical paths so
     // /tmp/sf1 and /tmp//sf1/. don't slip through)
-    require(new java.io.File(src).getCanonicalPath !=
-      new java.io.File(dst).getCanonicalPath,
-      s"src and dst must differ (both resolve to $src)")
+    // the message names the CANONICAL path actually compared, not the
+    // raw argument — a collision via symlinks/relative paths should
+    // say what it resolved to (ADVICE r13)
+    val srcCanon = new java.io.File(src).getCanonicalPath
+    require(srcCanon != new java.io.File(dst).getCanonicalPath,
+      s"src and dst must differ (both resolve to $srcCanon)")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -62,6 +62,17 @@ object StreamBench {
     // flat-arrival claim is tested against a store that dwarfs the
     // arrivals, not one the run itself built
     val preseed = sys.env.getOrElse("SPARK_GRAFT_STREAM_GROWTH_PRESEED", "0").toInt
+    // ERROR-PAGE STORM plant (round 14, the streaming twin of
+    // SkewGen's replace mode): this fraction of every growth batch is
+    // ONE identical template text (vocab disjoint from the pool's
+    // prefixed tokens), the crawl regime where a frontier keeps
+    // emitting the same error page / cookie wall. Identical text ⟹
+    // identical signature ⟹ every storm doc collides on every band
+    // key with every stored storm doc — the exact-dup-cluster regime
+    // the batch skew program measured on C3 (SURVEY §6 r13), now
+    // aimed at the D10 gate's per-arrival cost at a grown store.
+    val stormFrac = sys.env.getOrElse("SPARK_GRAFT_STREAM_STORM_FRAC", "0").toDouble
+    val stormTokens = sys.env.getOrElse("SPARK_GRAFT_STREAM_STORM_TOKENS", "60").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -118,6 +129,22 @@ object StreamBench {
           text.split("\\s+").filter(_.nonEmpty).map(pfx + _).mkString(" "))
       }
 
+    /** growth-phase batch with the storm plant applied: the first
+      * ⌈size·stormFrac⌉ docs carry the SAME fixed template text in
+      * every batch (ids stay globally unique — a crawler assigns
+      * fresh ids to re-fetched error pages). */
+    val stormText = (0 until stormTokens).map(i => s"storm·$i").mkString(" ")
+    def mkGrowthBatch(tag: String, k: Int, size: Int): Seq[StreamDoc] = {
+      val base = mkBatch(tag, k, size)
+      if (stormFrac <= 0) base
+      else {
+        val nStorm = math.min(size, math.ceil(size * stormFrac).toInt)
+        base.zipWithIndex.map { case (d, i) =>
+          if (i < nStorm) d.copy(text = stormText) else d
+        }
+      }
+    }
+
     // SPARK_GRAFT_STREAM_SOURCE=file swaps the MemoryStream for a
     // parquet FILE stream whose every batch arrives PRE-PARTITIONED
     // into SPARK_GRAFT_STREAM_SOURCE_FILES files (default 32) — the
@@ -134,9 +161,14 @@ object StreamBench {
     val sourceFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE_FILES", "32").toInt
 
     /** drive one (gate, batchSize) run: warmup batch 0 (unmeasured),
-      * then `nBatches` measured batches. Returns per-batch seconds. */
+      * then `nBatches` measured batches. Returns (per-batch seconds,
+      * per-batch producer seconds — file write or addData, bounding
+      * processing in [sec − feed, sec], and the sinks' per-stage
+      * samples when GRAFT_SINK_PROFILE=1 — the committed-record twin
+      * of the stderr attribution lines). */
     def run(gate: String, size: Int,
-            start: (DataFrame, String) => StreamingQuery): Seq[Double] =
+            start: (DataFrame, String) => StreamingQuery)
+      : (Seq[Double], Seq[Double], Seq[(String, Double)]) =
       if (sourceMode == "file") {
         val dir = java.nio.file.Files.createTempDirectory(s"graft-sb-$gate-$size").toString
         val spool = dir + "/spool"
@@ -168,7 +200,8 @@ object StreamBench {
         val q = start(src, dir)
         try {
           q.processAllAvailable() // warmup batch = the pre-written spool files
-          (1 to nBatches).map { k =>
+          streaming.SinkProfile.reset() // measured batches only
+          val rows = (1 to nBatches).map { k =>
             // t0 BEFORE feed(): the query runs continuously, so it can
             // list and start processing batch k's files the moment the
             // producer commits them — a timer started after feed()
@@ -183,8 +216,9 @@ object StreamBench {
             val sec = (System.nanoTime() - t0) / 1e9
             System.err.println(f"[streambench] $gate size=$size batch $k%2d: " +
               f"$sec%.3f s total (feed write $wSec%.3f s)")
-            sec
+            (sec, wSec)
           }
+          (rows.map(_._1), rows.map(_._2), streaming.SinkProfile.snapshot())
         } finally q.stop()
       } else {
         val dir = java.nio.file.Files.createTempDirectory(s"graft-sb-$gate-$size").toString
@@ -193,12 +227,25 @@ object StreamBench {
         try {
           input.addData(mkBatch(s"${gate}s${size}w", 0, size): _*)
           q.processAllAvailable() // warmup: codegen + sink setup
-          (1 to nBatches).map { k =>
-            input.addData(mkBatch(s"${gate}s$size", k, size): _*)
+          streaming.SinkProfile.reset() // measured batches only
+          val rows = (1 to nBatches).map { k =>
+            // t0 BEFORE addData, symmetrical with the file mode's
+            // t0-before-feed (ADVICE r13): the query runs continuously
+            // and can start processing the moment addData commits, so
+            // a timer started after it would both exclude the
+            // producer's cost and miss that head start. The stderr
+            // line reports the addData time alone, so processing is
+            // bounded in [sec − add, sec] exactly like file mode.
             val t0 = System.nanoTime()
+            input.addData(mkBatch(s"${gate}s$size", k, size): _*)
+            val aSec = (System.nanoTime() - t0) / 1e9
             q.processAllAvailable()
-            (System.nanoTime() - t0) / 1e9
+            val sec = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[streambench] $gate size=$size batch $k%2d: " +
+              f"$sec%.3f s total (addData $aSec%.3f s)")
+            (sec, aSec)
           }
+          (rows.map(_._1), rows.map(_._2), streaming.SinkProfile.snapshot())
         } finally q.stop()
       }
 
@@ -240,17 +287,38 @@ object StreamBench {
     require(selected.nonEmpty,
       s"SPARK_GRAFT_STREAM_GATES matched nothing in ${gates.map(_._1).mkString(",")}")
     val results = for ((gate, start) <- selected; size <- batchSizes) yield {
-      val secs = run(gate, size, start)
+      val (secs, feedSecs, stages) = run(gate, size, start)
       val med = median(secs)
       System.err.println(f"[streambench] $gate size=$size med=$med%.3f s " +
         f"(${size / med}%.0f rows/s) secs=${secs.map(s => f"$s%.3f").mkString(",")}")
-      (gate, size, secs, med)
+      (gate, size, secs, med, feedSecs, stages)
     }
     // D10 store growth: per-batch seconds over a LONG run (store and
     // corpus grow by one batch dir each arrival; the claim under test
-    // is that per-batch time stays flat as both grow)
-    val growth: Option[Seq[Double]] = if (growthBatches > 0) Some {
+    // is that per-batch time stays flat as both grow). With
+    // SPARK_GRAFT_STREAM_STORM_FRAC > 0 the same harness measures the
+    // error-page-storm regime, and the per-batch MAX TASK (straggler)
+    // is recorded beside the wall seconds — the evidence separating
+    // "one hot band key holds the arrival" (salting territory) from
+    // "distributed candidate volume grows" (dedup-the-store territory).
+    val growth: Option[(Seq[Double], Seq[Double])] = if (growthBatches > 0) Some {
       val dir = java.nio.file.Files.createTempDirectory("graft-sb-growth").toString
+      // per-batch straggler attribution (the SkewBench anatomy,
+      // trimmed): duration + shuffle read/records of the longest task
+      case class MaxTask(ms: Long, stage: Int, shufRMb: Double, recordsR: Long)
+      val mtLock = new Object
+      @volatile var maxTask = MaxTask(0, -1, 0, 0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) mtLock.synchronized {
+            if (t.taskInfo.duration > maxTask.ms) maxTask = MaxTask(
+              t.taskInfo.duration, t.stageId,
+              m.shuffleReadMetrics.totalBytesRead / 1e6,
+              m.shuffleReadMetrics.recordsRead)
+          }
+        }
+      })
       if (preseed > 0) {
         // seed dirs land at ids ≥ 1,000,000 (disjoint vocab per the
         // usual construction), then compact into one clustered
@@ -286,9 +354,9 @@ object StreamBench {
       val q = streaming.EventStream.nearDupGateSink(input.toDF(), "doc_id", col("text"),
         dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")
       try {
-        input.addData(mkBatch("growthw", 0, growthSize): _*)
+        input.addData(mkGrowthBatch("growthw", 0, growthSize): _*)
         q.processAllAvailable()
-        val secs = (1 to growthBatches).map { k =>
+        val rows = (1 to growthBatches).map { k =>
           if (compactEvery > 0 && k % compactEvery == 0) {
             // between arrivals per the single-writer contract; the
             // compaction cost itself is deliberately OUTSIDE the
@@ -299,36 +367,58 @@ object StreamBench {
             streaming.EventStream.nearDupStoreCompact(spark, dir + "/store", (k - 1).toLong)
             streaming.EventStream.ingestCorpusCompact(spark, dir + "/corpus", "lang", (k - 1).toLong)
           }
-          input.addData(mkBatch("growth", k, growthSize): _*)
+          mtLock.synchronized { maxTask = MaxTask(0, -1, 0, 0) }
+          // t0 before addData — the same honest-timer rule as the
+          // gate runs above (addData for a growth-sized batch is
+          // milliseconds; the r11 curves remain comparable)
           val t0 = System.nanoTime()
+          input.addData(mkGrowthBatch("growth", k, growthSize): _*)
           q.processAllAvailable()
           val sec = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.Listeners.settle(spark.sparkContext)
+          val mt = mtLock.synchronized(maxTask)
           // per-batch trace: the medians hide the compaction sawtooth
           // (arrival cost tracks UNCOMPACTED DIR COUNT, not store
           // size — the curve is the evidence)
-          System.err.println(f"[streambench] d10 growth batch $k%3d: $sec%.3f s")
-          sec
+          System.err.println(f"[streambench] d10 growth batch $k%3d: $sec%.3f s " +
+            f"max task ${mt.ms / 1e3}%.3f s (stage ${mt.stage} " +
+            f"shuf_r=${mt.shufRMb}%.1f MB ${mt.recordsR} rec)")
+          (sec, mt.ms / 1e3)
         }
+        val secs = rows.map(_._1)
         val head = median(secs.take(10)); val tail = median(secs.takeRight(10))
         System.err.println(f"[streambench] d10 growth n=$growthBatches size=$growthSize " +
-          f"compactEvery=$compactEvery first10med=$head%.3f s last10med=$tail%.3f s " +
-          f"ratio=${tail / head}%.2f")
-        secs
+          f"compactEvery=$compactEvery stormFrac=$stormFrac first10med=$head%.3f s " +
+          f"last10med=$tail%.3f s ratio=${tail / head}%.2f")
+        (secs, rows.map(_._2))
       } finally q.stop()
     } else None
     val json = results.groupBy(_._1).toSeq.sortBy(_._1).map { case (gate, rs) =>
-      val per = rs.sortBy(_._2).map { case (_, size, secs, med) =>
+      val per = rs.sortBy(_._2).map { case (_, size, secs, med, feedSecs, stages) =>
+        // per-stage aggregation (GRAFT_SINK_PROFILE=1 only): one
+        // sample per measured batch per stage → median + the raw
+        // samples, so a cited per-stage table traces to this record
+        val stageJson =
+          if (stages.isEmpty) ""
+          else stages.groupBy(_._1).toSeq.sortBy(_._1).map { case (st, ss) =>
+            val vals = ss.map(_._2)
+            s""""$st":{"median_sec":${j(median(vals))},""" +
+              s""""secs":[${vals.map(j(_)).mkString(",")}]}"""
+          }.mkString(""","stages":{""", ",", "}")
         s""""batch_$size":{"secs":[${secs.map(j(_)).mkString(",")}],""" +
-          s""""median_sec":${j(med)},"rows_per_sec":${j(size / med, 0)}}"""
+          s""""feed_secs":[${feedSecs.map(j(_)).mkString(",")}],""" +
+          s""""median_sec":${j(med)},"rows_per_sec":${j(size / med, 0)}$stageJson}"""
       }.mkString(",")
       s""""$gate":{$per}"""
     }.mkString(",")
-    val growthJson = growth.map { secs =>
+    val growthJson = growth.map { case (secs, maxTaskSecs) =>
       val head = median(secs.take(10)); val tail = median(secs.takeRight(10))
       s""","d10_growth":{"n":$growthBatches,"size":$growthSize,"compact_every":$compactEvery,"preseed":$preseed,""" +
+        s""""storm_frac":${j(stormFrac, 2)},"storm_tokens":$stormTokens,""" +
         s""""first10_median_sec":${j(head)},"last10_median_sec":${j(tail)},""" +
         s""""ratio":${j(tail / head, 2)},""" +
-        s""""secs":[${secs.map(j(_)).mkString(",")}]}"""
+        s""""secs":[${secs.map(j(_)).mkString(",")}],""" +
+        s""""max_task_secs":[${maxTaskSecs.map(j(_)).mkString(",")}]}"""
     }.getOrElse("")
     val line = s"""{"gates":{$json}$growthJson,"n_batches":$nBatches,""" +
       s""""source":"$sourceMode","sf":"$sfDir","cpus":"$cpus"}"""

@@ -580,12 +580,15 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // GRAFT_SINK_PROFILE=1: per-section stderr timers (dev only)
-          val prof = sys.env.get("GRAFT_SINK_PROFILE").contains("1")
+          val prof = SinkProfile.enabled
           def st[T](name: String)(body: => T): T = {
             val t0 = System.nanoTime()
             val r = body
-            if (prof) System.err.println(
-              f"[d10 sink b=$batchId] $name%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+            if (prof) {
+              val sec = (System.nanoTime() - t0) / 1e9
+              SinkProfile.record(name, sec)
+              System.err.println(f"[d10 sink b=$batchId] $name%-16s $sec%6.2f s")
+            }
             r
           }
           val spark = batch.sparkSession
@@ -754,12 +757,15 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // GRAFT_SINK_PROFILE=1: per-section stderr timers (dev only)
-          val prof = sys.env.get("GRAFT_SINK_PROFILE").contains("1")
+          val prof = SinkProfile.enabled
           def st[T](name: String)(body: => T): T = {
             val t0 = System.nanoTime()
             val r = body
-            if (prof) System.err.println(
-              f"[d16 sink b=$batchId] $name%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+            if (prof) {
+              val sec = (System.nanoTime() - t0) / 1e9
+              SinkProfile.record(name, sec)
+              System.err.println(f"[d16 sink b=$batchId] $name%-16s $sec%6.2f s")
+            }
             r
           }
           val spark = batch.sparkSession
