@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra forked-JVM flags for experiments (e.g. a spark.* system
+  // property or a -XX: flag), space-separated:
+  //   SPARK_GRAFT_JAVA_OPTS="-Dspark.cleaner.periodicGC.interval=60s"
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.split("\\s+").toSeq.filter(_.nonEmpty))
+    .getOrElse(Seq.empty)

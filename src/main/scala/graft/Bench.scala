@@ -81,6 +81,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def calibMin(): Double = { calibOnce(); (1 to 3).map(_ => calibOnce()).min }
+    // Per-REP mini-calibration (round 14): the sweep-level pre/post
+    // calib can't see INSIDE the run, and this box showed multi-minute
+    // ~3× CPU-slowdown windows with ZERO guest-visible steal (the
+    // pure-CPU reference itself went 0.09 → 0.27 s between runs in
+    // identical conditions). A heavy query's three reps span 1-2.5
+    // minutes — the same order as a burst — so min-of-3 can't dodge
+    // and the row inflates with no JVM-side signature (measured:
+    // zero spill/storage/gc on reps 2-3× slower than standalone).
+    // One 2^27-id slice (~45 ms quiet, 3× under a burst) after each
+    // rep stamps that rep's window; analysis can then discard reps
+    // whose stamp is inflated instead of trusting a blind min.
+    def miniCalib(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 27).selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
       catch { case _: Exception => "unavailable" }
@@ -105,6 +121,37 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // JIT-state probes (round 14, second pass): the chain experiment
+    // reproduced the inflation with ZERO gc/spill/storage signature —
+    // the remaining suspects are JVM code state. Per query: the JIT's
+    // cumulative compilation-time delta (a recompile storm = seconds
+    // of C2 work mid-query), code-heap occupancy (the sweeper starts
+    // flushing warm methods near the segment caps — 240 MB total
+    // default — and flushed kernels run interpreted until
+    // re-promoted), and metaspace (class accumulation from one
+    // generated class per codegen stage per plan).
+    def jitMillis(): Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
+    }
+    def poolUsedMb(nameFrag: String): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.contains(nameFrag)).map(_.getUsage.getUsed).sum / 1e6
+    }
+    // Host CPU accounting per rep (round 14, third pass): the per-rep
+    // spikes survive a quiet pre/post calib because the calib can't
+    // see INSIDE the run. /proc/stat's cpu line is the ground truth —
+    // a rep whose window carries high STEAL ran against a co-tenant
+    // burst (invalid measurement, not an engine cost); high IOWAIT
+    // says storage stalls; high IDLE with a long wall says scheduler
+    // gaps. Returns (user+nice, system, idle, iowait, steal) jiffies.
+    def procStat(): Array[Long] =
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        Array(f(0) + f(1), f(2), f(3), f(4), if (f.length > 7) f(7) else 0L)
+      } catch { case _: Exception => Array(0L, 0L, 0L, 0L, 0L) }
     val spillBytes = new LongAdder
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -112,9 +159,15 @@ object Bench {
         if (m != null) spillBytes.add(m.memoryBytesSpilled + m.diskBytesSpilled)
       }
     })
-    def storageSnapshot(): (Long, Int) = {
+    // disk size matters as much as memory: localCheckpoint blocks are
+    // MEMORY_AND_DISK, so under execution-memory pressure they land on
+    // disk and STAY there until a driver GC lets the ContextCleaner
+    // reap them — a hygiene-off sf10 suite accumulated 73 GB of
+    // block-manager files in ~50 min on this box (r14, hit ENOSPC)
+    def storageSnapshot(): (Long, Long, Int) = {
       val infos = spark.sparkContext.getRDDStorageInfo
-      (infos.map(_.memSize).sum, spark.sparkContext.getPersistentRDDs.size)
+      (infos.map(_.memSize).sum, infos.map(_.diskSize).sum,
+        spark.sparkContext.getPersistentRDDs.size)
     }
     // SPARK_GRAFT_BENCH_HYGIENE=1: between queries, drop every
     // persistent RDD (nothing references a prior query's checkpoint
@@ -134,6 +187,7 @@ object Bench {
 
     // local profiling with a name filter warms only the filtered set
     // (the driver passes no args → full warmup, unchanged)
+    miniCalib() // warm the per-rep stamp's codegen before anything is measured
     val warmSet = if (args.isEmpty) SparkEntry.queries
                   else args.toSeq.map(n => n -> SparkEntry.queries(n)).toMap
     warmSet.foreach { case (_, fn) =>
@@ -166,24 +220,38 @@ object Bench {
         org.apache.spark.graft.Listeners.settle(spark.sparkContext)
         spillBytes.reset()
         val g0 = gcMillis()
+        val j0 = jitMillis()
+        val s0 = procStat()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
           org.apache.spark.graft.Listeners.settle(spark.sparkContext)
-          (sec, (gcMillis() - g0) / 1e3, spillBytes.sum() / 1e6)
+          val s1 = procStat()
+          val ds = s1.zip(s0).map { case (a, b) => (a - b).toDouble }
+          val tot = math.max(1.0, ds.sum)
+          // (steal%, iowait%, idle%) of the host over this rep's window
+          (sec, (gcMillis() - g0) / 1e3, spillBytes.sum() / 1e6,
+            (jitMillis() - j0) / 1e3,
+            100 * ds(4) / tot, 100 * ds(3) / tot, 100 * ds(2) / tot,
+            miniCalib())
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e"); (-1.0, 0.0, 0.0)
+            System.err.println(s"[bench] $name failed: $e")
+            (-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
         }
       }
       val ok = times.filter(_._1 >= 0)
       // diagnostics ride the rep that produced the reported (min) time
-      val best = if (ok.isEmpty) (-1.0, 0.0, 0.0) else ok.minBy(_._1)
-      val (storageBytes, nRdds) = storageSnapshot()
-      (name, best._1, best._2, best._3, storageBytes / 1e6, nRdds)
+      val best =
+        if (ok.isEmpty) (-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0) else ok.minBy(_._1)
+      val (storageBytes, storageDiskBytes, nRdds) = storageSnapshot()
+      (name, best._1, best._2, best._3, storageBytes / 1e6,
+        storageDiskBytes / 1e6, nRdds,
+        times.map(_._1), times.map(_._4), poolUsedMb("CodeHeap"), poolUsedMb("Metaspace"),
+        times.map(_._5), times.map(_._6), times.map(_._7), times.map(_._8))
     }
-    val results = resultsFull.map { case (name, sec, _, _, _, _) => name -> sec }
+    val results = resultsFull.map(r => r._1 -> r._2)
     // post-sweep calibration: load arriving MID-run shows up as
     // pre/post disagreement even if the pre measurement was quiet
     val calibPost = calibMin()
@@ -219,9 +287,21 @@ object Bench {
     // per-query diagnostics (gc seconds + spill MB of the min rep;
     // resident RDD storage MB + block count right AFTER the query) —
     // the attribution record for any in-suite-vs-standalone gap
-    val diag = resultsFull.map { case (name, _, gcSec, spillMb, storMb, nRdds) =>
-      "\"" + name + s"""":{"gc_sec":${ms(gcSec)},"spill_mb":${ms(spillMb)},""" +
-        s""""storage_mb_after":${ms(storMb)},"rdds_after":$nRdds}"""
+    val diag = resultsFull.map {
+      case (name, _, gcSec, spillMb, storMb, storDiskMb, nRdds,
+            repSecs, repJitSecs, codeHeapMb, metaspaceMb,
+            repStealPct, repIowaitPct, repIdlePct, repCalib) =>
+        "\"" + name + s"""":{"gc_sec":${ms(gcSec)},"spill_mb":${ms(spillMb)},""" +
+          s""""storage_mb_after":${ms(storMb)},""" +
+          s""""storage_disk_mb_after":${ms(storDiskMb)},"rdds_after":$nRdds,""" +
+          s""""rep_secs":[${repSecs.map(ms).mkString(",")}],""" +
+          s""""rep_jit_secs":[${repJitSecs.map(ms).mkString(",")}],""" +
+          s""""rep_steal_pct":[${repStealPct.map(ms).mkString(",")}],""" +
+          s""""rep_iowait_pct":[${repIowaitPct.map(ms).mkString(",")}],""" +
+          s""""rep_idle_pct":[${repIdlePct.map(ms).mkString(",")}],""" +
+          s""""rep_calib_secs":[${repCalib.map(ms).mkString(",")}],""" +
+          s""""codeheap_mb_after":${ms(codeHeapMb)},""" +
+          s""""metaspace_mb_after":${ms(metaspaceMb)}}"""
     }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
