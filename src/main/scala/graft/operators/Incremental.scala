@@ -26,8 +26,12 @@ import graft.plans.ArrayExpressions
   * when batches arrive in id order (Jaccard is not transitive: a
   * near-dup of a dropped doc need not match that doc's keeper, so a
   * survivors-only store would silently re-admit it; IncrementalSpec
-  * pins the equality). C22 remains the GLOBAL cluster form — this is
-  * its online counterpart.
+  * pins the equality). One refinement that loses nothing: docs with
+  * IDENTICAL signatures are interchangeable for matching (a match is
+  * a function of the shingle set, never the id), so the store keeps
+  * one representative per distinct signature per batch — see the
+  * exact-signature collapse in `gate`. C22 remains the GLOBAL
+  * cluster form — this is its online counterpart.
   *
   * Scale: signatures are one hash-agg shuffle per batch (reusing C2's
   * md5-minhash pipeline); the store join is a band-key equi-join whose
@@ -126,7 +130,8 @@ object Incremental {
            prunedBands: Option[Seq[Any] => Option[DataFrame]] = None,
            prunedSets: Option[Seq[Any] => Option[DataFrame]] = None,
            maxBandRows: Long = MaxMicroBatchBandRows,
-           maxPrunerBandRows: Long = MaxPrunerBandRows)
+           maxPrunerBandRows: Long = MaxPrunerBandRows,
+           collapseExact: Boolean = true)
     : (DataFrame, DataFrame, DataFrame) = {
     val (bBands0, bSets0) = signatures(batch, id, text, n, k, bandRows)
     // the contract is ENFORCED, not documentary — and the guard runs
@@ -167,6 +172,47 @@ object Incremental {
     val usePruners = micro && nBand <= maxPrunerBandRows
     def hint(df: DataFrame): DataFrame = if (micro) broadcast(df) else df
 
+    // EXACT-SIGNATURE COLLAPSE (round 14, the error-page-storm fix):
+    // batch docs with IDENTICAL shingle sets are mutual near-dups by
+    // construction — identical nonempty sets hash to the identical
+    // minhash signature (so they share EVERY band) and verify at
+    // exact Jaccard 1.0 ≥ threshold — so the keep-first rule always
+    // drops all but the min-id doc of each identical-set group, and
+    // any OTHER doc (this batch, this store, or any future arrival)
+    // matches a group member iff it matches the representative (the
+    // match is a function of the set, never the id). Collapsing the
+    // group to its representative BEFORE the store probe and BEFORE
+    // the signature append is therefore verdict-identical forever
+    // (IncrementalSpec pins the multi-arrival parity) while removing
+    // the quadratic cost of a crawl-storm regime: without it, a
+    // stream that keeps re-fetching one error page appends m
+    // identical signatures per arrival and the NEXT arrival's m storm
+    // docs generate m × (accumulated m·t) candidate pairs — measured
+    // on the D10 gate as a per-arrival cost growing linearly forever
+    // (6.3 → 9.2 s over 40 arrivals at a 20% plant,
+    // streambench_d10_growth_storm_r14.json) with NO straggler (max
+    // task ≤ 1.3 s — distributed volume, not a hot key, which is why
+    // salting is the wrong tool here). With the collapse the store
+    // gains ONE row per distinct storm text per arrival and the curve
+    // flattens to the no-storm baseline. Disabled when threshold > 1
+    // (then even Jaccard 1.0 wouldn't drop the duplicates) — and the
+    // empty-set short docs are never collapsed: they match nothing,
+    // always survive, and their (id, []) rows still land in the store.
+    val collapse = collapseExact && threshold <= 1.0
+    val (pBands, pSets, exactDropped) = if (collapse) {
+      val reps = bSets.filter(size(col("s")) > 0)
+        .groupBy(col("s")).agg(min(col("id")).as("id")).select(col("id"))
+      // non-representative duplicate ids: batch-bounded (smaller than
+      // the batch), so the micro-batch contract broadcasts them into
+      // the two anti-joins below
+      val dup0 = bSets.filter(size(col("s")) > 0)
+        .join(hint(reps), Seq("id"), "left_anti").select(col("id"))
+      val dup = if (micro) dup0.localCheckpoint(true) else dup0
+      (bBands.join(hint(dup), Seq("id"), "left_anti"),
+        bSets.join(hint(dup), Seq("id"), "left_anti"),
+        dup.select(col("id").as("cid")))
+    } else (bBands, bSets, bSets.limit(0).select(col("id").as("cid")))
+
     val inter = ArrayExpressions.sortedIntersectSize(col("sa"), col("sb"))
     val jac = round(inter.cast("double") /
       (size(col("sa")) + size(col("sb")) - inter), 6)
@@ -203,32 +249,42 @@ object Incremental {
     val effStoreBands =
       if (usePruners)
         prunedBands.flatMap(f =>
-            f(bBands.select(col("bk")).distinct().collect().map(_.get(0)).toSeq))
+            f(pBands.select(col("bk")).distinct().collect().map(_.get(0)).toSeq))
           .map(_.select(col("id"), col("bi"), col("bk")))
           .getOrElse(storeBands)
       else storeBands
 
     val vsStoreCand = effStoreBands.select(col("id").as("oid"), col("bi"), col("bk"))
-      .join(hint(bBands.select(col("id").as("cid"), col("bi"), col("bk"))),
+      .join(hint(pBands.select(col("id").as("cid"), col("bi"), col("bk"))),
         Seq("bi", "bk"))
       .select(col("cid"), col("oid")).distinct()
     val vsStore = verified(
       if (micro) vsStoreCand.localCheckpoint(true) else vsStoreCand,
-      bSets, storeSets, prunedSets)
+      pSets, storeSets, prunedSets)
 
     // within-batch: keep-first by id (the C2 pair orientation) — all
-    // sides batch-bounded
+    // sides batch-bounded. Both sides ride the collapsed tables: a
+    // non-representative oid's match is always witnessed by its
+    // (smaller-id) representative, so dropping duplicates from the
+    // oid side never loses a verdict — rep(set) < oid < cid and
+    // Jaccard is set-determined
     val vsBatch = verified(
-      bBands.select(col("id").as("cid"), col("bi"), col("bk"))
-        .join(hint(bBands.select(col("id").as("oid"), col("bi"), col("bk"))),
+      pBands.select(col("id").as("cid"), col("bi"), col("bk"))
+        .join(hint(pBands.select(col("id").as("oid"), col("bi"), col("bk"))),
           Seq("bi", "bk"))
         .filter(col("oid") < col("cid"))
         .select(col("cid"), col("oid")).distinct(),
-      bSets, bSets, None)
+      pSets, pSets, None)
 
-    val dropped = vsStore.unionByName(vsBatch).distinct()
+    val dropped0 = vsStore.unionByName(vsBatch)
+    val dropped =
+      (if (collapse) dropped0.unionByName(exactDropped) else dropped0).distinct()
     val survivors = batch.select(id.as("id"))
       .join(dropped.withColumnRenamed("cid", "id"), Seq("id"), "left_anti")
-    (survivors, bBands, bSets)
+    // the returned signature tables are the COLLAPSED ones: the store
+    // keeps one row per distinct signature (plus every empty-set
+    // doc), which preserves every future verdict — see the collapse
+    // note above
+    (survivors, pBands, pSets)
   }
 }

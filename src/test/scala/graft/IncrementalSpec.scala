@@ -75,6 +75,62 @@ class IncrementalSpec extends SparkSpec {
     assert(want.contains(101L))
   }
 
+  test("exact-signature collapse: storm batches gate identically with and without it") {
+    // the error-page-storm regime: every arrival carries the SAME
+    // template text under fresh ids (streambench_d10_growth_storm_r14
+    // measured the uncollapsed cost growing linearly forever). The
+    // collapse must be invisible in verdicts — per-arrival survivors
+    // identical with collapseExact on and off, across arrivals whose
+    // STORES were built by their own mode (on-store vs off-store) —
+    // while the on-mode store stays at one signature row-group per
+    // distinct storm text per arrival.
+    val storm = (1 to 12).map(t => s"storm$t").mkString(" ")
+    val stormB = (1 to 12).map(t => s"hailB$t").mkString(" ")
+    def arrival(k: Int): Seq[(Long, String)] = {
+      val base = k.toLong * 100
+      // 4 copies of storm A, 2 of storm B, one near-dup-of-corpus doc,
+      // one unique doc, one short doc — ids ascending within arrival
+      (0 until 4).map(i => (base + i, storm)) ++
+        Seq((base + 10, stormB), (base + 11, stormB),
+          (base + 20, corpus(k % corpus.length)._2),
+          (base + 30, s"unique tokens only arrival $k carries ever a b c d e"),
+          (base + 40, "ti ny"))
+    }
+    val batches = (0 until 4).map(arrival)
+    def gateSeqMode(collapse: Boolean): Seq[Set[Long]] = {
+      var (sb, ss) = Incremental.signatures(df(Nil), col("doc_id"), col("text"))
+      batches.map { b =>
+        val (surv, bb, bs) = Incremental.gate(sb, ss, df(b),
+          col("doc_id"), col("text"), threshold = T, collapseExact = collapse)
+        sb = sb.unionByName(bb); ss = ss.unionByName(bs)
+        surv.as[Long].collect().toSet
+      }
+    }
+    val on = gateSeqMode(collapse = true)
+    val off = gateSeqMode(collapse = false)
+    assert(on == off, s"collapse changed verdicts: on=$on off=$off")
+    // arrival 0 keeps one doc per storm text; later arrivals keep no
+    // storm docs at all (the store remembers), and the short doc
+    // always survives
+    assert(on.head.intersect(Set(0L, 1L, 2L, 3L)) == Set(0L))
+    assert(on.head.contains(10L) && !on.head.contains(11L))
+    assert(on.tail.forall(s => !s.exists(id => id % 100 < 12)),
+      s"storm docs survived a later arrival: ${on.tail}")
+    assert(on.forall(s => s.exists(id => id % 100 == 40)))
+    // the collapsed store carries ONE signature per distinct nonempty
+    // set per arrival: 6 storm copies → 2 reps, plus the corpus doc
+    // and the unique doc, plus the short doc's empty-set row = 5
+    var (sb2, ss2) = Incremental.signatures(df(Nil), col("doc_id"), col("text"))
+    val (_, bb2, bs2) = Incremental.gate(sb2, ss2, df(batches.head),
+      col("doc_id"), col("text"), threshold = T, collapseExact = true)
+    val setRows = bs2.as[(Long, Seq[Long])].collect()
+    assert(setRows.length == 5, s"expected 5 collapsed set rows, got ${setRows.length}")
+    assert(setRows.count(_._2.isEmpty) == 1, "the short doc's empty-set row must persist")
+    val bandIds = bb2.select("id").distinct().as[Long].collect().toSet
+    assert(bandIds == Set(0L, 10L, 20L, 30L),
+      s"collapsed bands must carry only the min-id representatives, got $bandIds")
+  }
+
   test("transitive chain across batches: a dup of a DROPPED doc is still dropped") {
     // v1 matches v0 (dropped); v2 matches v1 but not v0 — only a
     // store that keeps dropped docs' signatures catches v2
