@@ -30,6 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // extra forked-JVM flags for experiments (e.g. a spark.* system
   // property or a -XX: flag), space-separated:
-  //   SPARK_GRAFT_JAVA_OPTS="-Dspark.cleaner.periodicGC.interval=60s"
+  //   SPARK_GRAFT_JAVA_OPTS="-Dspark.cleaner.periodicGC.interval=30s"
+  // Limitation: split on bare whitespace, no quoting — an option
+  // whose VALUE contains a space cannot be passed this way.
   sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.split("\\s+").toSeq.filter(_.nonEmpty))
     .getOrElse(Seq.empty)

@@ -41,6 +41,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Disk-leak guard, shipped as a harness default (round 15):
+      // localCheckpoint blocks are MEMORY_AND_DISK and are freed only
+      // when a DRIVER GC lets the ContextCleaner reap the dead RDD
+      // handles; a long suite run accumulated 73 GB of dead block
+      // files in ~50 min and hit ENOSPC (SURVEY §6 r14). The periodic
+      // driver GC bounds that to one interval's worth (73 → 7 GB
+      // measured) at no wall-time cost (gc60 vs hyg0 chain pair,
+      // §6 r14 — the deltas were box noise).
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -145,12 +154,16 @@ object Bench {
     // a rep whose window carries high STEAL ran against a co-tenant
     // burst (invalid measurement, not an engine cost); high IOWAIT
     // says storage stalls; high IDLE with a long wall says scheduler
-    // gaps. Returns (user+nice, system, idle, iowait, steal) jiffies.
+    // gaps. Returns (user+nice, system+irq+softirq, idle, iowait,
+    // steal) jiffies — irq/softirq fold into the system bucket so
+    // the denominator covers the full cpu line and the reported
+    // percentages aren't overstated on irq-heavy windows.
     def procStat(): Array[Long] =
       try {
         val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
         val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-        Array(f(0) + f(1), f(2), f(3), f(4), if (f.length > 7) f(7) else 0L)
+        def at(i: Int) = if (f.length > i) f(i) else 0L
+        Array(f(0) + f(1), f(2) + at(5) + at(6), f(3), f(4), at(7))
       } catch { case _: Exception => Array(0L, 0L, 0L, 0L, 0L) }
     val spillBytes = new LongAdder
     spark.sparkContext.addSparkListener(new SparkListener {

@@ -30,6 +30,8 @@ object GateProfile {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // dead-localCheckpoint-block disk guard (see Bench's builder)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       // keep executed scans visible in the final plan tree: AQE's
       // empty-relation propagation replaces an already-run stage
       // (scan included) with EmptyRelation, which would hide the

@@ -50,6 +50,8 @@ object SkewBench {
         sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true"))
       .config("spark.sql.autoBroadcastJoinThreshold", bcast)
       .config("spark.sql.session.timeZone", "UTC")
+      // dead-localCheckpoint-block disk guard (see Bench's builder)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

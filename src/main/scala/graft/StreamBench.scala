@@ -62,6 +62,14 @@ object StreamBench {
     // flat-arrival claim is tested against a store that dwarfs the
     // arrivals, not one the run itself built
     val preseed = sys.env.getOrElse("SPARK_GRAFT_STREAM_GROWTH_PRESEED", "0").toInt
+    // which sink the growth phase drives: "d10" (the near-dup gate
+    // alone — the store-cost microbench) or "d16" (the WHOLE composed
+    // ingest ladder, near-dup stage included — measures whether the
+    // ladder inherits the gate's flat-arrival/storm behavior instead
+    // of assuming it composes)
+    val growthGate = sys.env.getOrElse("SPARK_GRAFT_STREAM_GROWTH_GATE", "d10")
+    require(Set("d10", "d16")(growthGate),
+      s"SPARK_GRAFT_STREAM_GROWTH_GATE must be d10 or d16, got '$growthGate'")
     // ERROR-PAGE STORM plant (round 14, the streaming twin of
     // SkewGen's replace mode): this fraction of every growth batch is
     // ONE identical template text (vocab disjoint from the pool's
@@ -78,6 +86,10 @@ object StreamBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      // dead-localCheckpoint-block disk guard (see Bench's builder;
+      // the sinks also unpersist their own batch pins — this bounds
+      // whatever broadcast/shuffle state the cleaner still owns)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -351,8 +363,13 @@ object StreamBench {
         System.err.println(s"[streambench] d10 growth preseeded store with $preseed docs")
       }
       val input = MemoryStream[StreamDoc](spark)(Encoders.product[StreamDoc])
-      val q = streaming.EventStream.nearDupGateSink(input.toDF(), "doc_id", col("text"),
-        dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")
+      val q =
+        if (growthGate == "d16")
+          streaming.EventStream.ingestPipelineSink(input.toDF(), "doc_id", col("text"),
+            pipelineCfg, dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")
+        else
+          streaming.EventStream.nearDupGateSink(input.toDF(), "doc_id", col("text"),
+            dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")
       try {
         input.addData(mkGrowthBatch("growthw", 0, growthSize): _*)
         q.processAllAvailable()
@@ -413,7 +430,7 @@ object StreamBench {
     }.mkString(",")
     val growthJson = growth.map { case (secs, maxTaskSecs) =>
       val head = median(secs.take(10)); val tail = median(secs.takeRight(10))
-      s""","d10_growth":{"n":$growthBatches,"size":$growthSize,"compact_every":$compactEvery,"preseed":$preseed,""" +
+      s""","d10_growth":{"gate":"$growthGate","n":$growthBatches,"size":$growthSize,"compact_every":$compactEvery,"preseed":$preseed,""" +
         s""""storm_frac":${j(stormFrac, 2)},"storm_tokens":$stormTokens,""" +
         s""""first10_median_sec":${j(head)},"last10_median_sec":${j(tail)},""" +
         s""""ratio":${j(tail / head, 2)},""" +

@@ -20,18 +20,20 @@ import graft.plans.ArrayExpressions
   * Semantics (provably batch-order-independent): a doc is dropped iff
   * it near-matches (exact Jaccard ≥ t on minhash-banded candidates —
   * C2's match definition) ANY previously-seen doc or a smaller-id doc
-  * in its own batch. The store keeps every SEEN doc's signature —
-  * kept and dropped alike — which is what makes sequential gating
-  * EQUAL to the global keep-first rule "keep d iff no d' < d matches"
-  * when batches arrive in id order (Jaccard is not transitive: a
-  * near-dup of a dropped doc need not match that doc's keeper, so a
-  * survivors-only store would silently re-admit it; IncrementalSpec
-  * pins the equality). One refinement that loses nothing: docs with
-  * IDENTICAL signatures are interchangeable for matching (a match is
-  * a function of the shingle set, never the id), so the store keeps
-  * one representative per distinct signature per batch — see the
-  * exact-signature collapse in `gate`. C22 remains the GLOBAL
-  * cluster form — this is its online counterpart.
+  * in its own batch. The store keeps a signature for every SEEN doc —
+  * kept and dropped alike, never just survivors — which is what makes
+  * sequential gating EQUAL to the global keep-first rule "keep d iff
+  * no d' < d matches" when batches arrive in id order (Jaccard is not
+  * transitive: a near-dup of a dropped doc need not match that doc's
+  * keeper, so a survivors-only store would silently re-admit it;
+  * IncrementalSpec pins the equality). One refinement that loses
+  * nothing: docs with IDENTICAL signatures are interchangeable for
+  * matching (a match is a function of the shingle set, never the id),
+  * so on the micro-batch path the returned tables carry ONE
+  * representative row per distinct signature per batch, plus every
+  * empty-set short doc — see the exact-signature collapse in `gate`
+  * (declarative-mode calls return the uncollapsed tables). C22
+  * remains the GLOBAL cluster form — this is its online counterpart.
   *
   * Scale: signatures are one hash-agg shuffle per batch (reusing C2's
   * md5-minhash pipeline); the store join is a band-key equi-join whose
@@ -98,8 +100,10 @@ object Incremental {
     * `storeBands`/`storeSets` use the `signatures` schema; pass empty
     * frames (or `signatures` of an empty doc set) for a cold store.
     * Returns (survivorIds, batchBands, batchSets) — append the batch
-    * tables to the store for the next arrival (ALL seen docs, not
-    * just survivors — see the object scaladoc).
+    * tables to the store for the next arrival. They cover ALL seen
+    * docs, never just survivors; on the micro-batch path they are
+    * COLLAPSED to one representative per distinct signature (plus
+    * the empty-set short docs — see the object scaladoc).
     *
     * STORE-SCAN-ONLY plan shape (pinned, not left to size
     * estimates): every join the store participates in builds/
@@ -198,18 +202,31 @@ object Incremental {
     // (then even Jaccard 1.0 wouldn't drop the duplicates) — and the
     // empty-set short docs are never collapsed: they match nothing,
     // always survive, and their (id, []) rows still land in the store.
-    val collapse = collapseExact && threshold <= 1.0
+    //
+    // MICRO PATH ONLY (round 15): the storm regime lives in the
+    // streaming sinks' micro-batches, where the collapse's
+    // array-keyed groupBy and two anti-joins ride batch-sized
+    // broadcasts. On a corpus-sized declarative arrival those same
+    // steps would be three extra full shuffles over the corpus for a
+    // dedup that C1 (exact hash-groupBy) already does upstream — so
+    // the demoted/declarative shape skips the collapse entirely.
+    // Verdicts are identical either way: identical-signature docs
+    // still share every band and verify at Jaccard 1.0, so keep-first
+    // drops them through the ordinary within-batch path; only the
+    // RETURNED tables differ (uncollapsed in declarative mode).
+    val collapse = collapseExact && micro && threshold <= 1.0
     val (pBands, pSets, exactDropped) = if (collapse) {
       val reps = bSets.filter(size(col("s")) > 0)
         .groupBy(col("s")).agg(min(col("id")).as("id")).select(col("id"))
       // non-representative duplicate ids: batch-bounded (smaller than
       // the batch), so the micro-batch contract broadcasts them into
-      // the two anti-joins below
+      // the two anti-joins below (collapse ⇒ micro, so the pins are
+      // unconditional here)
       val dup0 = bSets.filter(size(col("s")) > 0)
-        .join(hint(reps), Seq("id"), "left_anti").select(col("id"))
-      val dup = if (micro) dup0.localCheckpoint(true) else dup0
-      (bBands.join(hint(dup), Seq("id"), "left_anti"),
-        bSets.join(hint(dup), Seq("id"), "left_anti"),
+        .join(broadcast(reps), Seq("id"), "left_anti").select(col("id"))
+      val dup = dup0.localCheckpoint(true)
+      (bBands.join(broadcast(dup), Seq("id"), "left_anti"),
+        bSets.join(broadcast(dup), Seq("id"), "left_anti"),
         dup.select(col("id").as("cid")))
     } else (bBands, bSets, bSets.limit(0).select(col("id").as("cid")))
 
@@ -281,10 +298,10 @@ object Incremental {
       (if (collapse) dropped0.unionByName(exactDropped) else dropped0).distinct()
     val survivors = batch.select(id.as("id"))
       .join(dropped.withColumnRenamed("cid", "id"), Seq("id"), "left_anti")
-    // the returned signature tables are the COLLAPSED ones: the store
-    // keeps one row per distinct signature (plus every empty-set
-    // doc), which preserves every future verdict — see the collapse
-    // note above
+    // micro path: the returned signature tables are the COLLAPSED
+    // ones — one row per distinct signature (plus every empty-set
+    // doc), which preserves every future verdict; declarative mode
+    // returns them uncollapsed — see the collapse note above
     (survivors, pBands, pSets)
   }
 }

@@ -307,6 +307,35 @@ object EventStream {
     if (batch.rdd.getNumPartitions < par) batch.repartition(par) else batch
   }
 
+  /** Runs one foreachBatch body, then unpersists every RDD the body
+    * itself persisted. The ingest sinks pin batch-scoped frames with
+    * eager localCheckpoints (the score ladder, the gate's signature
+    * tables, the survivor ids); those MEMORY_AND_DISK blocks are
+    * otherwise freed only when a DRIVER GC lets the ContextCleaner
+    * reap the dead RDD handles — on a long run the dead blocks
+    * accumulate on disk faster than any natural driver GC (measured:
+    * 73 GB of block-manager files in ~50 min at sf10, ENOSPC —
+    * SURVEY §6 r14/r15). Explicit end-of-batch unpersist makes the
+    * sinks' disk high-water mark O(one batch) by construction,
+    * independent of any GC/periodicGC tuning.
+    *
+    * Safe because every pinned frame is batch-scoped: the signature
+    * store and corpus are re-read from their parquet roots each
+    * arrival, so no checkpointed RDD outlives its batch's last
+    * action (all of which complete inside `body`). The before/after
+    * diff leaves pre-existing pins alone (e.g. a harness's frozen
+    * model tables). Caveat, matching the stores' single-writer
+    * contract: with TWO sinks sharing one session and interleaving
+    * batches, the diff could reap the other sink's in-flight pins —
+    * run such sinks in separate sessions. */
+  private def unpersistBatchPins[T](spark: SparkSession)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs.foreach {
+      case (rddId, rdd) => if (!before(rddId)) rdd.unpersist(blocking = false)
+    }
+  }
+
   /** The df column a bare reference names (`col("text")` prints as
     * just "text"; `col("my col")` prints backtick-quoted; computed
     * expressions print as their SQL — `lower(text)` — and match no
@@ -578,7 +607,7 @@ object EventStream {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) unpersistBatchPins(batch.sparkSession) {
           // GRAFT_SINK_PROFILE=1: per-section stderr timers (dev only)
           val prof = SinkProfile.enabled
           def st[T](name: String)(body: => T): T = {
@@ -755,7 +784,7 @@ object EventStream {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) unpersistBatchPins(batch.sparkSession) {
           // GRAFT_SINK_PROFILE=1: per-section stderr timers (dev only)
           val prof = SinkProfile.enabled
           def st[T](name: String)(body: => T): T = {
@@ -840,8 +869,11 @@ object EventStream {
               ids.withColumnRenamed("id", idName), Seq(idName), "left_semi")
             if (st("isEmpty") { !ids.isEmpty })
               st("corpus write") { appendBatchWrite(survDocs, batchId, outPath, partCol) }
-            // signatures of ALL score-gated docs (not just near-dup
-            // survivors), AFTER the corpus write — D10's contract
+            // signatures covering ALL score-gated docs (not just
+            // near-dup survivors; collapsed to one representative
+            // per distinct signature, plus the empty-set rows — the
+            // gate's micro-batch contract), AFTER the corpus write —
+            // D10's replay ordering
             st("sig writes") { writeSignatures(bBands, bSets, storePath, batchId) }
           } else if (!pinned.isEmpty)
             appendBatchWrite(pinned, batchId, outPath, partCol)
