@@ -27,6 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 95+-query suite in one JVM generates enough codegen classes to
+  // saturate the default 240 MB code cache's ~117 MB segments; the
+  // sweeper then flushes warm kernels and later queries pay the
+  // re-warm (measured: c28 5.8-6.9 s in-suite at sf10 vs 2.3-2.6 s
+  // standalone at the default; 3.0 s in-suite at 512 MB — SURVEY §6
+  // r15). 512 MB removes the cliff for a few hundred MB of virtual
+  // reservation.
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++
   // extra forked-JVM flags for experiments (e.g. a spark.* system
   // property or a -XX: flag), space-separated:
