@@ -135,10 +135,13 @@ object Bench {
     // the remaining suspects are JVM code state. Per query: the JIT's
     // cumulative compilation-time delta (a recompile storm = seconds
     // of C2 work mid-query), code-heap occupancy (the sweeper starts
-    // flushing warm methods near the segment caps — 240 MB total
-    // default — and flushed kernels run interpreted until
-    // re-promoted), and metaspace (class accumulation from one
-    // generated class per codegen stage per plan).
+    // flushing warm methods near the segment caps — this probe is
+    // how the r15 code-cache-saturation verdict was reached, and why
+    // build.sbt now forks with -XX:ReservedCodeCacheSize=512m; at
+    // the JVM default 240 MB the 95-query sf10 suite measurably
+    // re-warmed flushed kernels, SURVEY §6 r15), and metaspace
+    // (class accumulation from one generated class per codegen
+    // stage per plan).
     def jitMillis(): Long = {
       val c = java.lang.management.ManagementFactory.getCompilationMXBean
       if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
