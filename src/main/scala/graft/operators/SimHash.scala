@@ -55,26 +55,85 @@ object SimHash {
     * classic sum-of-±1 > 0 criterion), extracted branch-free via the
     * sign bit of (n − 2·ones).
     *
-    * Lane bound: 16-bit lanes count up to 65 535 distinct shingles
-    * per document (a ~65k-word document). Beyond that, widen the
-    * lanes to 32 bits (two per long, 32 accumulators) — same
-    * construction, one extra doubling. */
-  def fingerprints(exploded: DataFrame, id: String, shingle: String): DataFrame = {
-    val spreadM = (1L << 0) + (1L << 15) + (1L << 30) + (1L << 45)
-    val laneMask = 0x0001000100010001L
-    val hashed = exploded
-      .select(col(id), md5(col(shingle)).as("__h"))
-      .select(col(id) +: (1 to 16).map(c =>
-        (hexVal(col("__h"), c) * lit(spreadM)).bitwiseAND(lit(laneMask)).as(s"p$c")): _*)
-    val aggs = (1 to 16).map(c => sum(col(s"p$c")).as(s"s$c")) :+ count(lit(1)).as("__n")
+    * Lane bound (ENFORCED, round 16): 16-bit lanes count up to
+    * `MaxNarrowLaneShingles` = 65 535 distinct shingles per document
+    * (a ~65k-word document). Past the bound a lane would silently
+    * carry into its neighbor — the only silent-wrong-answer path in
+    * the tree — so the packed fingerprint is guarded per doc: an
+    * over-bound doc RAISES with the doc id and count, pointing at
+    * `wideLanes = true` (32-bit lanes, two per long, 32 accumulators
+    * — same construction, one extra doubling, exact to
+    * `MaxWideLaneShingles` ≈ 2.1e9 distinct shingles ≈ a 100+ GB
+    * document). The guard is post-aggregation (n is only known
+    * then); under ANSI arithmetic (the Spark 4 default) a doc whose
+    * top-lane ones-count reaches 32 768 — with random md5 bits,
+    * n ≳ 65 536 — makes the lane SUM cross 2^63 and Spark's own
+    * ARITHMETIC_OVERFLOW fires mid-aggregation first: a louder,
+    * earlier form of the same refusal (with ANSI off the sum wraps
+    * mod 2^64, the unsigned-shift extraction stays EXACT through
+    * n = 65 535, and this guard is the only defense past it —
+    * NearDupSpec pins both modes). */
+  def fingerprints(exploded: DataFrame, id: String, shingle: String,
+                   wideLanes: Boolean = false): DataFrame = {
+    val hashed0 = exploded.select(col(id), md5(col(shingle)).as("__h"))
+    val (hashed, aggs, cntOf, bound) =
+      if (!wideLanes) {
+        val spreadM = (1L << 0) + (1L << 15) + (1L << 30) + (1L << 45)
+        val laneMask = 0x0001000100010001L
+        val h = hashed0.select(col(id) +: (1 to 16).map(c =>
+          (hexVal(col("__h"), c) * lit(spreadM)).bitwiseAND(lit(laneMask)).as(s"p$c")): _*)
+        val a = (1 to 16).map(c => sum(col(s"p$c")).as(s"s$c"))
+        val cnt = (i: Int) => shiftrightunsigned(col(s"s${i / 4 + 1}"), (i % 4) * 16)
+          .bitwiseAND(lit(0xFFFFL))
+        (h, a, cnt, MaxNarrowLaneShingles)
+      } else {
+        // 32-bit lanes, two per long: bits 0-1 of hex char c in s${c}a
+        // (positions 0 and 32), bits 2-3 in s${c}b — the same
+        // multiply-and-mask spread with v·(1+2³¹) & 0x0000000100000001.
+        // Max lane sum n·(2³²+1) stays under 2^63 for n ≤ 2³¹−1, so
+        // ANSI summation never overflows inside the bound.
+        val spreadW = 1L + (1L << 31)
+        val laneMaskW = 0x0000000100000001L
+        val h = hashed0.select(col(id) +: (1 to 16).flatMap { c =>
+          val v = hexVal(col("__h"), c)
+          Seq((v.bitwiseAND(lit(3)) * lit(spreadW)).bitwiseAND(lit(laneMaskW)).as(s"p${c}a"),
+            (shiftright(v, 2) * lit(spreadW)).bitwiseAND(lit(laneMaskW)).as(s"p${c}b"))
+        }: _*)
+        val a = (1 to 16).flatMap(c =>
+          Seq(sum(col(s"p${c}a")).as(s"s${c}a"), sum(col(s"p${c}b")).as(s"s${c}b")))
+        val cnt = (i: Int) => {
+          val c = i / 4 + 1; val j = i % 4
+          shiftrightunsigned(col(if (j < 2) s"s${c}a" else s"s${c}b"), (j % 2) * 32)
+            .bitwiseAND(lit(0xFFFFFFFFL))
+        }
+        (h, a, cnt, MaxWideLaneShingles)
+      }
     val packed = (0 until 64).map { i =>
-      val cnt = shiftrightunsigned(col(s"s${i / 4 + 1}"), (i % 4) * 16)
-        .bitwiseAND(lit(0xFFFFL))
-      shiftleft(shiftright(col("__n") - cnt * 2, 63).bitwiseAND(lit(1L)), i)
+      shiftleft(shiftright(col("__n") - cntOf(i) * 2, 63).bitwiseAND(lit(1L)), i)
     }.reduce(_ + _)
-    hashed.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
-      .select(col(id), packed.as("sig"))
+    // per-doc guard: refuse loudly instead of silently corrupting the
+    // fingerprint past the lane capacity (the else branch only
+    // evaluates on over-bound docs; NullType coerces into the long)
+    val guarded = when(col("__n") <= lit(bound), packed)
+      .otherwise(raise_error(concat(
+        lit("SimHash.fingerprints: doc "), col(id).cast("string"),
+        lit(" has "), col("__n").cast("string"),
+        lit(s" distinct shingles > $bound — " + (if (wideLanes)
+          "32-bit counter lanes would overflow (that is not a document, it is a corpus)"
+        else "16-bit counter lanes would overflow; pass wideLanes = true")))).cast("long"))
+    val allAggs = aggs :+ count(lit(1)).as("__n")
+    hashed.groupBy(col(id)).agg(allAggs.head, allAggs.tail: _*)
+      .select(col(id), guarded.as("sig"))
   }
+
+  /** Per-document distinct-shingle capacity of the default 16-bit
+    * counter lanes — see `fingerprints`. */
+  val MaxNarrowLaneShingles: Long = 65535L
+
+  /** Per-document capacity of the `wideLanes = true` 32-bit lanes:
+    * the largest n with n·(2³²+1) < 2^63, so the ANSI lane sums are
+    * provably overflow-free inside the bound. */
+  val MaxWideLaneShingles: Long = (1L << 31) - 1
 
   /** The 64-char '0'/'1' rendering of a packed fingerprint, bit 0
     * first — matches the portable-SQL string form. */
@@ -121,7 +180,8 @@ object SimHash {
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
                    n: Int = 3, maxHamming: Int = 7, chunks: Int = 8,
                    agree: Int = 1, allowQuadraticBand: Boolean = false,
-                   salts: Int = 1, hotMin: Long = 4096): DataFrame = {
+                   salts: Int = 1, hotMin: Long = 4096,
+                   wideLanes: Boolean = false): DataFrame = {
     require(agree >= 1 && agree <= chunks, "need 1 <= agree <= chunks")
     require(maxHamming <= chunks - agree,
       "pigeonhole: need maxHamming <= chunks - agree")
@@ -172,7 +232,10 @@ object SimHash {
     // distinct shingles per doc: the (id, sh) agg rides the exploded
     // shuffle's id-partitioning — no extra exchange
     val ex = Shingles.exploded(docs, id, text, n).dropDuplicates("id", "sh")
-    val sigs = fingerprints(ex, "id", "sh")
+    // `wideLanes`: opt-in for corpora with >65 535-distinct-shingle
+    // documents (fingerprints refuses them loudly on the default
+    // narrow lanes — see the lane-bound note there)
+    val sigs = fingerprints(ex, "id", "sh", wideLanes)
     def chunkVal(c: Int): Column =
       shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))
     // SHUFFLE_HASH on the band join: forces both sides through an

@@ -90,6 +90,76 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("SimHash lane bound: >65535-distinct-shingle doc refuses loudly; wide lanes stay exact") {
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).mkString(" | ")
+    val nBig = 70000
+    // pre-exploded (id, sh) rows — fingerprints' own input shape; no
+    // need to synthesize a 70k-word text
+    val big = spark.range(nBig).selectExpr("1L AS id", "concat('sh', id) AS sh")
+    // ANSI on (the session/Spark-4 default): the top counter lane's
+    // ones-count passes 32768 (~n/2 of random md5 bits) and the lane
+    // SUM crosses 2^63 mid-aggregation — Spark's own overflow, or the
+    // per-doc guard if the sums happen to fit. Either way: loud.
+    val eAnsi = intercept[Throwable] {
+      SimHash.fingerprints(big, "id", "sh").collect()
+    }
+    assert(msgChain(eAnsi).toLowerCase.contains("overflow") ||
+      msgChain(eAnsi).contains("distinct shingles"), msgChain(eAnsi))
+    // ANSI off: the lane sums wrap mod 2^64 (harmless — extraction is
+    // unsigned — through n = 65535) and past the bound the per-doc
+    // guard is the ONLY defense against a silently-corrupt
+    // fingerprint: it must fire with the actionable message
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e = intercept[Throwable] {
+        SimHash.fingerprints(big, "id", "sh").collect()
+      }
+      assert(msgChain(e).contains("distinct shingles") &&
+        msgChain(e).contains("wideLanes"), msgChain(e))
+      // exactly AT the bound the narrow path is exact: parity with the
+      // wide lanes (whose sums provably never overflow there)
+      val atBound = spark.range(SimHash.MaxNarrowLaneShingles)
+        .selectExpr("1L AS id", "concat('sh', id) AS sh")
+      val narrowAt = SimHash.fingerprints(atBound, "id", "sh")
+        .as[(Long, Long)].head()._2
+      val wideAt = SimHash.fingerprints(atBound, "id", "sh", wideLanes = true)
+        .as[(Long, Long)].head()._2
+      assert(narrowAt == wideAt)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // the widened path accepts the over-bound doc and must match a
+    // pure-Scala reference computation of the same ones-count/majority
+    // fingerprint (md5 hex char i/4, bit i%4, set iff 2·ones > n)
+    val wide = SimHash.fingerprints(big, "id", "sh", wideLanes = true)
+      .as[(Long, Long)].collect()
+    assert(wide.length == 1 && wide.head._1 == 1L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ones = new Array[Long](64)
+    (0 until nBig).foreach { i =>
+      val hex = md.digest(s"sh$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      var b = 0
+      while (b < 64) {
+        if (((Character.digit(hex.charAt(b / 4), 16) >> (b % 4)) & 1) == 1) ones(b) += 1
+        b += 1
+      }
+    }
+    val ref = (0 until 64).map(i => if (2 * ones(i) > nBig) 1L << i else 0L)
+      .reduce(_ | _)
+    assert(wide.head._2 == ref,
+      f"wide=${wide.head._2}%016x ref=$ref%016x")
+    // lane-layout parity on ordinary docs, and the nearDupPairs
+    // plumbing: wideLanes returns the identical pair set
+    val ex = Shingles.exploded(corpus, col("doc_id"), col("text"), 3)
+      .dropDuplicates("id", "sh")
+    val narrow = SimHash.fingerprints(ex, "id", "sh").as[(Long, Long)].collect().toMap
+    val wideAll = SimHash.fingerprints(ex, "id", "sh", wideLanes = true)
+      .as[(Long, Long)].collect().toMap
+    assert(narrow == wideAll && narrow.size == 5)
+    val gotWide = SimHash.nearDupPairs(corpus, col("doc_id"), col("text"), wideLanes = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(gotWide == Set((1L, 4L), (2L, 5L)))
+  }
+
   test("Jaccard inverted-index join computes exact scores") {
     val got = Jaccard.nearDupPairs(corpus, col("doc_id"), col("text"), 3, 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
