@@ -437,7 +437,11 @@ object StreamBench {
         s""""secs":[${secs.map(j(_)).mkString(",")}],""" +
         s""""max_task_secs":[${maxTaskSecs.map(j(_)).mkString(",")}]}"""
     }.getOrElse("")
+    // gate demotions are a silent plan-shape change inside a sink —
+    // surface the process-wide count in the record (0 on every healthy
+    // run: StreamBench batches are micro by construction)
     val line = s"""{"gates":{$json}$growthJson,"n_batches":$nBatches,""" +
+      s""""gate_demotions":${operators.Incremental.demotions.sum()},""" +
       s""""source":"$sourceMode","sf":"$sfDir","cpus":"$cpus"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))

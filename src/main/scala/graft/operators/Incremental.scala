@@ -29,10 +29,12 @@ import graft.plans.ArrayExpressions
   * IncrementalSpec pins the equality). One refinement that loses
   * nothing: docs with IDENTICAL signatures are interchangeable for
   * matching (a match is a function of the shingle set, never the id),
-  * so on the micro-batch path the returned tables carry ONE
-  * representative row per distinct signature per batch, plus every
-  * empty-set short doc — see the exact-signature collapse in `gate`
-  * (declarative-mode calls return the uncollapsed tables). C22
+  * so on every `microBatch = true` call — including an oversized
+  * arrival demoted to the declarative plan shape — the returned
+  * tables carry ONE representative row per distinct signature per
+  * batch, plus every empty-set short doc — see the exact-signature
+  * collapse in `gate` (only explicit `microBatch = false` calls
+  * return the uncollapsed tables). C22
   * remains the GLOBAL cluster form — this is its online counterpart.
   *
   * Scale: signatures are one hash-agg shuffle per batch (reusing C2's
@@ -63,6 +65,14 @@ object Incremental {
     * docs × k/bandRows, taken before anything materializes). Results
     * are identical either way; only the plan shape changes. */
   val MaxMicroBatchBandRows: Long = 4L << 20
+
+  /** Process-wide count of micro→declarative gate demotions (the
+    * band-row bound tripping on a `microBatch = true` call). A
+    * demotion is a SILENT plan-shape change inside a streaming sink —
+    * stderr alone proved too quiet (ADVICE r15) — so the harnesses
+    * surface this counter in their JSON records (StreamBench) and
+    * the sinks echo it under GRAFT_SINK_PROFILE. */
+  val demotions = new java.util.concurrent.atomic.LongAdder
 
   /** Separate (tighter) bound for the PRUNER path: its driver-side
     * key collects (distinct band keys ≈ band rows; candidate ids)
@@ -101,9 +111,11 @@ object Incremental {
     * frames (or `signatures` of an empty doc set) for a cold store.
     * Returns (survivorIds, batchBands, batchSets) — append the batch
     * tables to the store for the next arrival. They cover ALL seen
-    * docs, never just survivors; on the micro-batch path they are
-    * COLLAPSED to one representative per distinct signature (plus
-    * the empty-set short docs — see the object scaladoc).
+    * docs, never just survivors; on every `microBatch = true` call
+    * (micro AND demoted — a store must never accumulate duplicate
+    * signatures) they are COLLAPSED to one representative per
+    * distinct signature (plus the empty-set short docs — see the
+    * object scaladoc).
     *
     * STORE-SCAN-ONLY plan shape (pinned, not left to size
     * estimates): every join the store participates in builds/
@@ -149,9 +161,13 @@ object Incremental {
     // with short docs — which errs toward the scale-safe shape)
     val nBandBound = if (microBatch) batch.count() * (k / bandRows) else 0L
     val micro = microBatch && {
-      if (nBandBound > maxBandRows) System.err.println(
-        s"Incremental.gate: ≤$nBandBound batch band rows (bound) > $maxBandRows — " +
-          "not a micro-batch; falling back to the declarative plan shape")
+      if (nBandBound > maxBandRows) {
+        demotions.increment() // surfaced in StreamBench's JSON, not just stderr
+        System.err.println(
+          s"Incremental.gate: ≤$nBandBound batch band rows (bound) > $maxBandRows — " +
+            "not a micro-batch; falling back to the declarative plan shape " +
+            "(signature tables stay collapsed — the store contract holds)")
+      }
       nBandBound <= maxBandRows
     }
     // micro-batch contract (the streaming sinks): the batch tables
@@ -203,30 +219,41 @@ object Incremental {
     // empty-set short docs are never collapsed: they match nothing,
     // always survive, and their (id, []) rows still land in the store.
     //
-    // MICRO PATH ONLY (round 15): the storm regime lives in the
-    // streaming sinks' micro-batches, where the collapse's
+    // STREAMING-CALLER PATH (round 15 restricted it to micro; round
+    // 16 re-extends it to DEMOTED micro-batch calls): the storm
+    // regime lives in the streaming sinks, which call with
+    // `microBatch = true`. On the micro path the collapse's
     // array-keyed groupBy and two anti-joins ride batch-sized
-    // broadcasts. On a corpus-sized declarative arrival those same
-    // steps would be three extra full shuffles over the corpus for a
-    // dedup that C1 (exact hash-groupBy) already does upstream — so
-    // the demoted/declarative shape skips the collapse entirely.
-    // Verdicts are identical either way: identical-signature docs
-    // still share every band and verify at Jaccard 1.0, so keep-first
-    // drops them through the ordinary within-batch path; only the
-    // RETURNED tables differ (uncollapsed in declarative mode).
-    val collapse = collapseExact && micro && threshold <= 1.0
+    // broadcasts; an arrival that DEMOTES (band-row bound exceeded)
+    // must still collapse — its signature tables are APPENDED to the
+    // persistent store, and an uncollapsed oversized arrival would
+    // permanently seed the store with duplicate signatures,
+    // re-opening the quadratic storm regime the r14 fix closed — so
+    // the demoted shape keeps the collapse as plain shuffle joins
+    // (no broadcast, no checkpoint: Catalyst/AQE plan them, and the
+    // identical dup subplans reuse one exchange). Only an EXPLICIT
+    // `microBatch = false` caller (c34's corpus-sized declarative
+    // arrival, whose tables are not destined for a store) skips the
+    // collapse: there those steps would be three extra full shuffles
+    // over the corpus for a dedup that C1 (exact hash-groupBy)
+    // already does upstream. Verdicts are identical on every path:
+    // identical-signature docs still share every band and verify at
+    // Jaccard 1.0, so keep-first drops them through the ordinary
+    // within-batch path; only the RETURNED tables differ
+    // (uncollapsed in declarative mode).
+    val collapse = collapseExact && microBatch && threshold <= 1.0
     val (pBands, pSets, exactDropped) = if (collapse) {
       val reps = bSets.filter(size(col("s")) > 0)
         .groupBy(col("s")).agg(min(col("id")).as("id")).select(col("id"))
       // non-representative duplicate ids: batch-bounded (smaller than
       // the batch), so the micro-batch contract broadcasts them into
-      // the two anti-joins below (collapse ⇒ micro, so the pins are
-      // unconditional here)
+      // the two anti-joins below; the demoted shape joins them
+      // declaratively instead
       val dup0 = bSets.filter(size(col("s")) > 0)
-        .join(broadcast(reps), Seq("id"), "left_anti").select(col("id"))
-      val dup = dup0.localCheckpoint(true)
-      (bBands.join(broadcast(dup), Seq("id"), "left_anti"),
-        bSets.join(broadcast(dup), Seq("id"), "left_anti"),
+        .join(hint(reps), Seq("id"), "left_anti").select(col("id"))
+      val dup = if (micro) dup0.localCheckpoint(true) else dup0
+      (bBands.join(hint(dup), Seq("id"), "left_anti"),
+        bSets.join(hint(dup), Seq("id"), "left_anti"),
         dup.select(col("id").as("cid")))
     } else (bBands, bSets, bSets.limit(0).select(col("id").as("cid")))
 
@@ -298,10 +325,11 @@ object Incremental {
       (if (collapse) dropped0.unionByName(exactDropped) else dropped0).distinct()
     val survivors = batch.select(id.as("id"))
       .join(dropped.withColumnRenamed("cid", "id"), Seq("id"), "left_anti")
-    // micro path: the returned signature tables are the COLLAPSED
-    // ones — one row per distinct signature (plus every empty-set
-    // doc), which preserves every future verdict; declarative mode
-    // returns them uncollapsed — see the collapse note above
+    // microBatch = true (micro or demoted): the returned signature
+    // tables are the COLLAPSED ones — one row per distinct signature
+    // (plus every empty-set doc), which preserves every future
+    // verdict; explicit declarative mode returns them uncollapsed —
+    // see the collapse note above
     (survivors, pBands, pSets)
   }
 }

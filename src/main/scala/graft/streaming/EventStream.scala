@@ -324,15 +324,39 @@ object EventStream {
     * arrival, so no checkpointed RDD outlives its batch's last
     * action (all of which complete inside `body`). The before/after
     * diff leaves pre-existing pins alone (e.g. a harness's frozen
-    * model tables). Caveat, matching the stores' single-writer
-    * contract: with TWO sinks sharing one session and interleaving
-    * batches, the diff could reap the other sink's in-flight pins —
-    * run such sinks in separate sessions. */
-  private def unpersistBatchPins[T](spark: SparkSession)(body: => T): T = {
+    * model tables). The single-writer caveat is ENFORCED, not
+    * documentary (round 16): with TWO streaming queries sharing one
+    * session and interleaving batches, the diff could reap the OTHER
+    * sink's in-flight pins — and a reaped localCheckpoint has
+    * truncated lineage, so the victim would hard-fail on a missing
+    * checkpoint block instead of recomputing. When more than one
+    * streaming query is active the reap is therefore SKIPPED (with a
+    * loud stderr note): the degraded mode is the measured
+    * gc60-only regime (dead blocks bounded to ~one GC interval by
+    * the harness-default periodicGC — SURVEY §6 r14), never a wrong
+    * answer. Reaped RDD ids are logged under GRAFT_SINK_PROFILE so
+    * an accidental cross-batch reap is diagnosable from the profile
+    * log rather than a delayed opaque failure. StreamingSpec pins
+    * pre-existing-pin survival, batch-pin reaping, and the
+    * multi-query skip. */
+  private[graft] def unpersistBatchPins[T](spark: SparkSession)(body: => T): T = {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     try body
-    finally spark.sparkContext.getPersistentRDDs.foreach {
-      case (rddId, rdd) => if (!before(rddId)) rdd.unpersist(blocking = false)
+    finally {
+      val active = spark.streams.active.length
+      if (active > 1)
+        System.err.println(s"unpersistBatchPins: $active streaming queries share " +
+          "this session — skipping the end-of-batch pin reap (another sink's " +
+          "in-flight pins would land in the diff); disk hygiene falls back to " +
+          "periodicGC. Run concurrent sinks in separate sessions.")
+      else spark.sparkContext.getPersistentRDDs.foreach {
+        case (rddId, rdd) =>
+          if (!before(rddId)) {
+            if (SinkProfile.enabled)
+              System.err.println(s"[sink] end-of-batch reap: rdd $rddId (${rdd.name})")
+            rdd.unpersist(blocking = false)
+          }
+      }
     }
   }
 
@@ -625,11 +649,17 @@ object EventStream {
           val (storeBands, storeSets) =
             nearDupStore(spark, storePath, b, idName, text, n, k, bandRows)
           val (pb, ps) = storePruners(spark, storePath)
+          val dem0 = graft.operators.Incremental.demotions.sum()
           val (surv, bBands, bSets) = st("gate construct") {
             graft.operators.Incremental.gate(
               storeBands, storeSets, b, col(idName), text, n, k, bandRows, threshold,
               prunedBands = pb, prunedSets = ps)
           }
+          // an oversized arrival demoting to the declarative shape is
+          // a plan change worth a metrics row, not just stderr (the
+          // collapse itself survives demotion — the store stays clean)
+          if (prof && graft.operators.Incremental.demotions.sum() > dem0)
+            SinkProfile.record("gate demoted", 1.0)
           // materialize the survivor ID list once (batch-sized longs):
           // without this pin the gate's verify joins re-run for BOTH
           // the emptiness probe and the corpus write — measured ~2 s
@@ -858,10 +888,15 @@ object EventStream {
             val (storeBands, storeSets) =
               nearDupStore(spark, storePath, pinned, idName, scrubbedText)
             val (pb, ps) = storePruners(spark, storePath)
+            val dem0 = graft.operators.Incremental.demotions.sum()
             val (ids0, bBands, bSets) = st("gate construct") {
               graft.operators.Incremental.gate(
                 storeBands, storeSets, pinned, col(idName), scrubbedText,
                 prunedBands = pb, prunedSets = ps) }
+            // demotion = silent plan-shape change → metrics row (the
+            // collapse survives demotion — the store stays clean)
+            if (prof && graft.operators.Incremental.demotions.sum() > dem0)
+              SinkProfile.record("gate demoted", 1.0)
             // pin the survivor ids (batch-sized longs) so the gate's
             // verify joins run once, not once per downstream action
             val ids = st("surv ids") { ids0.localCheckpoint(true) }
@@ -872,8 +907,10 @@ object EventStream {
             // signatures covering ALL score-gated docs (not just
             // near-dup survivors; collapsed to one representative
             // per distinct signature, plus the empty-set rows — the
-            // gate's micro-batch contract), AFTER the corpus write —
-            // D10's replay ordering
+            // gate holds that invariant on BOTH the micro path and a
+            // demoted oversized arrival, so the store never
+            // accumulates duplicate signatures), AFTER the corpus
+            // write — D10's replay ordering
             st("sig writes") { writeSignatures(bBands, bSets, storePath, batchId) }
           } else if (!pinned.isEmpty)
             appendBatchWrite(pinned, batchId, outPath, partCol)

@@ -272,6 +272,39 @@ class IncrementalSpec extends SparkSpec {
       "pruner-capped gate must still compute the keep-first survivors")
   }
 
+  test("demoted arrivals still collapse exact-signature duplicates (the store contract)") {
+    // an oversized microBatch=true arrival (forced demotion) carrying
+    // storm duplicates must NOT append duplicate signatures to the
+    // store: the collapse survives demotion as plain shuffle joins
+    // (round 16 — the r15 micro-only restriction silently re-opened
+    // the storm regime for arrivals that demote inside a sink)
+    val storm = (1 to 12).map(t => s"storm$t").mkString(" ")
+    val rows = (0L until 6L).map(i => (i, storm)) ++
+      Seq((10L, "unique doc text with its own tokens a b c d e f"), (20L, "ti ny"))
+    val (eb, es) = Incremental.signatures(df(Nil), col("doc_id"), col("text"))
+    val dem0 = Incremental.demotions.sum()
+    val (surv, bb, bs) = Incremental.gate(eb, es, df(rows), col("doc_id"), col("text"),
+      threshold = T, maxBandRows = 1) // any nonempty batch demotes
+    assert(surv.as[Long].collect().toSet == Set(0L, 10L, 20L))
+    assert(Incremental.demotions.sum() > dem0, "demotion must bump the surfaced counter")
+    // 6 storm copies → ONE representative set row; plus the unique doc
+    // and the short doc's empty-set row = 3
+    val sets = bs.as[(Long, Seq[Long])].collect()
+    assert(sets.length == 3, s"demoted tables must stay collapsed, got ${sets.toSeq}")
+    assert(sets.count(_._2.isEmpty) == 1, "the short doc's empty-set row must persist")
+    assert(bb.select("id").distinct().as[Long].collect().toSet == Set(0L, 10L),
+      "collapsed bands must carry only the min-id representative")
+    // and the demoted shape stays lazy end to end (no checkpoint pin)
+    assert(!bb.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      "demoted collapse must not eagerly checkpoint")
+    // explicit declarative callers (c34's shape) remain collapse-free:
+    // same verdicts, uncollapsed tables
+    val (survD, _, bsD) = Incremental.gate(eb, es, df(rows), col("doc_id"), col("text"),
+      threshold = T, microBatch = false)
+    assert(survD.as[Long].collect().toSet == Set(0L, 10L, 20L))
+    assert(bsD.count() == rows.size.toLong, "declarative mode returns uncollapsed tables")
+  }
+
   test("gate never shuffles the store: per-arrival shuffle flat as the store doubles") {
     // The store-scan-only plan shape is pinned by explicit hints, not
     // by Catalyst's size estimates — so it must hold even with

@@ -683,4 +683,57 @@ class StreamingSpec extends SparkSpec {
       assert(total == 3L) // distinct keys 1, 2, 3 across both groups
     } finally q.stop()
   }
+
+  test("unpersistBatchPins: batch pins reaped, pre-existing pins survive, multi-query skip") {
+    val sc = spark.sparkContext
+    val pre0 = sc.getPersistentRDDs.keySet
+    try {
+      // a pre-existing pin (a harness's frozen model table) must
+      // survive a sink batch AND stay usable afterwards — its lineage
+      // is truncated, so a wrongful reap would be a hard failure
+      val frozen = spark.range(100).toDF("id").localCheckpoint(true)
+      val beforeBody = sc.getPersistentRDDs.keySet
+      var innerIds = Set.empty[Int]
+      EventStream.unpersistBatchPins(spark) {
+        val pin1 = spark.range(10).toDF("a").localCheckpoint(true)
+        val pin2 = spark.range(10).toDF("b").localCheckpoint(true)
+        innerIds = sc.getPersistentRDDs.keySet.diff(beforeBody).toSet
+        assert(innerIds.size >= 2, "body pins must register while the batch runs")
+        assert(pin1.count() == 10 && pin2.count() == 10)
+      }
+      // batch-scoped pins are gone after the batch (the
+      // getPersistentRDDs delta the scaladoc promises)...
+      assert(sc.getPersistentRDDs.keySet.intersect(innerIds).isEmpty,
+        "batch-scoped pins must be reaped at end of batch")
+      // ...and the pre-existing pin is untouched and still collectable
+      assert(beforeBody.subsetOf(sc.getPersistentRDDs.keySet),
+        "pre-existing pins must survive the reap")
+      assert(frozen.count() == 100)
+      // the single-writer caveat is a RUNTIME check, not scaladoc:
+      // with two active streaming queries sharing the session the
+      // reap is skipped wholesale (another sink's in-flight pins
+      // would land in the diff and hard-fail it later)
+      val inA = MemoryStream[Keyed](spark)(Encoders.product[Keyed])
+      val inB = MemoryStream[Keyed](spark)(Encoders.product[Keyed])
+      val qA = inA.toDF().writeStream.format("memory").queryName("pins_qa")
+        .outputMode(OutputMode.Append).start()
+      val qB = inB.toDF().writeStream.format("memory").queryName("pins_qb")
+        .outputMode(OutputMode.Append).start()
+      try {
+        assert(spark.streams.active.length >= 2)
+        val beforeSkip = sc.getPersistentRDDs.keySet
+        var pinned: org.apache.spark.sql.DataFrame = null
+        EventStream.unpersistBatchPins(spark) {
+          pinned = spark.range(7).toDF("c").localCheckpoint(true)
+        }
+        assert(sc.getPersistentRDDs.keySet.diff(beforeSkip).nonEmpty,
+          "with >1 active streaming queries the reap must be skipped")
+        assert(pinned.count() == 7, "the skipped pin must remain usable")
+      } finally { qA.stop(); qB.stop() }
+    } finally
+      // leave the shared session as found
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pre0.contains(id)) rdd.unpersist(blocking = false)
+      }
+  }
 }

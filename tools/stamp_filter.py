@@ -49,6 +49,8 @@ def main(argv):
 
     names = sorted(set(n for rec in recs for n in rec["diag"]))
     rows = {}
+    n_unstamped = 0  # fallback reps with no stamp: they always pass the
+    #                  cap, so the census must say how many there were
     for name in names:
         reps = []  # (sec, stamp, jit) across every record
         for rec in recs:
@@ -60,10 +62,20 @@ def main(argv):
                 v = rec.get("queries", {}).get(name)
                 if v is not None and v >= 0:
                     reps.append((v, 0.0, 0.0))
+                    n_unstamped += 1
                 continue
+            if "rep_calib_secs" not in d:
+                n_unstamped += len(d["rep_secs"])
             secs = d["rep_secs"]
             cal = d.get("rep_calib_secs", [0.0] * len(secs))
             jit = d.get("rep_jit_secs", [0.0] * len(secs))
+            # a malformed record must fail loudly, not silently: zip()
+            # would truncate reps on a short array, and a short stamp
+            # array would let the lost reps dodge the filter entirely
+            if len(cal) != len(secs) or len(jit) != len(secs):
+                sys.exit(f"{name}: per-rep arrays disagree in length "
+                         f"(rep_secs={len(secs)}, rep_calib_secs={len(cal)}, "
+                         f"rep_jit_secs={len(jit)}) — malformed record, refusing")
             reps += [(s, c, j) for s, c, j in zip(secs, cal, jit) if s >= 0]
         if not reps:
             rows[name] = {"min_raw": -1.0, "min_filtered": -1.0,
@@ -89,6 +101,7 @@ def main(argv):
 
     hdr = (f"stamp base (median) {base:.3f} s, cap {cap:.3f} s; "
            f"{n_tainted_reps}/{n_reps} reps discarded as burst-stamped; "
+           f"{n_unstamped} un-stamped fallback reps (always pass the cap); "
            f"{len(flagged)} rows all-tainted (raw min kept): {flagged}")
     print(hdr, file=sys.stderr)
     for name in names:
@@ -107,6 +120,7 @@ def main(argv):
     print(json.dumps({"stamp_base": round(base, 4), "stamp_cap": round(cap, 4),
                       "records": args, "n_reps": n_reps,
                       "n_reps_discarded": n_tainted_reps,
+                      "n_reps_unstamped": n_unstamped,
                       "rows_all_tainted": flagged,
                       "total_raw": round(total_raw, 3),
                       "total_filtered": round(total_filt, 3),
