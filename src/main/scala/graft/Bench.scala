@@ -169,12 +169,58 @@ object Bench {
         Array(f(0) + f(1), f(2) + at(5) + at(6), f(3), f(4), at(7))
       } catch { case _: Exception => Array(0L, 0L, 0L, 0L, 0L) }
     val spillBytes = new LongAdder
+    // shuffle-fetch wait per rep (round 16): the next engine-side
+    // suspect for context-free rep scatter — a rep whose tasks sat
+    // waiting on shuffle fetches carries the wait here, separating
+    // "executor starved by the host" from "engine waited on itself"
+    val fetchWaitMs = new LongAdder
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null) spillBytes.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+        if (m != null) {
+          spillBytes.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+          if (m.shuffleReadMetrics != null)
+            fetchWaitMs.add(m.shuffleReadMetrics.fetchWaitTime)
+        }
       }
     })
+    // ---- continuous slowdown sampler (round 16: the c38/c22 scatter) --
+    // The ~90 ms post-rep stamp provably undersamples the suspected
+    // sub-minute host slowdown windows (it observes <1% of a 30 s rep).
+    // SPARK_GRAFT_BENCH_SAMPLER=1 starts a daemon thread running a
+    // fixed ~0.5 ms pure-JVM work unit every 100 ms for the whole
+    // sweep; each rep then reports the tick-duration distribution and
+    // slow-tick occupancy INSIDE its own window. The unit competes
+    // with Spark's task threads, so its absolute duration inflates
+    // during any busy query — the diagnostic is the CONTRAST between
+    // fast and slow reps of the SAME query, where the engine's work is
+    // constant and only host interference differs. Off by default: a
+    // permanent 0.5%-duty spinner has no place under a record run.
+    val samplerOn = sys.env.get("SPARK_GRAFT_BENCH_SAMPLER").contains("1")
+    final case class Tick(at: Long, workNanos: Long)
+    val ticks = new java.util.concurrent.ConcurrentLinkedQueue[Tick]()
+    val tickSink = new LongAdder // observable sink: the loop can't be elided
+    def tickOnce(): Tick = {
+      val t0 = System.nanoTime()
+      var x = t0 | 1L
+      var i = 0
+      while (i < 300000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      tickSink.add(x)
+      val t1 = System.nanoTime()
+      Tick(t1, t1 - t0)
+    }
+    if (samplerOn) {
+      val t = new Thread(() => {
+        while (true) { ticks.add(tickOnce()); Thread.sleep(100) }
+      }, "graft-bench-sampler")
+      t.setDaemon(true)
+      t.start()
+    }
+    def tickWindow(from: Long, to: Long): Seq[Double] = {
+      import scala.jdk.CollectionConverters._
+      ticks.iterator().asScala.filter(t => t.at >= from && t.at <= to)
+        .map(_.workNanos / 1e6).toSeq.sorted
+    }
     // disk size matters as much as memory: localCheckpoint blocks are
     // MEMORY_AND_DISK, so under execution-memory pressure they land on
     // disk and STAY there until a driver GC lets the ContextCleaner
@@ -235,13 +281,15 @@ object Bench {
         // timer on both ends)
         org.apache.spark.graft.Listeners.settle(spark.sparkContext)
         spillBytes.reset()
+        fetchWaitMs.reset()
         val g0 = gcMillis()
         val j0 = jitMillis()
         val s0 = procStat()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val sec = (System.nanoTime() - t0) / 1e9
+          val tEnd = System.nanoTime()
+          val sec = (tEnd - t0) / 1e9
           org.apache.spark.graft.Listeners.settle(spark.sparkContext)
           val s1 = procStat()
           val ds = s1.zip(s0).map { case (a, b) => (a - b).toDouble }
@@ -250,22 +298,24 @@ object Bench {
           (sec, (gcMillis() - g0) / 1e3, spillBytes.sum() / 1e6,
             (jitMillis() - j0) / 1e3,
             100 * ds(4) / tot, 100 * ds(3) / tot, 100 * ds(2) / tot,
-            miniCalib())
+            miniCalib(), fetchWaitMs.sum() / 1e3, (t0, tEnd))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e")
-            (-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+            (-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, (0L, 0L))
         }
       }
       val ok = times.filter(_._1 >= 0)
       // diagnostics ride the rep that produced the reported (min) time
       val best =
-        if (ok.isEmpty) (-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0) else ok.minBy(_._1)
+        if (ok.isEmpty) (-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, (0L, 0L))
+        else ok.minBy(_._1)
       val (storageBytes, storageDiskBytes, nRdds) = storageSnapshot()
       (name, best._1, best._2, best._3, storageBytes / 1e6,
         storageDiskBytes / 1e6, nRdds,
         times.map(_._1), times.map(_._4), poolUsedMb("CodeHeap"), poolUsedMb("Metaspace"),
-        times.map(_._5), times.map(_._6), times.map(_._7), times.map(_._8))
+        times.map(_._5), times.map(_._6), times.map(_._7), times.map(_._8),
+        times.map(_._9), times.map(_._10))
     }
     val results = resultsFull.map(r => r._1 -> r._2)
     // post-sweep calibration: load arriving MID-run shows up as
@@ -303,10 +353,29 @@ object Bench {
     // per-query diagnostics (gc seconds + spill MB of the min rep;
     // resident RDD storage MB + block count right AFTER the query) —
     // the attribution record for any in-suite-vs-standalone gap
+    // sampler baseline: the fastest tick of the whole run is the
+    // quiet-box work-unit cost; a rep's "slow occupancy" is the
+    // fraction of its ticks over 3× that floor
+    val tickMinMs = {
+      import scala.jdk.CollectionConverters._
+      val all = ticks.iterator().asScala.map(_.workNanos / 1e6)
+      if (all.isEmpty) 0.0 else all.min
+    }
     val diag = resultsFull.map {
       case (name, _, gcSec, spillMb, storMb, storDiskMb, nRdds,
             repSecs, repJitSecs, codeHeapMb, metaspaceMb,
-            repStealPct, repIowaitPct, repIdlePct, repCalib) =>
+            repStealPct, repIowaitPct, repIdlePct, repCalib,
+            repFetchWait, repWindows) =>
+        val tickJson = if (!samplerOn) "" else {
+          val stats = repWindows.map { case (from, to) => tickWindow(from, to) }
+          def arr(f: Seq[Double] => Double): String =
+            stats.map(w => ms(if (w.isEmpty) -1.0 else f(w))).mkString(",")
+          s""""rep_tick_n":[${stats.map(_.size).mkString(",")}],""" +
+            s""""rep_tick_p50_ms":[${arr(w => w(w.size / 2))}],""" +
+            s""""rep_tick_p90_ms":[${arr(w => w(w.size * 9 / 10))}],""" +
+            s""""rep_tick_slow_pct":[${arr(w =>
+              100.0 * w.count(_ > 3 * tickMinMs) / w.size)}],"""
+        }
         "\"" + name + s"""":{"gc_sec":${ms(gcSec)},"spill_mb":${ms(spillMb)},""" +
           s""""storage_mb_after":${ms(storMb)},""" +
           s""""storage_disk_mb_after":${ms(storDiskMb)},"rdds_after":$nRdds,""" +
@@ -316,6 +385,8 @@ object Bench {
           s""""rep_iowait_pct":[${repIowaitPct.map(ms).mkString(",")}],""" +
           s""""rep_idle_pct":[${repIdlePct.map(ms).mkString(",")}],""" +
           s""""rep_calib_secs":[${repCalib.map(ms).mkString(",")}],""" +
+          s""""rep_fetch_wait_secs":[${repFetchWait.map(ms).mkString(",")}],""" +
+          tickJson +
           s""""codeheap_mb_after":${ms(codeHeapMb)},""" +
           s""""metaspace_mb_after":${ms(metaspaceMb)}}"""
     }.mkString("{", ",", "}")
@@ -326,6 +397,7 @@ object Bench {
       s""""calib":$calib,"calib_pre":$calibPre,"calib_post":$calibPost,""" +
       s""""calib_ref":"min-of-3 bit_xor(xxhash64(id)) over range(2^28), warmed",""" +
       s""""loadavg_pre":"$loadPre","loadavg_post":"$loadPost",""" +
+      s""""sampler":$samplerOn,"tick_min_ms":${ms(tickMinMs)},""" +
       s""""diag":$diag,""" +
       s""""queries":$qsFull}"""
     // best-effort: the bench must still report via stdout if cwd
