@@ -362,16 +362,44 @@ object StreamBench {
         streaming.EventStream.nearDupStoreCompact(spark, s"$dir/store", 2000000L)
         System.err.println(s"[streambench] d10 growth preseeded store with $preseed docs")
       }
-      val input = MemoryStream[StreamDoc](spark)(Encoders.product[StreamDoc])
+      // the growth phase honors SPARK_GRAFT_STREAM_SOURCE too (round
+      // 16): the MemoryStream's single-block delivery puts a
+      // single-task spread() stage in front of every arrival — a
+      // documented harness artifact — and the storm/ladder curves
+      // should be measurable without it, exactly like the per-gate
+      // runs above (same staged-dir atomic-rename recipe)
+      val (srcDf, feed): (DataFrame, (String, Int) => Unit) =
+        if (sourceMode == "file") {
+          val spool = dir + "/spool"
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spool))
+          def f(tag: String, k: Int): Unit = {
+            val stage = s"$dir/stage-$tag-$k"
+            spark.createDataset(mkGrowthBatch(tag, k, growthSize))(
+                Encoders.product[StreamDoc])
+              .repartition(sourceFiles).write.mode("overwrite").parquet(stage)
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(stage),
+              java.nio.file.Paths.get(s"$spool/b-$tag-$k"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          f("growthw", 0) // the path must exist before readStream plans
+          (spark.readStream.schema(Encoders.product[StreamDoc].schema)
+            .parquet(s"$spool/*"), f _)
+        } else {
+          val input = MemoryStream[StreamDoc](spark)(Encoders.product[StreamDoc])
+          ((input.toDF(), (tag: String, k: Int) => {
+            input.addData(mkGrowthBatch(tag, k, growthSize): _*); ()
+          }))
+        }
       val q =
         if (growthGate == "d16")
-          streaming.EventStream.ingestPipelineSink(input.toDF(), "doc_id", col("text"),
+          streaming.EventStream.ingestPipelineSink(srcDf, "doc_id", col("text"),
             pipelineCfg, dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")
         else
-          streaming.EventStream.nearDupGateSink(input.toDF(), "doc_id", col("text"),
+          streaming.EventStream.nearDupGateSink(srcDf, "doc_id", col("text"),
             dir + "/store", dir + "/corpus", "lang", dir + "/ckpt")
       try {
-        input.addData(mkGrowthBatch("growthw", 0, growthSize): _*)
+        if (sourceMode != "file") feed("growthw", 0) // file mode pre-fed the spool
         q.processAllAvailable()
         val rows = (1 to growthBatches).map { k =>
           if (compactEvery > 0 && k % compactEvery == 0) {
@@ -385,11 +413,12 @@ object StreamBench {
             streaming.EventStream.ingestCorpusCompact(spark, dir + "/corpus", "lang", (k - 1).toLong)
           }
           mtLock.synchronized { maxTask = MaxTask(0, -1, 0, 0) }
-          // t0 before addData — the same honest-timer rule as the
+          // t0 before the feed — the same honest-timer rule as the
           // gate runs above (addData for a growth-sized batch is
-          // milliseconds; the r11 curves remain comparable)
+          // milliseconds; a file feed's write is inside the timer
+          // like the per-gate file runs)
           val t0 = System.nanoTime()
-          input.addData(mkGrowthBatch("growth", k, growthSize): _*)
+          feed("growth", k)
           q.processAllAvailable()
           val sec = (System.nanoTime() - t0) / 1e9
           org.apache.spark.graft.Listeners.settle(spark.sparkContext)
