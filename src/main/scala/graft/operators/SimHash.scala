@@ -67,12 +67,16 @@ object SimHash {
     * document). The guard is post-aggregation (n is only known
     * then); under ANSI arithmetic (the Spark 4 default) a doc whose
     * top-lane ones-count reaches 32 768 — with random md5 bits,
-    * n ≳ 65 536 — makes the lane SUM cross 2^63 and Spark's own
-    * ARITHMETIC_OVERFLOW fires mid-aggregation first: a louder,
-    * earlier form of the same refusal (with ANSI off the sum wraps
-    * mod 2^64, the unsigned-shift extraction stays EXACT through
-    * n = 65 535, and this guard is the only defense past it —
-    * NearDupSpec pins both modes). */
+    * n ≳ 65 536, though a VALID doc within a few hundred shingles of
+    * the bound can land there too (ones ~ Binomial(n, ½)) — makes
+    * the lane SUM cross 2^63 and Spark's own ARITHMETIC_OVERFLOW
+    * fires mid-aggregation first: a louder, earlier form of the same
+    * refusal, and for the rare valid-but-unlucky doc a conservative
+    * one — never a wrong fingerprint, and `wideLanes` is the answer
+    * either way (with ANSI off the sum wraps mod 2^64, the
+    * unsigned-shift extraction stays EXACT through n = 65 535, and
+    * this guard is the only defense past it — NearDupSpec pins both
+    * modes). */
   def fingerprints(exploded: DataFrame, id: String, shingle: String,
                    wideLanes: Boolean = false): DataFrame = {
     val hashed0 = exploded.select(col(id), md5(col(shingle)).as("__h"))
