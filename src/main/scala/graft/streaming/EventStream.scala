@@ -339,16 +339,22 @@ object EventStream {
     * log rather than a delayed opaque failure. StreamingSpec pins
     * pre-existing-pin survival, batch-pin reaping, and the
     * multi-query skip. */
+  private val multiQueryWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private[graft] def unpersistBatchPins[T](spark: SparkSession)(body: => T): T = {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     try body
     finally {
       val active = spark.streams.active.length
-      if (active > 1)
-        System.err.println(s"unpersistBatchPins: $active streaming queries share " +
-          "this session — skipping the end-of-batch pin reap (another sink's " +
-          "in-flight pins would land in the diff); disk hygiene falls back to " +
-          "periodicGC. Run concurrent sinks in separate sessions.")
+      if (active > 1) {
+        // once per JVM, not per batch: the skip is per-batch but the
+        // advice (separate sessions) doesn't change batch to batch
+        if (!multiQueryWarned.getAndSet(true))
+          System.err.println(s"unpersistBatchPins: $active streaming queries share " +
+            "this session — skipping the end-of-batch pin reap (another sink's " +
+            "in-flight pins would land in the diff); disk hygiene falls back to " +
+            "periodicGC. Run concurrent sinks in separate sessions.")
+      }
       else spark.sparkContext.getPersistentRDDs.foreach {
         case (rddId, rdd) =>
           if (!before(rddId)) {
