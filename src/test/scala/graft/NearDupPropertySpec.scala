@@ -105,6 +105,41 @@ class NearDupPropertySpec extends SparkSpec {
     }
   }
 
+  test("SimHash wide lanes equal narrow lanes on generated corpora (and both match a reference)") {
+    // the r16 32-bit-lane layout claims bit-identical fingerprints
+    // wherever the narrow lanes are in-bound — pinned over generated
+    // corpora, with a pure-Scala md5/majority reference as the anchor
+    // (so a bug shared by BOTH layouts can't hide behind the parity)
+    def refFingerprint(shingles: Set[String]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ones = new Array[Int](64)
+      shingles.foreach { s =>
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        var b = 0
+        while (b < 64) {
+          if (((Character.digit(hex.charAt(b / 4), 16) >> (b % 4)) & 1) == 1) ones(b) += 1
+          b += 1
+        }
+      }
+      (0 until 64).map(i => if (2L * ones(i) > shingles.size) 1L << i else 0L)
+        .foldLeft(0L)(_ | _)
+    }
+    for (seed <- Seq(11L, 4242L)) {
+      val docs = corpus(seed)
+      val ex = graft.operators.Shingles.exploded(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"), 3)
+        .dropDuplicates("id", "sh")
+      val narrow = graft.operators.SimHash.fingerprints(ex, "id", "sh")
+        .as[(Long, Long)].collect().toMap
+      val wide = graft.operators.SimHash.fingerprints(ex, "id", "sh", wideLanes = true)
+        .as[(Long, Long)].collect().toMap
+      assert(narrow == wide, s"lane layouts disagree at seed $seed")
+      val want = docs.map { case (id, s) => id -> shingleSet(s) }
+        .filter(_._2.nonEmpty).map { case (id, sh) => id -> refFingerprint(sh) }.toMap
+      assert(narrow == want, s"fingerprints disagree with the reference at seed $seed")
+    }
+  }
+
   test("SimHash rejects an unsound banding configuration") {
     val docs = corpus(7L).toDF("doc_id", "text")
     // maxHamming=4 > chunks-agree=3 could miss pairs — must refuse
