@@ -361,6 +361,23 @@ object Bench {
       val all = ticks.iterator().asScala.map(_.workNanos / 1e6)
       if (all.isEmpty) 0.0 else all.min
     }
+    // second floor (round 17, ADVICE): on a box that is NEVER quiet —
+    // exactly the condition being diagnosed — the all-ticks min
+    // inflates and slow-occupancy understates host interference. Ticks
+    // taken OUTSIDE every rep window (settle gaps, per-rep stamps,
+    // warmup/teardown) are immune to the engine's own busy queries, so
+    // their min is the in-run quiet estimate to calibrate against the
+    // cross-run quiet baseline. Emitted beside tick_min_ms (which
+    // stays the slow_pct denominator for comparability with the r16
+    // probe records).
+    val tickIdleMinMs = {
+      import scala.jdk.CollectionConverters._
+      val windows = resultsFull.flatMap(_._17).filter(w => w._2 > w._1)
+      val idle = ticks.iterator().asScala
+        .filter(t => !windows.exists(w => t.at >= w._1 && t.at <= w._2))
+        .map(_.workNanos / 1e6)
+      if (idle.isEmpty) 0.0 else idle.min
+    }
     val diag = resultsFull.map {
       case (name, _, gcSec, spillMb, storMb, storDiskMb, nRdds,
             repSecs, repJitSecs, codeHeapMb, metaspaceMb,
@@ -374,7 +391,13 @@ object Bench {
             s""""rep_tick_p50_ms":[${arr(w => w(w.size / 2))}],""" +
             s""""rep_tick_p90_ms":[${arr(w => w(w.size * 9 / 10))}],""" +
             s""""rep_tick_slow_pct":[${arr(w =>
-              100.0 * w.count(_ > 3 * tickMinMs) / w.size)}],"""
+              100.0 * w.count(_ > 3 * tickMinMs) / w.size)}],""" +
+            // mean tick vs the run floor (round 17): classifies
+            // 1.5×-amplitude windows the 3× slow-pct threshold misses
+            // (the two mid-slow c38 reps of the r16 probe sat at 5-7%
+            // occupancy; their mean ratio separates them cleanly)
+            s""""rep_tick_mean_x":[${arr(w =>
+              w.sum / w.size / math.max(tickMinMs, 1e-9))}],"""
         }
         "\"" + name + s"""":{"gc_sec":${ms(gcSec)},"spill_mb":${ms(spillMb)},""" +
           s""""storage_mb_after":${ms(storMb)},""" +
@@ -398,6 +421,7 @@ object Bench {
       s""""calib_ref":"min-of-3 bit_xor(xxhash64(id)) over range(2^28), warmed",""" +
       s""""loadavg_pre":"$loadPre","loadavg_post":"$loadPost",""" +
       s""""sampler":$samplerOn,"tick_min_ms":${ms(tickMinMs)},""" +
+      s""""tick_idle_min_ms":${ms(tickIdleMinMs)},""" +
       s""""diag":$diag,""" +
       s""""queries":$qsFull}"""
     // best-effort: the bench must still report via stdout if cwd

@@ -230,8 +230,16 @@ object Incremental {
     // permanently seed the store with duplicate signatures,
     // re-opening the quadratic storm regime the r14 fix closed — so
     // the demoted shape keeps the collapse as plain shuffle joins
-    // (no broadcast, no checkpoint: Catalyst/AQE plan them, and the
-    // identical dup subplans reuse one exchange). Only an EXPLICIT
+    // (no broadcast, no checkpoint: Catalyst/AQE plan them; WITHIN
+    // one action the identical dup subplans reuse one exchange, but
+    // a caller that consumes the returned tables in SEPARATE actions
+    // re-runs the dup pipeline per action — an accepted cost:
+    // demotions are a surfaced-rare event (gate_demotions = 0 in
+    // every committed storm record), a lazy persist here would leak
+    // one CacheManager entry per arrival in a long-running sink, and
+    // a lazy localCheckpoint would put the LogicalRDD plan barrier
+    // IncrementalSpec forbids into the demoted shape). Only an
+    // EXPLICIT
     // `microBatch = false` caller (c34's corpus-sized declarative
     // arrival, whose tables are not destined for a store) skips the
     // collapse: there those steps would be three extra full shuffles

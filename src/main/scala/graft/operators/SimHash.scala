@@ -64,19 +64,31 @@ object SimHash {
     * `wideLanes = true` (32-bit lanes, two per long, 32 accumulators
     * — same construction, one extra doubling, exact to
     * `MaxWideLaneShingles` ≈ 2.1e9 distinct shingles ≈ a 100+ GB
-    * document). The guard is post-aggregation (n is only known
-    * then); under ANSI arithmetic (the Spark 4 default) a doc whose
-    * top-lane ones-count reaches 32 768 — with random md5 bits,
-    * n ≳ 65 536, though a VALID doc within a few hundred shingles of
-    * the bound can land there too (ones ~ Binomial(n, ½)) — makes
-    * the lane SUM cross 2^63 and Spark's own ARITHMETIC_OVERFLOW
-    * fires mid-aggregation first: a louder, earlier form of the same
-    * refusal, and for the rare valid-but-unlucky doc a conservative
-    * one — never a wrong fingerprint, and `wideLanes` is the answer
-    * either way (with ANSI off the sum wraps mod 2^64, the
-    * unsigned-shift extraction stays EXACT through n = 65 535, and
-    * this guard is the only defense past it — NearDupSpec pins both
-    * modes). */
+    * document).
+    *
+    * ANSI safety of the narrow sums (round 17): the raw packed sum
+    * puts the top lane at bit 48, so a top-lane ones-count of 32 768
+    * would push the SUM past 2^63 — and a VALID doc near the 65 535
+    * bound reaches that with probability ~½ (ones ~ Binomial(n, ½)),
+    * which under ANSI (the Spark 4 default) used to die with Spark's
+    * generic ARITHMETIC_OVERFLOW instead of this guard's actionable
+    * message. Fix: each per-row partial is BIASED by −2^47, so the
+    * accumulated top term is (2·ones₃ − n)·2^47 — magnitude ≤
+    * n·2^47 < 2^63 − 2^48 for n ≤ 65 535, while the three low lanes
+    * contribute < 2^48; every partial and merged sum over k ≤ n rows
+    * obeys the same bound, so ANSI summation is PROVABLY
+    * overflow-free through n = 65 535 and the per-doc guard is the
+    * only refusal. Extraction undoes the bias with pure bit
+    * arithmetic: T = 2·ones₃ − n has n's parity, so
+    * q = S >> 47 (arithmetic shift = floor ÷ 2^47, with the low
+    * lanes' L ∈ [0, 2^48) contributing q − T ∈ {0, 1}) rounds to
+    * T = q − ((q XOR n) & 1), then ones₃ = (T + n) >> 1 and
+    * L = S − T·2^47 yields lanes 0-2 by the original shift-and-mask.
+    * An over-bound doc's sums stay in signed range for any realistic
+    * n (the worst case needs n ≥ 65 536 docs whose md5 bits are
+    * all-ones or all-zeros in one position), so the guard fires with
+    * its actionable message in BOTH ANSI modes — NearDupSpec pins
+    * the exact 65 535 boundary and the 65 536 refusal under ANSI. */
   def fingerprints(exploded: DataFrame, id: String, shingle: String,
                    wideLanes: Boolean = false): DataFrame = {
     val hashed0 = exploded.select(col(id), md5(col(shingle)).as("__h"))
@@ -84,11 +96,21 @@ object SimHash {
       if (!wideLanes) {
         val spreadM = (1L << 0) + (1L << 15) + (1L << 30) + (1L << 45)
         val laneMask = 0x0001000100010001L
+        val bias = 1L << 47 // see the ANSI-safety note above
         val h = hashed0.select(col(id) +: (1 to 16).map(c =>
-          (hexVal(col("__h"), c) * lit(spreadM)).bitwiseAND(lit(laneMask)).as(s"p$c")): _*)
+          ((hexVal(col("__h"), c) * lit(spreadM)).bitwiseAND(lit(laneMask))
+            - lit(bias)).as(s"p$c")): _*)
         val a = (1 to 16).map(c => sum(col(s"p$c")).as(s"s$c"))
-        val cnt = (i: Int) => shiftrightunsigned(col(s"s${i / 4 + 1}"), (i % 4) * 16)
-          .bitwiseAND(lit(0xFFFFL))
+        val cnt = (i: Int) => {
+          val s = col(s"s${i / 4 + 1}")
+          // undo the per-row −2^47 bias: T = 2·ones₃ − n shares n's
+          // parity, which disambiguates the floor-shift's ±1
+          val q = shiftright(s, 47)
+          val t = q - q.bitwiseXOR(col("__n")).bitwiseAND(lit(1L))
+          if (i % 4 == 3) shiftright(t + col("__n"), 1)
+          else shiftrightunsigned(s - t * lit(bias), (i % 4) * 16)
+            .bitwiseAND(lit(0xFFFFL))
+        }
         (h, a, cnt, MaxNarrowLaneShingles)
       } else {
         // 32-bit lanes, two per long: bits 0-1 of hex char c in s${c}a

@@ -97,19 +97,39 @@ class NearDupSpec extends SparkSpec {
     // pre-exploded (id, sh) rows — fingerprints' own input shape; no
     // need to synthesize a 70k-word text
     val big = spark.range(nBig).selectExpr("1L AS id", "concat('sh', id) AS sh")
-    // ANSI on (the session/Spark-4 default): the top counter lane's
-    // ones-count passes 32768 (~n/2 of random md5 bits) and the lane
-    // SUM crosses 2^63 mid-aggregation — Spark's own overflow, or the
-    // per-doc guard if the sums happen to fit. Either way: loud.
+    // ANSI on (the session/Spark-4 default): the r17 biased-lane sums
+    // are provably overflow-free through the bound, so the per-doc
+    // guard is the ONLY refusal — the over-bound doc must get the
+    // ACTIONABLE message (never Spark's generic ARITHMETIC_OVERFLOW,
+    // which a 70k random-bit doc would certainly have tripped on the
+    // unbiased layout: top-lane ones ≈ 35k > 32768)
     val eAnsi = intercept[Throwable] {
       SimHash.fingerprints(big, "id", "sh").collect()
     }
-    assert(msgChain(eAnsi).toLowerCase.contains("overflow") ||
-      msgChain(eAnsi).contains("distinct shingles"), msgChain(eAnsi))
-    // ANSI off: the lane sums wrap mod 2^64 (harmless — extraction is
-    // unsigned — through n = 65535) and past the bound the per-doc
-    // guard is the ONLY defense against a silently-corrupt
-    // fingerprint: it must fire with the actionable message
+    assert(msgChain(eAnsi).contains("distinct shingles") &&
+      msgChain(eAnsi).contains("wideLanes"), msgChain(eAnsi))
+    // exactly AT the bound, UNDER ANSI, the narrow path must be exact
+    // (this is the case that used to die ~50% of the time with the
+    // generic overflow): parity with the wide lanes, whose sums
+    // provably never overflow there
+    val atBound = spark.range(SimHash.MaxNarrowLaneShingles)
+      .selectExpr("1L AS id", "concat('sh', id) AS sh")
+    val narrowAt = SimHash.fingerprints(atBound, "id", "sh")
+      .as[(Long, Long)].head()._2
+    val wideAt = SimHash.fingerprints(atBound, "id", "sh", wideLanes = true)
+      .as[(Long, Long)].head()._2
+    assert(narrowAt == wideAt)
+    // one past the bound refuses with the same actionable message
+    val onePast = spark.range(SimHash.MaxNarrowLaneShingles + 1)
+      .selectExpr("1L AS id", "concat('sh', id) AS sh")
+    val ePast = intercept[Throwable] {
+      SimHash.fingerprints(onePast, "id", "sh").collect()
+    }
+    assert(msgChain(ePast).contains("distinct shingles") &&
+      msgChain(ePast).contains("wideLanes"), msgChain(ePast))
+    // ANSI off: identical arithmetic (the biased sums never leave
+    // signed range in-bound), and past the bound the per-doc guard
+    // still fires with the actionable message
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try {
       val e = intercept[Throwable] {
@@ -117,15 +137,9 @@ class NearDupSpec extends SparkSpec {
       }
       assert(msgChain(e).contains("distinct shingles") &&
         msgChain(e).contains("wideLanes"), msgChain(e))
-      // exactly AT the bound the narrow path is exact: parity with the
-      // wide lanes (whose sums provably never overflow there)
-      val atBound = spark.range(SimHash.MaxNarrowLaneShingles)
-        .selectExpr("1L AS id", "concat('sh', id) AS sh")
-      val narrowAt = SimHash.fingerprints(atBound, "id", "sh")
+      val narrowAtOff = SimHash.fingerprints(atBound, "id", "sh")
         .as[(Long, Long)].head()._2
-      val wideAt = SimHash.fingerprints(atBound, "id", "sh", wideLanes = true)
-        .as[(Long, Long)].head()._2
-      assert(narrowAt == wideAt)
+      assert(narrowAtOff == wideAt)
     } finally spark.conf.set("spark.sql.ansi.enabled", "true")
     // the widened path accepts the over-bound doc and must match a
     // pure-Scala reference computation of the same ones-count/majority

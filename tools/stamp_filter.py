@@ -65,7 +65,10 @@ def main(argv):
                     n_unstamped += 1
                 continue
             if "rep_calib_secs" not in d:
-                n_unstamped += len(d["rep_secs"])
+                # census the un-stamped reps that actually enter the
+                # merge: failed reps (-1 sentinels) are dropped below
+                # and must not inflate this line
+                n_unstamped += sum(1 for s in d["rep_secs"] if s >= 0)
             secs = d["rep_secs"]
             cal = d.get("rep_calib_secs", [0.0] * len(secs))
             jit = d.get("rep_jit_secs", [0.0] * len(secs))
