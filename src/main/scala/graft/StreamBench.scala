@@ -296,7 +296,11 @@ object StreamBench {
     val gateFilter = sys.env.get("SPARK_GRAFT_STREAM_GATES")
       .map(_.split(",").map(_.trim).toSet)
     val selected = gateFilter.fold(gates)(f => gates.filter(g => f(g._1)))
-    require(selected.nonEmpty,
+    // a filter matching nothing (e.g. SPARK_GRAFT_STREAM_GATES=none)
+    // is allowed when a dedicated phase below runs instead — that is
+    // how a growth- or two-sink-only probe skips the per-gate sweep
+    require(selected.nonEmpty || growthBatches > 0 ||
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_TWO_SINK", "0").toInt > 0,
       s"SPARK_GRAFT_STREAM_GATES matched nothing in ${gates.map(_._1).mkString(",")}")
     val results = for ((gate, start) <- selected; size <- batchSizes) yield {
       val (secs, feedSecs, stages) = run(gate, size, start)
@@ -439,6 +443,75 @@ object StreamBench {
         (secs, rows.map(_._2))
       } finally q.stop()
     } else None
+    // TWO-SINK DISK-HYGIENE PROBE (round 17): two concurrent D10
+    // gates in ONE session for N arrival pairs. The probe's first run
+    // KILLED the r14-r16 reap design — sink A's global
+    // getPersistentRDDs diff caught sink B's in-flight pins and
+    // reaped them (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on pair 4), and
+    // the r16 active-query guard never engaged because foreachBatch
+    // sessions are per-query clones whose StreamingQueryManager does
+    // not see siblings. Under the replacement (operators.Pins
+    // recorded ownership) the probe verifies the fixed contract:
+    // both sinks run to completion, each reaping only its own pins;
+    // the pre-existing model pins survive; and the BlockManager
+    // local-dir bytes (ground truth — dead blocks included) stay
+    // bounded, not a monotone drift. Per pair: wall seconds, LIVE
+    // persisted storage (registry view), block-dir MB.
+    val twoSink = sys.env.getOrElse("SPARK_GRAFT_STREAM_TWO_SINK", "0").toInt
+    val twoSinkJson = if (twoSink > 0) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sb-twosink").toString
+      def mkIn() = MemoryStream[StreamDoc](spark)(Encoders.product[StreamDoc])
+      val (inA, inB) = (mkIn(), mkIn())
+      def sink(in: DataFrame, tag: String) =
+        streaming.EventStream.nearDupGateSink(in, "doc_id", col("text"),
+          s"$dir/store$tag", s"$dir/corpus$tag", "lang", s"$dir/ckpt$tag")
+      val qA = sink(inA.toDF(), "A")
+      val qB = sink(inB.toDF(), "B")
+      try {
+        // warmup pair (codegen + sink setup; unmeasured). Both queries
+        // stay active for the whole probe, so EVERY batch's reap check
+        // sees two active queries and skips.
+        inA.addData(mkBatch("tsAw", 0, growthSize): _*); qA.processAllAvailable()
+        inB.addData(mkBatch("tsBw", 0, growthSize): _*); qB.processAllAvailable()
+        val sc = spark.sparkContext
+        // the frozen model tables pinned at startup must survive every
+        // reap of the run — they are exactly the "pre-existing pins"
+        // the ownership contract protects
+        val modelPins = sc.getPersistentRDDs.keySet
+        val rows = (1 to twoSink).map { k =>
+          val t0 = System.nanoTime()
+          inA.addData(mkBatch("tsA", k, growthSize): _*)
+          inB.addData(mkBatch("tsB", k, growthSize): _*)
+          qA.processAllAvailable(); qB.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.Listeners.settle(sc)
+          val infos = sc.getRDDStorageInfo
+          val liveMb = (infos.map(_.memSize).sum + infos.map(_.diskSize).sum) / 1e6
+          val duMb = org.apache.spark.graft.Listeners.blockManagerDiskBytes(sc) / 1e6
+          System.err.println(f"[streambench] two-sink pair $k%3d: $sec%.3f s " +
+            f"live=${liveMb}%.1f MB rdds=${infos.length} blockdir=${duMb}%.1f MB")
+          (sec, liveMb, duMb, infos.length)
+        }
+        val survived = modelPins.subsetOf(sc.getPersistentRDDs.keySet)
+        require(survived,
+          "two-sink probe: a pre-existing model pin was reaped — ownership contract broken")
+        val duHead = median(rows.take(10).map(_._3))
+        val duTail = median(rows.takeRight(10).map(_._3))
+        System.err.println(f"[streambench] two-sink n=$twoSink size=$growthSize " +
+          f"model_pins=${modelPins.size} survived=$survived blockdir " +
+          f"first10med=$duHead%.1f MB last10med=$duTail%.1f MB " +
+          f"ratio=${duTail / math.max(duHead, 1e-9)}%.2f")
+        s""","two_sink":{"n":$twoSink,"size":$growthSize,""" +
+          s""""model_pins":${modelPins.size},"model_pins_survived":$survived,""" +
+          s""""secs":[${rows.map(r => j(r._1)).mkString(",")}],""" +
+          s""""live_storage_mb":[${rows.map(r => j(r._2, 1)).mkString(",")}],""" +
+          s""""blockdir_mb":[${rows.map(r => j(r._3, 1)).mkString(",")}],""" +
+          s""""rdds":[${rows.map(_._4).mkString(",")}],""" +
+          s""""blockdir_first10_median_mb":${j(duHead, 1)},""" +
+          s""""blockdir_last10_median_mb":${j(duTail, 1)},""" +
+          s""""blockdir_ratio":${j(duTail / math.max(duHead, 1e-9), 2)}}"""
+      } finally { qA.stop(); qB.stop() }
+    } else ""
     val json = results.groupBy(_._1).toSeq.sortBy(_._1).map { case (gate, rs) =>
       val per = rs.sortBy(_._2).map { case (_, size, secs, med, feedSecs, stages) =>
         // per-stage aggregation (GRAFT_SINK_PROFILE=1 only): one
@@ -469,7 +542,7 @@ object StreamBench {
     // gate demotions are a silent plan-shape change inside a sink —
     // surface the process-wide count in the record (0 on every healthy
     // run: StreamBench batches are micro by construction)
-    val line = s"""{"gates":{$json}$growthJson,"n_batches":$nBatches,""" +
+    val line = s"""{"gates":{$json}$growthJson$twoSinkJson,"n_batches":$nBatches,""" +
       s""""gate_demotions":${operators.Incremental.demotions.sum()},""" +
       s""""source":"$sourceMode","sf":"$sfDir","cpus":"$cpus"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -179,7 +179,7 @@ object Incremental {
     // broadcast or checkpoint corpus-scale tables: it keeps the
     // declarative shape and lets Catalyst/AQE choose.
     val (bBands, bSets) =
-      if (micro) (bBands0.localCheckpoint(true), bSets0.localCheckpoint(true))
+      if (micro) (Pins.checkpoint(bBands0), Pins.checkpoint(bSets0))
       else (bBands0, bSets0)
     // the pruner cap below compares the ACTUAL band-row count —
     // counting the already-checkpointed table is one trivial job
@@ -259,7 +259,7 @@ object Incremental {
       // declaratively instead
       val dup0 = bSets.filter(size(col("s")) > 0)
         .join(hint(reps), Seq("id"), "left_anti").select(col("id"))
-      val dup = if (micro) dup0.localCheckpoint(true) else dup0
+      val dup = if (micro) Pins.checkpoint(dup0) else dup0
       (bBands.join(hint(dup), Seq("id"), "left_anti"),
         bSets.join(hint(dup), Seq("id"), "left_anti"),
         dup.select(col("id").as("cid")))
@@ -311,7 +311,7 @@ object Incremental {
         Seq("bi", "bk"))
       .select(col("cid"), col("oid")).distinct()
     val vsStore = verified(
-      if (micro) vsStoreCand.localCheckpoint(true) else vsStoreCand,
+      if (micro) Pins.checkpoint(vsStoreCand) else vsStoreCand,
       pSets, storeSets, prunedSets)
 
     // within-batch: keep-first by id (the C2 pair orientation) — all

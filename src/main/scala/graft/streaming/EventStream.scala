@@ -307,61 +307,51 @@ object EventStream {
     if (batch.rdd.getNumPartitions < par) batch.repartition(par) else batch
   }
 
-  /** Runs one foreachBatch body, then unpersists every RDD the body
-    * itself persisted. The ingest sinks pin batch-scoped frames with
-    * eager localCheckpoints (the score ladder, the gate's signature
-    * tables, the survivor ids); those MEMORY_AND_DISK blocks are
-    * otherwise freed only when a DRIVER GC lets the ContextCleaner
-    * reap the dead RDD handles — on a long run the dead blocks
-    * accumulate on disk faster than any natural driver GC (measured:
-    * 73 GB of block-manager files in ~50 min at sf10, ENOSPC —
-    * SURVEY §6 r14/r15). Explicit end-of-batch unpersist makes the
-    * sinks' disk high-water mark O(one batch) by construction,
-    * independent of any GC/periodicGC tuning.
+  /** Runs one foreachBatch body, then unpersists exactly the RDDs
+    * the body itself pinned. The ingest sinks pin batch-scoped
+    * frames with eager localCheckpoints (the score ladder, the
+    * gate's signature tables, the survivor ids); those
+    * MEMORY_AND_DISK blocks are otherwise freed only when a DRIVER
+    * GC lets the ContextCleaner reap the dead RDD handles — on a
+    * long run the dead blocks accumulate on disk faster than any
+    * natural driver GC (measured: 73 GB of block-manager files in
+    * ~50 min at sf10, ENOSPC — SURVEY §6 r14/r15). Explicit
+    * end-of-batch unpersist makes the sinks' disk high-water mark
+    * O(one batch) by construction, independent of any GC/periodicGC
+    * tuning.
     *
-    * Safe because every pinned frame is batch-scoped: the signature
-    * store and corpus are re-read from their parquet roots each
-    * arrival, so no checkpointed RDD outlives its batch's last
-    * action (all of which complete inside `body`). The before/after
-    * diff leaves pre-existing pins alone (e.g. a harness's frozen
-    * model tables). The single-writer caveat is ENFORCED, not
-    * documentary (round 16): with TWO streaming queries sharing one
-    * session and interleaving batches, the diff could reap the OTHER
-    * sink's in-flight pins — and a reaped localCheckpoint has
-    * truncated lineage, so the victim would hard-fail on a missing
-    * checkpoint block instead of recomputing. When more than one
-    * streaming query is active the reap is therefore SKIPPED (with a
-    * loud stderr note): the degraded mode is the measured
-    * gc60-only regime (dead blocks bounded to ~one GC interval by
-    * the harness-default periodicGC — SURVEY §6 r14), never a wrong
-    * answer. Reaped RDD ids are logged under GRAFT_SINK_PROFILE so
-    * an accidental cross-batch reap is diagnosable from the profile
-    * log rather than a delayed opaque failure. StreamingSpec pins
-    * pre-existing-pin survival, batch-pin reaping, and the
-    * multi-query skip. */
-  private val multiQueryWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
-
+    * OWNERSHIP IS RECORDED, NOT INFERRED (round 17): every
+    * sink-path eager checkpoint goes through
+    * `operators.Pins.checkpoint`, which registers the pinned RDD
+    * with this body's thread-local collector, and the reap below
+    * unpersists exactly that list. The r14-r16 global
+    * `getPersistentRDDs` before/after diff was unsound under
+    * concurrent streaming queries — sink A's diff caught sink B's
+    * in-flight pins and reaped them, hard-failing B on a truncated
+    * lineage (measured: the r17 two-sink probe died on arrival pair
+    * 4 with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), and the r16
+    * active-query-count guard never engaged because foreachBatch
+    * hands the sink a per-query cloned session whose
+    * StreamingQueryManager does not see sibling queries. With
+    * recorded ownership there is no skip and no degraded mode:
+    * any number of sinks can share a session, each reaping only its
+    * own pins; pre-existing pins (frozen model tables) are
+    * untouched by construction. Safe because every pinned frame is
+    * batch-scoped: the signature store and corpus are re-read from
+    * their parquet roots each arrival, so no checkpointed RDD
+    * outlives its batch's last action (all of which complete inside
+    * `body`). Reaped RDD ids are logged under GRAFT_SINK_PROFILE.
+    * StreamingSpec pins pre-existing-pin survival, batch-pin
+    * reaping, and two-sink sibling-pin survival. */
   private[graft] def unpersistBatchPins[T](spark: SparkSession)(body: => T): T = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pins = graft.operators.Pins.start()
     try body
     finally {
-      val active = spark.streams.active.length
-      if (active > 1) {
-        // once per JVM, not per batch: the skip is per-batch but the
-        // advice (separate sessions) doesn't change batch to batch
-        if (!multiQueryWarned.getAndSet(true))
-          System.err.println(s"unpersistBatchPins: $active streaming queries share " +
-            "this session — skipping the end-of-batch pin reap (another sink's " +
-            "in-flight pins would land in the diff); disk hygiene falls back to " +
-            "periodicGC. Run concurrent sinks in separate sessions.")
-      }
-      else spark.sparkContext.getPersistentRDDs.foreach {
-        case (rddId, rdd) =>
-          if (!before(rddId)) {
-            if (SinkProfile.enabled)
-              System.err.println(s"[sink] end-of-batch reap: rdd $rddId (${rdd.name})")
-            rdd.unpersist(blocking = false)
-          }
+      graft.operators.Pins.stop()
+      pins.forEach { rdd =>
+        if (SinkProfile.enabled)
+          System.err.println(s"[sink] end-of-batch reap: rdd ${rdd.id} (${rdd.name})")
+        rdd.unpersist(blocking = false)
       }
     }
   }
@@ -670,7 +660,7 @@ object EventStream {
           // without this pin the gate's verify joins re-run for BOTH
           // the emptiness probe and the corpus write — measured ~2 s
           // of duplicated work per 50k-doc arrival
-          val survIds = st("surv ids") { surv.localCheckpoint(true) }
+          val survIds = st("surv ids") { graft.operators.Pins.checkpoint(surv) }
           val survDocs = b.join(
             survIds.withColumnRenamed("id", idName), Seq(idName), "left_semi")
           val nonEmpty = st("isEmpty") { !survIds.isEmpty }
@@ -858,7 +848,7 @@ object EventStream {
                 "behind it will LAND in the corpus; drop them upstream if " +
                 "they carry PII")
             val noRaw = raw.map(gated.drop).getOrElse(gated)
-            noRaw.localCheckpoint(true) }
+            graft.operators.Pins.checkpoint(noRaw) }
           // the three model verdicts are map-side kernel columns, so
           // the whole score ladder is ONE conjunctive filter over one
           // pass of the batch — no per-stage score/semi-join shuffles.
@@ -889,7 +879,7 @@ object EventStream {
               Seq(idName), "left_anti") }
           // pin the survivor set once: the near-dup gate and the
           // two writes below each run actions over it
-          val pinned = st("score ladder") { surv.localCheckpoint(true) }
+          val pinned = st("score ladder") { graft.operators.Pins.checkpoint(surv) }
           if (cfg.nearDup) {
             val (storeBands, storeSets) =
               nearDupStore(spark, storePath, pinned, idName, scrubbedText)
@@ -905,7 +895,7 @@ object EventStream {
               SinkProfile.record("gate demoted", 1.0)
             // pin the survivor ids (batch-sized longs) so the gate's
             // verify joins run once, not once per downstream action
-            val ids = st("surv ids") { ids0.localCheckpoint(true) }
+            val ids = st("surv ids") { graft.operators.Pins.checkpoint(ids0) }
             val survDocs = pinned.join(
               ids.withColumnRenamed("id", idName), Seq(idName), "left_semi")
             if (st("isEmpty") { !ids.isEmpty })

@@ -684,7 +684,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("unpersistBatchPins: batch pins reaped, pre-existing pins survive, multi-query skip") {
+  test("unpersistBatchPins: own pins reaped, pre-existing and sibling pins survive") {
     val sc = spark.sparkContext
     val pre0 = sc.getPersistentRDDs.keySet
     try {
@@ -695,41 +695,54 @@ class StreamingSpec extends SparkSpec {
       val beforeBody = sc.getPersistentRDDs.keySet
       var innerIds = Set.empty[Int]
       EventStream.unpersistBatchPins(spark) {
-        val pin1 = spark.range(10).toDF("a").localCheckpoint(true)
-        val pin2 = spark.range(10).toDF("b").localCheckpoint(true)
+        val pin1 = graft.operators.Pins.checkpoint(spark.range(10).toDF("a"))
+        val pin2 = graft.operators.Pins.checkpoint(spark.range(10).toDF("b"))
         innerIds = sc.getPersistentRDDs.keySet.diff(beforeBody).toSet
         assert(innerIds.size >= 2, "body pins must register while the batch runs")
         assert(pin1.count() == 10 && pin2.count() == 10)
       }
-      // batch-scoped pins are gone after the batch (the
-      // getPersistentRDDs delta the scaladoc promises)...
+      // batch-scoped pins are gone after the batch...
       assert(sc.getPersistentRDDs.keySet.intersect(innerIds).isEmpty,
         "batch-scoped pins must be reaped at end of batch")
       // ...and the pre-existing pin is untouched and still collectable
       assert(beforeBody.subsetOf(sc.getPersistentRDDs.keySet),
         "pre-existing pins must survive the reap")
       assert(frozen.count() == 100)
-      // the single-writer caveat is a RUNTIME check, not scaladoc:
-      // with two active streaming queries sharing the session the
-      // reap is skipped wholesale (another sink's in-flight pins
-      // would land in the diff and hard-fail it later)
-      val inA = MemoryStream[Keyed](spark)(Encoders.product[Keyed])
-      val inB = MemoryStream[Keyed](spark)(Encoders.product[Keyed])
-      val qA = inA.toDF().writeStream.format("memory").queryName("pins_qa")
-        .outputMode(OutputMode.Append).start()
-      val qB = inB.toDF().writeStream.format("memory").queryName("pins_qb")
-        .outputMode(OutputMode.Append).start()
-      try {
-        assert(spark.streams.active.length >= 2)
-        val beforeSkip = sc.getPersistentRDDs.keySet
-        var pinned: org.apache.spark.sql.DataFrame = null
-        EventStream.unpersistBatchPins(spark) {
-          pinned = spark.range(7).toDF("c").localCheckpoint(true)
-        }
-        assert(sc.getPersistentRDDs.keySet.diff(beforeSkip).nonEmpty,
-          "with >1 active streaming queries the reap must be skipped")
-        assert(pinned.count() == 7, "the skipped pin must remain usable")
-      } finally { qA.stop(); qB.stop() }
+      // a body checkpoint NOT routed through Pins.checkpoint is left
+      // to the gc60 regime, never reaped by this batch (the documented
+      // fallback for un-routed sink-path pins)
+      var unrouted: org.apache.spark.sql.DataFrame = null
+      EventStream.unpersistBatchPins(spark) {
+        unrouted = spark.range(7).toDF("c").localCheckpoint(true)
+      }
+      assert(unrouted.count() == 7, "un-routed pins must survive the reap")
+      // SIBLING ISOLATION (the r17 two-sink failure mode): a reap on
+      // one thread must never touch another body's in-flight pins —
+      // ownership is the thread-local record, not a global diff. The
+      // old before/after-diff reap caught the sibling's pin and the
+      // sibling hard-failed on a truncated lineage
+      // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in the two-sink probe).
+      val aStarted = new java.util.concurrent.CountDownLatch(1)
+      val bDone = new java.util.concurrent.CountDownLatch(1)
+      val aFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val tA = new Thread(() => {
+        try EventStream.unpersistBatchPins(spark) {
+          val p = graft.operators.Pins.checkpoint(spark.range(7).toDF("c"))
+          aStarted.countDown()
+          bDone.await()
+          // B's body has pinned and reaped meanwhile; A's pin must
+          // still be usable (a wrongful reap truncates its lineage
+          // and this count hard-fails)
+          assert(p.count() == 7)
+        } catch { case t: Throwable => aFailure.set(t) }
+      }, "pins-sibling-a")
+      tA.start(); aStarted.await()
+      EventStream.unpersistBatchPins(spark) {
+        assert(graft.operators.Pins.checkpoint(spark.range(5).toDF("d")).count() == 5)
+      }
+      bDone.countDown(); tA.join()
+      assert(aFailure.get() == null,
+        s"sibling body's in-flight pin was reaped: ${aFailure.get}")
     } finally
       // leave the shared session as found
       sc.getPersistentRDDs.foreach { case (id, rdd) =>
