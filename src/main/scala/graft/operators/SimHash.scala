@@ -43,74 +43,67 @@ object SimHash {
     *
     * The 64 per-bit ONES COUNTS are carried in just 16 aggregate
     * accumulators: each md5 hex char (4 bits) is spread into a long
-    * with four 16-bit COUNTER LANES (the classic multiply-and-mask
-    * bit spread: v·(1+2¹⁵+2³⁰+2⁴⁵) & 0x0001000100010001 lands bit l
-    * of v in lane l), so one `sum` per hex char accumulates four
+    * with four 15-bit COUNTER LANES (the classic multiply-and-mask
+    * bit spread: v·(1+2¹⁴+2²⁸+2⁴²) & (1+2¹⁵+2³⁰+2⁴⁵) lands bit l
+    * of v in lane l·15), so one `sum` per hex char accumulates four
     * counters at once with no inter-lane carries. This quarters both
     * the aggregation state and the generated code size vs one sum per
-    * bit — the wide form's 65-accumulator HashAggregate was the
-    * dominant (codegen-compile) cost of the whole operator.
+    * bit — the original one-sum-per-bit form's 65-accumulator
+    * HashAggregate was the dominant (codegen-compile) cost of the
+    * whole operator.
     *
     * Bit i of the fingerprint is set iff ones·2 > shingles (the
     * classic sum-of-±1 > 0 criterion), extracted branch-free via the
     * sign bit of (n − 2·ones).
     *
-    * Lane bound (ENFORCED, round 16): 16-bit lanes count up to
-    * `MaxNarrowLaneShingles` = 65 535 distinct shingles per document
-    * (a ~65k-word document). Past the bound a lane would silently
-    * carry into its neighbor — the only silent-wrong-answer path in
-    * the tree — so the packed fingerprint is guarded per doc: an
-    * over-bound doc RAISES with the doc id and count, pointing at
-    * `wideLanes = true` (32-bit lanes, two per long, 32 accumulators
-    * — same construction, one extra doubling, exact to
-    * `MaxWideLaneShingles` ≈ 2.1e9 distinct shingles ≈ a 100+ GB
-    * document).
+    * Lane bound (ENFORCED r16, layout revised r17): 15-bit lanes at
+    * bit positions 0/15/30/45 count up to `MaxNarrowLaneShingles` =
+    * 32 767 distinct shingles per document (a ~35k-word document).
+    * Past the bound a lane would silently carry into its neighbor —
+    * the only silent-wrong-answer path in the tree — so the packed
+    * fingerprint is guarded per doc: an over-bound doc RAISES with
+    * the doc id and count, pointing at `wideLanes = true` (32-bit
+    * lanes, two per long, 32 accumulators — same construction,
+    * measured +9% on the fingerprint stage / ~+5% on c3b end to end
+    * (laneprobe_c3b_sf01_r17.json), exact to `MaxWideLaneShingles`
+    * ≈ 2.1e9 distinct shingles ≈ a 100+ GB document).
     *
-    * ANSI safety of the narrow sums (round 17): the raw packed sum
-    * puts the top lane at bit 48, so a top-lane ones-count of 32 768
-    * would push the SUM past 2^63 — and a VALID doc near the 65 535
-    * bound reaches that with probability ~½ (ones ~ Binomial(n, ½)),
-    * which under ANSI (the Spark 4 default) used to die with Spark's
-    * generic ARITHMETIC_OVERFLOW instead of this guard's actionable
-    * message. Fix: each per-row partial is BIASED by −2^47, so the
-    * accumulated top term is (2·ones₃ − n)·2^47 — magnitude ≤
-    * n·2^47 < 2^63 − 2^48 for n ≤ 65 535, while the three low lanes
-    * contribute < 2^48; every partial and merged sum over k ≤ n rows
-    * obeys the same bound, so ANSI summation is PROVABLY
-    * overflow-free through n = 65 535 and the per-doc guard is the
-    * only refusal. Extraction undoes the bias with pure bit
-    * arithmetic: T = 2·ones₃ − n has n's parity, so
-    * q = S >> 47 (arithmetic shift = floor ÷ 2^47, with the low
-    * lanes' L ∈ [0, 2^48) contributing q − T ∈ {0, 1}) rounds to
-    * T = q − ((q XOR n) & 1), then ones₃ = (T + n) >> 1 and
-    * L = S − T·2^47 yields lanes 0-2 by the original shift-and-mask.
-    * An over-bound doc's sums stay in signed range for any realistic
-    * n (the worst case needs n ≥ 65 536 docs whose md5 bits are
-    * all-ones or all-zeros in one position), so the guard fires with
-    * its actionable message in BOTH ANSI modes — NearDupSpec pins
-    * the exact 65 535 boundary and the 65 536 refusal under ANSI. */
+    * Why 15-bit lanes (round 17): the r16 layout put 16-bit lanes at
+    * 0/16/32/48, whose top term ones₃·2^48 crosses 2^63 once the
+    * top-lane count reaches 32 768 — so under ANSI (the Spark 4
+    * default) a VALID doc past ~32k shingles died with Spark's
+    * generic ARITHMETIC_OVERFLOW mid-aggregation instead of this
+    * guard's actionable message, i.e. the documented 65 535 capacity
+    * was only ANSI-safe to 32 767 anyway. Biasing the top lane by
+    * −2^47 per row restores the full range but costs a measured
+    * +16% on the fingerprint stage (16 ANSI-checked subtracts per
+    * exploded row — laneprobe three-arm A/B, §6 r17). Compressing
+    * the lanes to 15 bits instead keeps the exact same per-row work
+    * (one multiply-and-mask) and extraction (shift-and-mask), sets
+    * the bound AT the ANSI-safe capacity, and makes the guard the
+    * only refusal with wide margin: the lane sum is at most
+    * n·(2^45+2^30+2^15+1) < 2^63 for every n < 262 130, so any doc
+    * up to 8× past the bound PROVABLY reaches the guard (and a
+    * typical over-bound doc far beyond — random md5 bits put ~n/2
+    * in the top lane, overflow only near n ≈ 2^19). NearDupSpec
+    * pins the exact 32 767 boundary and the 32 768 refusal in BOTH
+    * ANSI modes; the wide layout covers everything bigger. */
   def fingerprints(exploded: DataFrame, id: String, shingle: String,
                    wideLanes: Boolean = false): DataFrame = {
     val hashed0 = exploded.select(col(id), md5(col(shingle)).as("__h"))
     val (hashed, aggs, cntOf, bound) =
       if (!wideLanes) {
-        val spreadM = (1L << 0) + (1L << 15) + (1L << 30) + (1L << 45)
-        val laneMask = 0x0001000100010001L
-        val bias = 1L << 47 // see the ANSI-safety note above
+        // 15-bit lanes at 0/15/30/45: bit l of the hex char lands at
+        // position 15·l via v·(1+2^14+2^28+2^42) & (1+2^15+2^30+2^45)
+        // — the terms of v·K are 4 bits wide and 14 apart, so they
+        // never carry into each other before the mask picks one bit
+        val spreadM = (1L << 0) + (1L << 14) + (1L << 28) + (1L << 42)
+        val laneMask = (1L << 0) + (1L << 15) + (1L << 30) + (1L << 45)
         val h = hashed0.select(col(id) +: (1 to 16).map(c =>
-          ((hexVal(col("__h"), c) * lit(spreadM)).bitwiseAND(lit(laneMask))
-            - lit(bias)).as(s"p$c")): _*)
+          (hexVal(col("__h"), c) * lit(spreadM)).bitwiseAND(lit(laneMask)).as(s"p$c")): _*)
         val a = (1 to 16).map(c => sum(col(s"p$c")).as(s"s$c"))
-        val cnt = (i: Int) => {
-          val s = col(s"s${i / 4 + 1}")
-          // undo the per-row −2^47 bias: T = 2·ones₃ − n shares n's
-          // parity, which disambiguates the floor-shift's ±1
-          val q = shiftright(s, 47)
-          val t = q - q.bitwiseXOR(col("__n")).bitwiseAND(lit(1L))
-          if (i % 4 == 3) shiftright(t + col("__n"), 1)
-          else shiftrightunsigned(s - t * lit(bias), (i % 4) * 16)
-            .bitwiseAND(lit(0xFFFFL))
-        }
+        val cnt = (i: Int) => shiftrightunsigned(col(s"s${i / 4 + 1}"), (i % 4) * 15)
+          .bitwiseAND(lit(0x7FFFL))
         (h, a, cnt, MaxNarrowLaneShingles)
       } else {
         // 32-bit lanes, two per long: bits 0-1 of hex char c in s${c}a
@@ -146,15 +139,18 @@ object SimHash {
         lit(" has "), col("__n").cast("string"),
         lit(s" distinct shingles > $bound — " + (if (wideLanes)
           "32-bit counter lanes would overflow (that is not a document, it is a corpus)"
-        else "16-bit counter lanes would overflow; pass wideLanes = true")))).cast("long"))
+        else "15-bit counter lanes would overflow; pass wideLanes = true")))).cast("long"))
     val allAggs = aggs :+ count(lit(1)).as("__n")
     hashed.groupBy(col(id)).agg(allAggs.head, allAggs.tail: _*)
       .select(col(id), guarded.as("sig"))
   }
 
-  /** Per-document distinct-shingle capacity of the default 16-bit
-    * counter lanes — see `fingerprints`. */
-  val MaxNarrowLaneShingles: Long = 65535L
+  /** Per-document distinct-shingle capacity of the default 15-bit
+    * counter lanes (2^15 − 1; also exactly the largest n whose worst
+    * -case lane sum n·(2^48+2^32+2^16+1) stayed ANSI-safe under the
+    * old 16-bit layout — the r16 "65 535" capacity was never really
+    * reachable under ANSI) — see `fingerprints`. */
+  val MaxNarrowLaneShingles: Long = 32767L
 
   /** Per-document capacity of the `wideLanes = true` 32-bit lanes:
     * the largest n with n·(2³²+1) < 2^63, so the ANSI lane sums are
@@ -258,7 +254,7 @@ object SimHash {
     // distinct shingles per doc: the (id, sh) agg rides the exploded
     // shuffle's id-partitioning — no extra exchange
     val ex = Shingles.exploded(docs, id, text, n).dropDuplicates("id", "sh")
-    // `wideLanes`: opt-in for corpora with >65 535-distinct-shingle
+    // `wideLanes`: opt-in for corpora with >32 767-distinct-shingle
     // documents (fingerprints refuses them loudly on the default
     // narrow lanes — see the lane-bound note there)
     val sigs = fingerprints(ex, "id", "sh", wideLanes)

@@ -90,28 +90,26 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
-  test("SimHash lane bound: >65535-distinct-shingle doc refuses loudly; wide lanes stay exact") {
+  test("SimHash lane bound: over-bound docs refuse loudly; wide lanes stay exact") {
     def msgChain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).mkString(" | ")
     val nBig = 70000
     // pre-exploded (id, sh) rows — fingerprints' own input shape; no
     // need to synthesize a 70k-word text
     val big = spark.range(nBig).selectExpr("1L AS id", "concat('sh', id) AS sh")
-    // ANSI on (the session/Spark-4 default): the r17 biased-lane sums
-    // are provably overflow-free through the bound, so the per-doc
-    // guard is the ONLY refusal — the over-bound doc must get the
-    // ACTIONABLE message (never Spark's generic ARITHMETIC_OVERFLOW,
-    // which a 70k random-bit doc would certainly have tripped on the
-    // unbiased layout: top-lane ones ≈ 35k > 32768)
+    // ANSI on (the session/Spark-4 default): the r17 15-bit-lane sums
+    // are provably inside signed-long range for every doc under
+    // 262 130 distinct shingles, so even this doc — 2× past the
+    // 32 767 bound, and one that tripped Spark's generic
+    // ARITHMETIC_OVERFLOW on the r16 16-bit layout (top-lane ones
+    // ≈ 35k ≥ 32 768) — must get the guard's ACTIONABLE message
     val eAnsi = intercept[Throwable] {
       SimHash.fingerprints(big, "id", "sh").collect()
     }
     assert(msgChain(eAnsi).contains("distinct shingles") &&
       msgChain(eAnsi).contains("wideLanes"), msgChain(eAnsi))
-    // exactly AT the bound, UNDER ANSI, the narrow path must be exact
-    // (this is the case that used to die ~50% of the time with the
-    // generic overflow): parity with the wide lanes, whose sums
-    // provably never overflow there
+    // exactly AT the bound, UNDER ANSI, the narrow path must be exact:
+    // parity with the wide lanes, whose sums provably never overflow
     val atBound = spark.range(SimHash.MaxNarrowLaneShingles)
       .selectExpr("1L AS id", "concat('sh', id) AS sh")
     val narrowAt = SimHash.fingerprints(atBound, "id", "sh")
@@ -127,9 +125,9 @@ class NearDupSpec extends SparkSpec {
     }
     assert(msgChain(ePast).contains("distinct shingles") &&
       msgChain(ePast).contains("wideLanes"), msgChain(ePast))
-    // ANSI off: identical arithmetic (the biased sums never leave
-    // signed range in-bound), and past the bound the per-doc guard
-    // still fires with the actionable message
+    // ANSI off: identical arithmetic (the 15-bit lane sums never
+    // leave signed range in-bound), and past the bound the per-doc
+    // guard still fires with the actionable message
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try {
       val e = intercept[Throwable] {
