@@ -469,8 +469,9 @@ object StreamBench {
       val qB = sink(inB.toDF(), "B")
       try {
         // warmup pair (codegen + sink setup; unmeasured). Both queries
-        // stay active for the whole probe, so EVERY batch's reap check
-        // sees two active queries and skips.
+        // stay active for the whole probe, so every batch's reap runs
+        // with a sibling's pins in flight — the exact interleaving
+        // that killed the global-diff design.
         inA.addData(mkBatch("tsAw", 0, growthSize): _*); qA.processAllAvailable()
         inB.addData(mkBatch("tsBw", 0, growthSize): _*); qB.processAllAvailable()
         val sc = spark.sparkContext
