@@ -64,8 +64,10 @@ object SimHash {
     * fingerprint is guarded per doc: an over-bound doc RAISES with
     * the doc id and count, pointing at `wideLanes = true` (32-bit
     * lanes, two per long, 32 accumulators — same construction,
-    * measured +9% on the fingerprint stage / ~+5% on c3b end to end
-    * (laneprobe_c3b_sf01_r17.json), exact to `MaxWideLaneShingles`
+    * measured ≤9% on the fingerprint stage under load, ~0 on a quiet
+    * window, and parity on c3b end to end
+    * (laneprobe_fp_3arm_final_r17.json, laneprobe_c3b_sf01_r17.json),
+    * exact to `MaxWideLaneShingles`
     * ≈ 2.1e9 distinct shingles ≈ a 100+ GB document).
     *
     * Why 15-bit lanes (round 17): the r16 layout put 16-bit lanes at
