@@ -230,15 +230,18 @@ object Incremental {
     // permanently seed the store with duplicate signatures,
     // re-opening the quadratic storm regime the r14 fix closed — so
     // the demoted shape keeps the collapse as plain shuffle joins
-    // (no broadcast, no checkpoint: Catalyst/AQE plan them; WITHIN
-    // one action the identical dup subplans reuse one exchange, but
-    // a caller that consumes the returned tables in SEPARATE actions
-    // re-runs the dup pipeline per action — an accepted cost:
-    // demotions are a surfaced-rare event (gate_demotions = 0 in
-    // every committed storm record), a lazy persist here would leak
-    // one CacheManager entry per arrival in a long-running sink, and
-    // a lazy localCheckpoint would put the LogicalRDD plan barrier
-    // IncrementalSpec forbids into the demoted shape). Only an
+    // (no broadcast, no eager checkpoint: Catalyst/AQE plan them,
+    // and the demoted tables are `Pins.persist`ed below — a LAZY
+    // MEMORY_AND_DISK cache registered with the sink's end-of-batch
+    // reap, populated by whichever consuming action runs first.
+    // Without it every separate action a sink takes on the returned
+    // tables re-ran the shingle→minhash pipeline — measured 1.74×
+    // the per-arrival wall, demotedprobe_r17.json: each
+    // post-survivor count/write paid ~0.6-1.1 s vs cache-scan cost
+    // once cached. Outside a sink collector `Pins.persist` is a
+    // no-op and the shape stays fully lazy: nothing leaks, and
+    // IncrementalSpec's no-LogicalRDD demoted-plan pin holds on
+    // both paths — a persist never truncates lineage). Only an
     // EXPLICIT
     // `microBatch = false` caller (c34's corpus-sized declarative
     // arrival, whose tables are not destined for a store) skips the
@@ -264,6 +267,12 @@ object Incremental {
         bSets.join(hint(dup), Seq("id"), "left_anti"),
         dup.select(col("id").as("cid")))
     } else (bBands, bSets, bSets.limit(0).select(col("id").as("cid")))
+    // demoted arrival inside a sink: register the returned tables
+    // (which the survivors plan below also embeds) for a lazy
+    // collector-reaped cache — see the streaming-caller note above.
+    // `Pins.persist` returns its argument; outside a collector it is
+    // a no-op and the declarative shape is untouched.
+    if (microBatch && !micro) { Pins.persist(pBands); Pins.persist(pSets) }
 
     val inter = ArrayExpressions.sortedIntersectSize(col("sa"), col("sb"))
     val jac = round(inter.cast("double") /

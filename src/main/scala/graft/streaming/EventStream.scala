@@ -342,17 +342,22 @@ object EventStream {
     * outlives its batch's last action (all of which complete inside
     * `body`). Reaped RDD ids are logged under GRAFT_SINK_PROFILE.
     * StreamingSpec pins pre-existing-pin survival, batch-pin
-    * reaping, and two-sink sibling-pin survival. */
+    * reaping, and two-sink sibling-pin survival.
+    *
+    * The collector also reaps `Pins.persist` entries — the lazy
+    * MEMORY_AND_DISK caches a DEMOTED oversized arrival's signature
+    * tables register (Incremental.gate; measured 1.74× the
+    * per-arrival wall without them, demotedprobe_r17.json) — so a
+    * demoted arrival costs one cache population instead of a
+    * pipeline re-run per consuming action, and the cache dies with
+    * its batch. */
   private[graft] def unpersistBatchPins[T](spark: SparkSession)(body: => T): T = {
     val pins = graft.operators.Pins.start()
     try body
     finally {
       graft.operators.Pins.stop()
-      pins.forEach { rdd =>
-        if (SinkProfile.enabled)
-          System.err.println(s"[sink] end-of-batch reap: rdd ${rdd.id} (${rdd.name})")
-        rdd.unpersist(blocking = false)
-      }
+      graft.operators.Pins.reap(pins,
+        msg => if (SinkProfile.enabled) System.err.println(s"[sink] $msg"))
     }
   }
 

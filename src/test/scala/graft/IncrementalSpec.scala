@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, Incremental, MinHash}
+import graft.operators.{Contamination, Incremental, MinHash, Pins}
 
 /** C34 incremental near-dup ingest gate: sequential gating over
   * batches must equal the global keep-first rule, including across
@@ -303,6 +303,49 @@ class IncrementalSpec extends SparkSpec {
       threshold = T, microBatch = false)
     assert(survD.as[Long].collect().toSet == Set(0L, 10L, 20L))
     assert(bsD.count() == rows.size.toLong, "declarative mode returns uncollapsed tables")
+  }
+
+  test("demoted arrival under a sink collector caches the returned tables; the reap frees them") {
+    // r17 (ADVICE r16): without a cache, every separate action a sink
+    // takes on a demoted arrival's returned tables re-runs the
+    // shingle→minhash pipeline — measured 1.74× the per-arrival wall
+    // (demotedprobe_r17.json). Inside a Pins collector the gate now
+    // registers a LAZY MEMORY_AND_DISK persist on the returned
+    // tables; the end-of-batch reap unpersists exactly those. Outside
+    // a collector nothing is cached (no leaked CacheManager entry for
+    // plain batch callers) and the shape stays fully lazy.
+    import org.apache.spark.storage.StorageLevel
+    val rows = (0L until 4L).map(i =>
+      (i, s"batch doc $i with mostly shared tokens alpha beta gamma delta epsilon"))
+    val (eb, es) = Incremental.signatures(df(Nil), col("doc_id"), col("text"))
+    // no collector: untouched lazy shape
+    val (surv0, bb0, bs0) = Incremental.gate(eb, es, df(rows), col("doc_id"), col("text"),
+      threshold = T, maxBandRows = 1)
+    val want = surv0.as[Long].collect().toSet
+    assert(bb0.storageLevel == StorageLevel.NONE && bs0.storageLevel == StorageLevel.NONE,
+      "no-collector demoted tables must not be cached (caller owns the lifecycle)")
+    // collector active (the sink's batch body): tables registered for
+    // a lazy cache, results identical, reap frees the cache
+    val pins = Pins.start()
+    val (bb, bs) =
+      try {
+        val (surv, bb, bs) = Incremental.gate(eb, es, df(rows), col("doc_id"), col("text"),
+          threshold = T, maxBandRows = 1)
+        assert(bb.storageLevel != StorageLevel.NONE && bs.storageLevel != StorageLevel.NONE,
+          "collector-scoped demoted tables must be registered for caching")
+        assert(surv.as[Long].collect().toSet == want, "cache must not change verdicts")
+        assert(bb.collect().toSet == bb0.collect().toSet &&
+          bs.collect().toSet == bs0.collect().toSet,
+          "cache must not change the returned signature tables")
+        // the cache is a persist, never a plan barrier: the demoted
+        // no-LogicalRDD pin holds on this path too
+        assert(!bb.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+          "collector-scoped demoted tables must stay lineage-complete")
+        (bb, bs)
+      } finally Pins.stop()
+    Pins.reap(pins)
+    assert(bb.storageLevel == StorageLevel.NONE && bs.storageLevel == StorageLevel.NONE,
+      "the end-of-batch reap must unpersist the demoted-table caches")
   }
 
   test("gate never shuffles the store: per-arrival shuffle flat as the store doubles") {
