@@ -46,9 +46,23 @@ object DemotedProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    // GATE_REAL=1: the REAL-BOUND variant — a distributed-generated
+    // arrival big enough to trip MaxMicroBatchBandRows NATURALLY
+    // (GATE_REAL_COPIES disjoint-vocabulary copies of the sf dir's
+    // documents table, the ScaleGen construction — 210 × 5k = 1.05M
+    // docs > the 4M-band-row bound at k/bandRows = 4), so the
+    // demoted+cached path is measured at its actual trip point, not
+    // just under a forced bound. Arms reduce to lazy vs sink (the
+    // isolated-persist arm duplicates sink here), reps default 2,
+    // and the record adds the arrival size, a demotion-actually-
+    // happened check, the live cache high-water, and the block-dir
+    // bytes after the reap. Run with SPARK_DRIVER_MEM>=24g.
+    val real = sys.env.get("GATE_REAL").contains("1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", if (real) "2" else "5").toInt
     val batchSize = sys.env.getOrElse("GATE_BATCH", "20000").toInt
     val storeBatches = sys.env.getOrElse("GATE_STORE_BATCHES", "5").toInt
+    val realCopies = sys.env.getOrElse("GATE_REAL_COPIES", "210").toInt
+    val realStoreCopies = sys.env.getOrElse("GATE_REAL_STORE_COPIES", "20").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_DEMOTEDPROBE_OUT", "demotedprobe_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,33 +80,63 @@ object DemotedProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // fixture: disjoint-vocabulary store + arrival (the GateProfile
-    // construction), both written to parquet ONCE so every rep reads
-    // identical input instead of re-collecting the driver-side Seq
-    val pool = Tables.load(spark, sfDir, "documents")
-      .select(col("text")).as[String].collect()
-    def docsDF(tag: String, k: Int) =
-      (0 until batchSize).map { i =>
-        val pfx = s"$tag${k}·"
-        (k.toLong * batchSize + i,
-          pool((k * batchSize + i) % pool.length)
-            .split("\\s+").filter(_.nonEmpty).map(pfx + _).mkString(" "))
-      }.toDF("id", "text")
+    // fixture: disjoint-vocabulary store + arrival, both written to
+    // parquet ONCE so every rep reads identical input. Forced mode
+    // builds them driver-side (the GateProfile construction); real
+    // mode generates DISTRIBUTED disjoint-vocabulary copies of the
+    // whole documents table (each copy's tokens prefixed with its
+    // copy tag — ScaleGen's construction, so per-copy dup structure
+    // is identical and no cross-copy shingle ever matches)
     val dir = java.nio.file.Files.createTempDirectory("graft-demotedprobe").toString
-    (0 until storeBatches).foreach { k =>
-      val (b, s) = operators.Incremental.signatures(docsDF("s", k), col("id"), col("text"))
-      b.write.mode("overwrite").parquet(s"$dir/store/bands/batch=$k")
-      s.write.mode("overwrite").parquet(s"$dir/store/sets/batch=$k")
+    if (real) {
+      val docsT = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val stride = docsT.agg(max(col("doc_id"))).head().getLong(0) + 1
+      def copiesOf(tag: String, n: Int, idBase: Long) =
+        (0 until n).map { k =>
+          docsT.select((col("doc_id") + lit(idBase + k * stride)).as("id"),
+            array_join(transform(split(col("text"), " "),
+              w => concat(lit(s"$tag${k}·"), w)), " ").as("text"))
+        }.reduce(_ unionByName _)
+      copiesOf("s", realStoreCopies, 0L)
+        .write.mode("overwrite").parquet(s"$dir/storedocs")
+      val sd = spark.read.parquet(s"$dir/storedocs")
+      val (b, s) = operators.Incremental.signatures(sd, col("id"), col("text"))
+      b.write.mode("overwrite").parquet(s"$dir/store/bands/batch=0")
+      s.write.mode("overwrite").parquet(s"$dir/store/sets/batch=0")
+      copiesOf("m", realCopies, 1L << 40)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/arrival")
+    } else {
+      val pool = Tables.load(spark, sfDir, "documents")
+        .select(col("text")).as[String].collect()
+      def docsDF(tag: String, k: Int) =
+        (0 until batchSize).map { i =>
+          val pfx = s"$tag${k}·"
+          (k.toLong * batchSize + i,
+            pool((k * batchSize + i) % pool.length)
+              .split("\\s+").filter(_.nonEmpty).map(pfx + _).mkString(" "))
+        }.toDF("id", "text")
+      (0 until storeBatches).foreach { k =>
+        val (b, s) = operators.Incremental.signatures(docsDF("s", k), col("id"), col("text"))
+        b.write.mode("overwrite").parquet(s"$dir/store/bands/batch=$k")
+        s.write.mode("overwrite").parquet(s"$dir/store/sets/batch=$k")
+      }
+      docsDF("m", storeBatches).write.mode("overwrite").parquet(s"$dir/arrival")
     }
-    docsDF("m", storeBatches).write.mode("overwrite").parquet(s"$dir/arrival")
     val storeBands = spark.read.parquet(s"$dir/store/bands")
     val storeSets = spark.read.parquet(s"$dir/store/sets")
     val arrival = spark.read.parquet(s"$dir/arrival")
-    println(s"fixture: arrival $batchSize docs, store ${storeBatches}×$batchSize " +
+    val nArrival = arrival.count()
+    println(s"fixture: arrival $nArrival docs, store ${storeSets.count()} set rows " +
       s"(${storeBands.count()} band rows)")
 
     val actionNames = Seq("surv_ckpt", "bands_count", "bands_write",
       "sets_count", "sets_write")
+    // live-cache high-water across the cached arms (the demoted
+    // tables' MEMORY_AND_DISK footprint) and block-dir bytes after
+    // the last sink-arm reap (the hygiene line)
+    var cachedMemMax = 0L; var cachedDiskMax = 0L; var diskAfterReap = -1L
     // one demoted arrival, sink-shaped consumption; returns
     // (total, per-action walls)
     def arm(mode: String, run: Int): (Double, Seq[Double]) = {
@@ -106,11 +150,16 @@ object DemotedProbe {
       val pins = if (mode == "sink") operators.Pins.start() else null
       val t0 = System.nanoTime()
       try {
-        // maxBandRows = 1 forces the demotion the probe exists to
-        // measure (results identical; plan shape = the demoted one)
+        // forced mode: maxBandRows = 1 demotes any nonempty batch
+        // (plan shape = the demoted one, absolute size small); real
+        // mode: the SHIPPED bound, tripped by arrival volume alone
+        val d0 = operators.Incremental.demotions.sum()
         val (surv, bBands, bSets) = operators.Incremental.gate(
           storeBands, storeSets, arrival, col("id"), col("text"),
-          maxBandRows = 1L)
+          maxBandRows =
+            if (real) operators.Incremental.MaxMicroBatchBandRows else 1L)
+        assert(operators.Incremental.demotions.sum() > d0,
+          "the arrival must demote (in real mode: by volume alone)")
         if (mode == "persist") {
           bBands.persist(StorageLevel.MEMORY_AND_DISK)
           bSets.persist(StorageLevel.MEMORY_AND_DISK)
@@ -119,6 +168,12 @@ object DemotedProbe {
         val nSurv = survIds.count()
         val out = s"$dir/out/run=$run"
         val nB = act(1) { bBands.count() }
+        if (mode != "lazy") {
+          // cache is fully populated by now: record its high-water
+          val live = spark.sparkContext.getRDDStorageInfo
+          cachedMemMax = math.max(cachedMemMax, live.map(_.memSize).sum)
+          cachedDiskMax = math.max(cachedDiskMax, live.map(_.diskSize).sum)
+        }
         act(2) { bBands.write.mode("overwrite").parquet(s"$out/bands") }
         val nS = act(3) { bSets.count() }
         act(4) { bSets.write.mode("overwrite").parquet(s"$out/sets") }
@@ -134,10 +189,13 @@ object DemotedProbe {
       } finally if (mode == "sink") {
         operators.Pins.stop()
         operators.Pins.reap(pins)
+        org.apache.spark.graft.Listeners.settle(spark.sparkContext)
+        diskAfterReap =
+          org.apache.spark.graft.Listeners.blockManagerDiskBytes(spark.sparkContext)
       }
     }
 
-    val modes = Seq("lazy", "persist", "sink")
+    val modes = if (real) Seq("lazy", "sink") else Seq("lazy", "persist", "sink")
     modes.zipWithIndex.foreach { case (m, i) => arm(m, i) } // warm all shapes
     miniCalib()
     var run = modes.size
@@ -167,10 +225,17 @@ object DemotedProbe {
       s""""${m}_secs":${a(secs)},"${m}_stamps":${a(stamps)},""" +
         s""""min_$m":${j(secs.min)},"${m}_actions":${actions(walls)}"""
     }.mkString(",")
+    val persistRatio =
+      if (minOf.contains("persist"))
+        s""""lazy_over_persist":${j(minOf("lazy") / minOf("persist"))},"""
+      else ""
     val line =
-      s"""{"sf":"$sfDir","reps":$reps,"batch":$batchSize,""" +
-      s""""store_batches":$storeBatches,$body,""" +
-      s""""lazy_over_persist":${j(minOf("lazy") / minOf("persist"))},""" +
+      s"""{"sf":"$sfDir","reps":$reps,"real":$real,"batch":$batchSize,""" +
+      s""""n_arrival":$nArrival,""" +
+      s""""store_batches":$storeBatches,$body,$persistRatio""" +
+      s""""cached_mem_mb":${j(cachedMemMax / 1e6)},""" +
+      s""""cached_disk_mb":${j(cachedDiskMax / 1e6)},""" +
+      s""""disk_after_reap_mb":${j(diskAfterReap / 1e6)},""" +
       s""""lazy_over_sink":${j(minOf("lazy") / minOf("sink"))}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
