@@ -376,22 +376,33 @@ object EventStream {
     * sink-construction time: this is a driver-side plan decision,
     * not an executed expression.
     *
-    * TODO(robustness): keying off `Column.toString` pins this to
-    * Spark's current rendering of bare references; a Spark release
-    * changing it would downgrade the drop to the logged warning
-    * (never a wrong drop — misrendered names match no column).
-    * StreamingSpec pins today's rendering; the sturdier contract
-    * would take the raw-text column BY NAME from the caller. */
+    * Keying off `Column.toString` pins this to Spark's current
+    * rendering of bare references; a Spark release changing it
+    * would downgrade the drop to the logged warning (never a wrong
+    * drop — misrendered names match no column). StreamingSpec pins
+    * today's rendering; the sturdier contract — the raw-text
+    * column BY NAME — exists as `ingestPipelineSink`'s
+    * `rawTextCol` parameter, which bypasses this inference
+    * entirely (and is the only way to honor the PII-drop contract
+    * for a computed text expression). */
   private[graft] def plainColName(c: Column, df: DataFrame): Option[String] = {
     val s0 = c.toString
     val s =
       if (s0.length > 1 && s0.head == '`' && s0.last == '`')
         s0.substring(1, s0.length - 1).replace("``", "`")
       else s0
+    resolveColName(s, df)
+  }
+
+  /** `name` resolved against `df`'s columns under the session's
+    * `spark.sql.caseSensitive`; an ambiguous case-insensitive hit
+    * resolves to None (warn, don't guess — Spark's resolver might
+    * not pick the same one). */
+  private[graft] def resolveColName(name: String, df: DataFrame): Option[String] = {
     val caseSensitive = df.sparkSession.conf
       .get("spark.sql.caseSensitive", "false").toBoolean
-    if (caseSensitive) df.columns.find(_ == s)
-    else df.columns.filter(_.equalsIgnoreCase(s)) match {
+    if (caseSensitive) df.columns.find(_ == name)
+    else df.columns.filter(_.equalsIgnoreCase(name)) match {
       case Array(one) => Some(one)
       case _          => None // missing or ambiguous — warn, don't guess
     }
@@ -800,10 +811,21 @@ object EventStream {
     * Scale: every stage is O(batch) — the models broadcast, the eval
     * side is benchmark-sized, the store join is banded — and the one
     * localCheckpoint pins the batch-sized survivor set so the later
-    * stages' actions don't recompute the earlier joins. */
+    * stages' actions don't recompute the earlier joins.
+    *
+    * `rawTextCol`: names the raw-text column(s) to drop once
+    * `scrubbed` exists, BYPASSING the `plainColName` inference —
+    * the sturdy form of the PII-drop contract (inference keys off
+    * Spark's rendering of bare column references and cannot see
+    * through a computed `text` expression; a caller who scores
+    * `lower(col("body"))` passes `rawTextCol = Seq("body")` and the
+    * contract holds anyway). Names that don't resolve against the
+    * batch are reported and skipped — `drop` would silently no-op,
+    * and a misspelled PII column must not land quietly. */
   def ingestPipelineSink(docs: DataFrame, idName: String, text: Column,
                          cfg: IngestPipeline, storePath: String, outPath: String,
-                         partCol: String, checkpoint: String)
+                         partCol: String, checkpoint: String,
+                         rawTextCol: Seq[String] = Nil)
     : org.apache.spark.sql.streaming.StreamingQuery = {
     // downstream stages score the SCRUBBED text — the pipeline
     // contract: PII never reaches a model or the corpus
@@ -839,20 +861,36 @@ object EventStream {
           var surv = st("quality+scrub") {
             val gated = qualityGate(spread(batch), text, cfg.minQuality)
             // the pipeline contract: PII never reaches a model OR the
-            // corpus — once `scrubbed` exists, the RAW text column is
-            // dropped (when `text` is a plain column; an expression
-            // input leaves nothing droppable). Also roughly halves
-            // the bytes this checkpoint and the landed corpus carry.
-            val raw = plainColName(text, batch).filter(_ != "scrubbed")
-            if (raw.isEmpty)
+            // corpus — once `scrubbed` exists, the RAW text column(s)
+            // are dropped. `rawTextCol` names them explicitly (the
+            // sturdy contract, the only droppable form for a computed
+            // text expression); otherwise the plain-column inference
+            // applies. Also roughly halves the bytes this checkpoint
+            // and the landed corpus carry.
+            val raws: Seq[String] =
+              if (rawTextCol.nonEmpty) {
+                val resolved = rawTextCol.filter(_ != "scrubbed")
+                  .map(n => n -> resolveColName(n, batch))
+                resolved.collect { case (n, None) => n } match {
+                  case Seq() => ()
+                  case bad =>
+                    // `drop` on a missing name silently no-ops; a
+                    // misspelled PII column must not land quietly
+                    System.err.println("ingestPipelineSink: rawTextCol " +
+                      s"${bad.mkString(", ")} did not resolve against the " +
+                      "batch — NOT dropped; fix the name(s)")
+                }
+                resolved.collect { case (_, Some(c)) => c }
+              } else plainColName(text, batch).filter(_ != "scrubbed").toSeq
+            if (raws.isEmpty && rawTextCol.isEmpty)
               // the contract can't be honored automatically for a
               // computed text expression — say so instead of
               // silently landing whatever raw columns feed it
               System.err.println("ingestPipelineSink: text is not a plain " +
                 s"column of the input (${text.toString}) — the raw column(s) " +
-                "behind it will LAND in the corpus; drop them upstream if " +
-                "they carry PII")
-            val noRaw = raw.map(gated.drop).getOrElse(gated)
+                "behind it will LAND in the corpus; pass rawTextCol (or drop " +
+                "them upstream) if they carry PII")
+            val noRaw = raws.foldLeft(gated)(_ drop _)
             graft.operators.Pins.checkpoint(noRaw) }
           // the three model verdicts are map-side kernel columns, so
           // the whole score ladder is ONE conjunctive filter over one

@@ -512,6 +512,37 @@ class StreamingSpec extends SparkSpec {
     assert(EventStream.plainColName(col("my text"), odd).contains("my text"))
   }
 
+  test("D16 rawTextCol names the raw column explicitly: dropped behind a computed expression") {
+    // the sturdy PII-drop contract (r17): inference cannot see
+    // through a computed text expression, but a caller who scores
+    // lower(col("body")) passes rawTextCol = Seq("body") and the raw
+    // column still never lands; a misspelled name must NOT silently
+    // no-op the drop — the column lands and the mismatch is reported
+    import org.apache.spark.sql.functions.{col, lower}
+    val docs = (1L to 8L).map(i => IngestDoc(i, "en",
+      s"doc number $i with enough plain words to pass the gate"))
+    val cfg = EventStream.IngestPipeline(minQuality = -1e9, nearDup = false)
+    def run(raw: Seq[String]): Set[String] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-d16raw").toString
+      val input = MemoryStream[IngestDoc](spark)(Encoders.product[IngestDoc])
+      val q = EventStream.ingestPipelineSink(
+        input.toDF().withColumnRenamed("text", "body"), "doc_id",
+        lower(col("body")), cfg, dir + "/store", dir + "/corpus", "lang",
+        dir + "/ckpt", rawTextCol = raw)
+      try {
+        input.addData(docs: _*)
+        q.processAllAvailable()
+        spark.read.parquet(dir + "/corpus").columns.toSet
+      } finally q.stop()
+    }
+    val named = run(Seq("body"))
+    assert(named.contains("scrubbed") && !named.contains("body"),
+      s"explicitly named raw column must not land, got $named")
+    val misspelled = run(Seq("bodyy"))
+    assert(misspelled.contains("body"),
+      "an unresolved rawTextCol must leave the column landing (reported), not silently drop nothing")
+  }
+
   test("D16 ingestPipelineSink: one stream applies the whole ladder; equals the batch rules composed") {
     import org.apache.spark.sql.functions.{col, lower}
     import graft.operators.{Classifier, Contamination, Dsir, LangModel, Quality}
