@@ -41,6 +41,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Shuffle WRITER choice (optimization round 17, guide §2.2 "many
+      // small blocks"): the bypass-merge writer opens one temp file per
+      // REDUCE partition per map task (M×R file creates/deletes per
+      // exchange), and on this sandbox's filesystem each open/delete
+      // costs ~10 ms — thread dumps of a 32-map × 32-reduce exchange
+      // showed task CPU dominated by FileOutputStream.open0/delete0
+      // (~300 ms/task against ~5 ms of real row work; taskSum 12 s →
+      // 0.5 s with the sort writer, OPTIMIZATION_r17.md). Threshold 1
+      // routes every multi-partition exchange through the sort-based
+      // writer: ONE spill file + index per map task, M files total.
+      // Production-faithful, not a local trick: at cluster reducer
+      // counts (R > 200) bypass never fires anyway — this makes the
+      // local plan shape match the at-scale one.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       // Disk-leak guard, shipped as a harness default (round 15):
       // localCheckpoint blocks are MEMORY_AND_DISK and are freed only
       // when a DRIVER GC lets the ContextCleaner reap the dead RDD

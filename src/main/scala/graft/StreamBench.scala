@@ -86,6 +86,9 @@ object StreamBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      // sort-based shuffle writer (see Bench's builder: M files, not M×R)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       // dead-localCheckpoint-block disk guard (see Bench's builder;
       // the sinks also unpersist their own batch pins — this bounds
       // whatever broadcast/shuffle state the cleaner still owns)

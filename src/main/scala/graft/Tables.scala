@@ -15,6 +15,77 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Conf key: scan fan-out floor in bytes (tables smaller than this
+    * skip the fan-out — for a few-KB dimension table the extra
+    * exchange costs more than the parallelism buys). Set it huge to
+    * disable the fan-out entirely. */
+  val FanoutMinBytesKey = "spark.graft.scan.fanoutMinBytes"
+
+  /** Adaptive SCAN FAN-OUT (optimization round 17, guide §2.5 "input
+    * skew: one huge unsplittable file"): the testdata tables are
+    * single-file, SINGLE-ROW-GROUP parquet, so every scan is exactly
+    * one task regardless of `maxPartitionBytes` — and each query's
+    * whole map pass (tokenize/shingle/md5/regex) serialized on one
+    * core while the other 31 idled (measured: c53's fingerprint
+    * aggregation spent 0.66 s of its 1.45 s wall in a 1-task stage,
+    * OPTIMIZATION_r17.md). A round-robin repartition to the session's
+    * default parallelism immediately after the read moves the few
+    * (< one split's worth of) megabytes once and unlocks the full
+    * core count for every downstream map stage.
+    *
+    * Scale-adaptive by construction, not a local[32] constant: the
+    * fan-out fires only when the WHOLE table is at most one scan
+    * split (`spark.sql.files.maxPartitionBytes`) — i.e. exactly when
+    * the scan provably cannot parallelize on its own. A corpus-sized
+    * table (any table past one split, 128 MB at the default) is left
+    * untouched: its scan already fans out and the repartition would
+    * be the classic "repartition for parallelism" anti-pattern the
+    * optimization guide warns about. Catalyst pushes filters and
+    * column pruning THROUGH the repartition, so PushedFilters /
+    * ReadSchema at the scan are unchanged (spec-pinned). Correctness
+    * is partitioning-independent for every declared query by the §4
+    * portability discipline (decimal-exact sums, md5-ranked orders —
+    * anything order-sensitive could never have hash-matched a
+    * different engine in the first place). */
+  /** Conf key: fan-out partition count override (default: the
+    * session's default parallelism / 4 — see scanFanout). */
+  val FanoutPartitionsKey = "spark.graft.scan.fanoutPartitions"
+
+  /** Conf key: comma-separated table names eligible for the scan
+    * fan-out ("*" = all). Default: the two corpus tables whose EVERY
+    * consumer runs the engine's heavy per-byte map kernels
+    * (tokenize/shingle/md5 over `documents`, vector math over
+    * `embeddings`) — measured interleaved A/B: fan-out wins 0.85x
+    * total over the text/vector family but LOSES 1.45x over the
+    * cheap-scan relational family (lineitem/orders/events TPC-H
+    * aggregations, where the extra exchange outweighs the map
+    * parallelism it buys). */
+  val FanoutTablesKey = "spark.graft.scan.fanoutTables"
+  private val FanoutTablesDefault = "documents,embeddings"
+
+  private def scanFanout(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val tables = spark.conf.get(FanoutTablesKey,
+      sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT_TABLES", FanoutTablesDefault))
+    if (tables != "*" && !tables.split(",").map(_.trim).contains(name)) return df
+    // cores/4, not cores: each fanned-out task pays a fixed setup cost
+    // (per-task UnsafeProjection source generation, object-agg buffer
+    // init — ~10-600 ms depending on plan width, measured via thread
+    // dumps in OPTIMIZATION_r17.md), so past the point where the map
+    // pass is spread "enough", more tasks just multiply that constant:
+    // an interleaved A/B over 22 queries measured 8 partitions beating
+    // 32 at ratio 0.889 (sf0.1, local[32]), with only the two
+    // biggest-input tables (lineitem, events) marginally preferring 32
+    val n = spark.conf.get(FanoutPartitionsKey,
+      sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT_PARTS",
+        math.max(2, spark.sparkContext.defaultParallelism / 4).toString)).toInt
+    if (n <= 1) return df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    val floor = BigInt(spark.conf.get(FanoutMinBytesKey,
+      sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT_MIN", (128L << 10).toString)))
+    if (bytes >= floor && bytes <= maxSplit) df.repartition(n) else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts has shipped in TWO physical forms across testdata
     // generations: parquet TIMESTAMP(NANOS) (which Spark's reader
@@ -24,7 +95,7 @@ object Tables {
     // TimestampType — E16's schema-drift tolerance applied to the
     // registry's own tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = scanFanout(spark, spark.read.parquet(s"$dir/$name.parquet"), name)
     if (name == "events") eventsFromRaw(df) else df
   }
 
@@ -33,10 +104,11 @@ object Tables {
     * pushdown-sensitive event-time filters: a predicate built in the
     * stored type reaches the parquet scan (and prunes row groups /
     * partitions), which a predicate on a CONVERTED column never does
-    * (it's a computed column to Catalyst). */
+    * (it's a computed column to Catalyst). The scan fan-out sits
+    * ABOVE the scan, so stored-domain pushdown is unaffected. */
   def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    scanFanout(spark, spark.read.parquet(s"$dir/events.parquet"), "events")
   }
 
   /** Nanos-since-epoch of a UTC 'yyyy-MM-dd HH:mm:ss' literal —

@@ -12,6 +12,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // sort-based shuffle writer (see Bench's builder: M files, not M×R)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       .config("spark.sql.session.timeZone", "UTC")
       // dead-localCheckpoint-block disk guard (see Bench's builder)
       .config("spark.cleaner.periodicGC.interval", "60s")

@@ -130,10 +130,17 @@ object Spans {
     val shared = grams.select(col("id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("g"))
-    // covered token positions: expand each matched start map-side
+    // covered token positions: expand each matched start map-side.
+    // NOT deduplicated (optimization round 17): the consumer below is
+    // a LEFT ANTI equi-join, whose hash build dedups keys inherently —
+    // the explicit distinct() bought nothing but a partial+final
+    // aggregate pair on (id, p), and its exchange is the same (id, p)
+    // hash shuffle the join needs anyway. Duplicate factor is bounded
+    // by n (a position is covered by at most n span starts), so the
+    // shuffle grows ≤ n× in 16-byte rows while two aggregation passes
+    // disappear — plan: 2 HashAggregate fewer, same exchange count.
     val covered = grams.join(shared, Seq("g"), "left_semi")
       .select(col("id"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
-      .distinct()
     val tokpos = toks.select(col("id"), posexplode(col("toks")).as(Seq("p", "tok")))
     val kept = tokpos.join(covered, Seq("id", "p"), "left_anti")
       .groupBy(col("id"))

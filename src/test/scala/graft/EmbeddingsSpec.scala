@@ -33,6 +33,44 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got(6L)._3.isEmpty && got(6L)._2 == 0)
   }
 
+  test("lane-compressed sums match a pure-Scala reference projection (r17 layout)") {
+    // the optimization-round layout carries the per-dim ±1 sums in
+    // 32-bit counter lanes (two per long); this pins the whole path —
+    // md5 hex-char bit extraction, lane spread, 2·ones − n recovery,
+    // exact-integer norm, round 6 — against an independent reference
+    def ref(text: String, dims: Int): (Long, Option[Seq[Double]]) = {
+      val toks = Option(text).getOrElse("").toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sums = new Array[Long](dims)
+      for (t <- toks) {
+        val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        for (j <- 0 until dims) {
+          val v = Integer.parseInt(hex.charAt(j / 4).toString, 16)
+          sums(j) += ((v >> (j % 4)) & 1) * 2 - 1
+        }
+      }
+      val nrm2 = sums.map(s => s * s).sum
+      if (nrm2 == 0) (toks.size.toLong, None)
+      else (toks.size.toLong, Some(sums.toSeq.map(s =>
+        BigDecimal(s.toDouble / math.sqrt(nrm2.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    }
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "x1", "y2", "z3")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 to i % 9).map(k => vocab((i * 7 + k * 3) % vocab.size)).mkString(" "))
+    } :+ (60L, "") :+ (61L, "solo")
+    for (dims <- Seq(7, 16, 64)) {
+      val got = embed(docs, dims)
+      for ((id, t) <- docs) {
+        val (n, e) = ref(t, dims)
+        assert(got(id)._2 == n, s"n_toks id=$id dims=$dims")
+        assert(got(id)._3 == e, s"emb id=$id dims=$dims: ${got(id)._3} vs $e")
+      }
+    }
+  }
+
   test("result invariant to partitioning; dims bound enforced") {
     val rows = (0L until 100L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3}"))
     val a = Embeddings.project(rows.toDF("id", "t").repartition(1),

@@ -100,6 +100,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("scan fan-out: pushdown and pruning reach the scan UNDER the repartition (r17)") {
+    // sf0.001 tables sit below the fan-out floor, so force it on for
+    // every table to pin what the bench SF actually runs: the
+    // round-robin fan-out above the scan with filters and column
+    // pruning still pushed THROUGH it (guide §6 — losing either would
+    // be a silent 100 TB regression the fan-out must never cause)
+    spark.conf.set(Tables.FanoutMinBytesKey, "1")
+    spark.conf.set(Tables.FanoutTablesKey, "*")
+    try {
+      val p12 = plan("a12_retention")
+      assert(p12.contains("RoundRobinPartitioning"), p12)
+      assert(p12.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p12)
+      val p1 = plan("b1_pricing_summary")
+      assert(p1.contains("RoundRobinPartitioning"), p1)
+      assert(p1.contains("PushedFilters:") && p1.contains("l_shipdate"), p1)
+      assert(!p1.contains("l_partkey") && !p1.contains("l_comment"), p1)
+    } finally {
+      spark.conf.unset(Tables.FanoutMinBytesKey)
+      spark.conf.unset(Tables.FanoutTablesKey)
+    }
+    // and at the spec SF with defaults, the fan-out must NOT fire
+    // (sub-floor tables / non-corpus tables keep their bare scans)
+    assert(!plan("a12_retention").contains("RoundRobinPartitioning"))
+  }
+
   test("a12/a14 event-time filters are pushed to the scan (stored domain)") {
     val p12 = plan("a12_retention")
     assert(p12.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p12)
