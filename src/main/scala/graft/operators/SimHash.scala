@@ -316,7 +316,13 @@ object SimHash {
           .bitwiseAND(lit(0x8080808080808080L)) =!= 0
       val base = bandJoin(chunked,
         if (width == 8) !hasZeroByteBelow else lit(true))
-      if (width == 8) base else base.distinct()
+      // non-8-bit widths dedup candidate pairs; hamming-filter FIRST
+      // (optimization round 17): the verify predicate is a function of
+      // the two signatures already on the row, so filter-then-distinct
+      // ≡ distinct-then-filter, and the distinct's exchange then
+      // carries only qualifying pairs instead of every band collision
+      if (width == 8) base
+      else base.filter(hamming(col("siga"), col("sigb")) <= maxHamming).distinct()
     } else {
       // Combination banding: one (ci, cv) row per agree-subset, cv =
       // the member chunk values packed side by side into one long
@@ -332,7 +338,18 @@ object SimHash {
       }.reduce(_.bitwiseOR(_)))
       val chunked = sigs.select(col("id"), col("sig"),
         posexplode(array(packed: _*)).as(Seq("ci", "cv")))
-      bandJoin(chunked, lit(true)).distinct()
+      // hamming-filter BEFORE the candidate dedup (round 17): a pair
+      // can agree on several C(chunks, agree) subsets, so the join
+      // emits multiple instances per pair — but the verify predicate
+      // is a pure function of the signatures riding the row, so
+      // filtering first is output-identical while the distinct's
+      // exchange shrinks from every band collision to qualifying
+      // pairs only (guide §2.3: shuffle fewer bytes). At the c3b
+      // configuration the collision stream is the operator's largest
+      // intermediate at corpus scale.
+      bandJoin(chunked, lit(true))
+        .filter(hamming(col("siga"), col("sigb")) <= maxHamming)
+        .distinct()
     }
     cand.withColumn("hamming", hamming(col("siga"), col("sigb")).cast("long"))
       .filter(col("hamming") <= maxHamming)
