@@ -37,8 +37,13 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional session-conf overrides, "k=v;k=v" (round 18: lets the
+    // "before" arm dump plans under the prior round's behavior, e.g.
+    // spark.graft.scan.fanoutConsumerOverride=off)
+    sys.env.get("SPARK_GRAFT_PLANDUMP_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     val names = if (names0.nonEmpty) names0 else SparkEntry.queries.keys.toSeq.sorted
-    val out = Paths.get("plans/r17")
+    val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r18"))
     Files.createDirectories(out)
     // the noop write runs its own QueryExecution (not the DataFrame's),
     // so the AQE-final plan must be captured from the execution

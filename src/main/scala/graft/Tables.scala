@@ -63,10 +63,62 @@ object Tables {
   val FanoutTablesKey = "spark.graft.scan.fanoutTables"
   private val FanoutTablesDefault = "documents,embeddings"
 
-  private def scanFanout(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
-    val tables = spark.conf.get(FanoutTablesKey,
-      sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT_TABLES", FanoutTablesDefault))
-    if (tables != "*" && !tables.split(",").map(_.trim).contains(name)) return df
+  /** Conf key (optimization round 18): master switch for the
+    * PER-CONSUMER fan-out overrides below ("on"/"off", default on).
+    * "off" makes `load` ignore its `fanoutParts` argument — i.e. the
+    * exact round-17 per-table behavior — which is what makes the
+    * whole per-consumer change one interleaved A/B arm. */
+  val FanoutOverrideKey = "spark.graft.scan.fanoutConsumerOverride"
+
+  /** Conf key: fan-out width for WIDE-AGGREGATION/MULTI-ACTION
+    * consumers (`load(.., fanoutParts = narrowFanoutParts(s))`).
+    * Default 2, NOT cores/4: those consumers pay a per-task fixed
+    * cost — UnsafeProjection SOURCE generation for wide aggregate
+    * buffers (Dsir/Classifier kernels, rsd-1% HLL ≈ 1.5-2.7k buffer
+    * attributes, PQ/embedding result projections), measured at
+    * ~300-600 ms per task and SERIALIZED across tasks by the codegen
+    * cache lock (OPTIMIZATION_r17.md "Per-task fixed costs") — so
+    * with work T and per-task constant K the useful width is
+    * ~sqrt(T/K) ≈ 2 at sub-second T, independent of the core count.
+    * Round-17's per-table cores/4 width multiplied that constant 8×
+    * at 32 cores and regressed the whole train+score family on the
+    * driver's box (VERDICT r17: c46 3.0×, c33 2.0×, c52, c51, c31,
+    * c53 — all FASTER at 8 cores than 32). */
+  val FanoutNarrowKey = "spark.graft.scan.fanoutNarrowParts"
+
+  /** Width for wide-aggregation/multi-action consumers — see
+    * `FanoutNarrowKey`. */
+  def narrowFanoutParts(spark: SparkSession): Int =
+    spark.conf.get(FanoutNarrowKey,
+      sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT_NARROW", "2")).toInt
+
+  /** Default fan-out width (cores/4 — see scanFanout) for FORCED
+    * per-consumer fan-out of a table outside the default list (the
+    * events JSON-parse family: round-17 A/B measured a17/a15 at
+    * 0.58× and a13 at 0.81× under an events fan-out that lost on
+    * every cheap events query — per-consumer is the shape that keeps
+    * the win without the blanket loss). */
+  def defaultFanoutParts(spark: SparkSession): Int =
+    spark.conf.get(FanoutPartitionsKey,
+      sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT_PARTS",
+        math.max(2, spark.sparkContext.defaultParallelism / 4).toString)).toInt
+
+  private def scanFanout(spark: SparkSession, df: DataFrame, name: String,
+                         fanoutParts: Int): DataFrame = {
+    // per-consumer override (round 18): -1 = per-table conf default;
+    // 0 = this consumer opts OUT (its plan pays more per task than the
+    // parallelism buys); n > 0 = this consumer fans out to exactly n,
+    // whether or not the table is in the default list. The size gates
+    // below apply to every arm, so the fan-out stays scale-inert: a
+    // table past one scan split never fans out for anyone.
+    val overrideOn = spark.conf.get(FanoutOverrideKey, "on") == "on"
+    val parts = if (overrideOn) fanoutParts else -1
+    if (parts == 0) return df
+    if (parts < 0) {
+      val tables = spark.conf.get(FanoutTablesKey,
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT_TABLES", FanoutTablesDefault))
+      if (tables != "*" && !tables.split(",").map(_.trim).contains(name)) return df
+    }
     // cores/4, not cores: each fanned-out task pays a fixed setup cost
     // (per-task UnsafeProjection source generation, object-agg buffer
     // init — ~10-600 ms depending on plan width, measured via thread
@@ -75,9 +127,7 @@ object Tables {
     // an interleaved A/B over 22 queries measured 8 partitions beating
     // 32 at ratio 0.889 (sf0.1, local[32]), with only the two
     // biggest-input tables (lineitem, events) marginally preferring 32
-    val n = spark.conf.get(FanoutPartitionsKey,
-      sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT_PARTS",
-        math.max(2, spark.sparkContext.defaultParallelism / 4).toString)).toInt
+    val n = if (parts > 0) parts else defaultFanoutParts(spark)
     if (n <= 1) return df
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
@@ -94,7 +144,14 @@ object Tables {
     if (df.inputFiles.length < n) df.repartition(n) else df
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Load a registry table. `fanoutParts` is the PER-CONSUMER scan
+    * fan-out override (round 18): -1 (default) = the per-table conf
+    * behavior, 0 = no fan-out for this consumer, n > 0 = fan out to
+    * exactly n partitions (even for a table outside the default
+    * list). See scanFanout — the ≤-one-split size gate applies to
+    * every setting, so all of this is inert at corpus scale. */
+  def load(spark: SparkSession, dir: String, name: String,
+           fanoutParts: Int = -1): DataFrame = {
     // events.ts has shipped in TWO physical forms across testdata
     // generations: parquet TIMESTAMP(NANOS) (which Spark's reader
     // rejects natively — read as long nanos via the legacy knob) and
@@ -103,7 +160,7 @@ object Tables {
     // TimestampType — E16's schema-drift tolerance applied to the
     // registry's own tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = scanFanout(spark, spark.read.parquet(s"$dir/$name.parquet"), name)
+    val df = scanFanout(spark, spark.read.parquet(s"$dir/$name.parquet"), name, fanoutParts)
     if (name == "events") eventsFromRaw(df) else df
   }
 
@@ -114,9 +171,10 @@ object Tables {
     * partitions), which a predicate on a CONVERTED column never does
     * (it's a computed column to Catalyst). The scan fan-out sits
     * ABOVE the scan, so stored-domain pushdown is unaffected. */
-  def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
+  def loadEventsRaw(spark: SparkSession, dir: String,
+                    fanoutParts: Int = -1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    scanFanout(spark, spark.read.parquet(s"$dir/events.parquet"), "events")
+    scanFanout(spark, spark.read.parquet(s"$dir/events.parquet"), "events", fanoutParts)
   }
 
   /** Nanos-since-epoch of a UTC 'yyyy-MM-dd HH:mm:ss' literal —

@@ -29,6 +29,10 @@ object Verify {
       if (subset.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => subset(k) }
     selected.foreach { case (name, fn) =>
+      // stderr marker BEFORE each query: engine WARN lines (task-size,
+      // single-partition windows) interleave with these, so a warning
+      // in the log attributes to the query between markers
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

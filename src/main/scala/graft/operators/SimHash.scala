@@ -159,6 +159,43 @@ object SimHash {
     * provably overflow-free inside the bound. */
   val MaxWideLaneShingles: Long = (1L << 31) - 1
 
+  /** MAP-SIDE fingerprints (optimization round 18, guide §2.4):
+    * (id, sig) computed in ONE projection per document via the fused
+    * `SimHashSig` kernel — output-identical to
+    * `fingerprints(Shingles.exploded(docs,…).dropDuplicates("id","sh"))`
+    * (NearDupSpec pins row-level parity on generated corpora and the
+    * capacity boundary below), at ZERO exchanges where the
+    * declarative chain paid two hash aggregates and two exchanges
+    * per corpus (dedup on (id, sh), then the per-id lane sums) —
+    * shuffles that existed only because the aggregate form couldn't
+    * see that a document's shingles never leave its own row.
+    * `fingerprints` above stays as the spec-pinned parity oracle and
+    * the path for callers with genuinely pre-exploded rows.
+    *
+    * The per-doc capacity refusal is re-imposed at the SAME bounds
+    * with the same loud raise (the kernel's JVM int counters are
+    * exact far past either bound, but silently accepting a document
+    * the declarative layout refuses would make the two paths
+    * behaviorally different): narrow refuses past
+    * `MaxNarrowLaneShingles`, wide past `MaxWideLaneShingles`. */
+  def fingerprintsMapSide(docs: DataFrame, id: Column, text: Column,
+                          n: Int, wideLanes: Boolean = false): DataFrame = {
+    val bound = if (wideLanes) MaxWideLaneShingles else MaxNarrowLaneShingles
+    val guarded = when(col("r.n_sh") <= lit(bound), col("r.sig"))
+      .otherwise(raise_error(concat(
+        lit("SimHash.fingerprints: doc "), col("id").cast("string"),
+        lit(" has "), col("r.n_sh").cast("string"),
+        lit(s" distinct shingles > $bound — " + (if (wideLanes)
+          "that is not a document, it is a corpus"
+        else "past the narrow fingerprint capacity; pass wideLanes = true")))).cast("long"))
+    docs.select(id.as("id"),
+        graft.plans.TextExpressions.simhashSig(lower(text), n).as("r"))
+      // docs with no shingles (null text, < n tokens) produce no row,
+      // exactly as the exploded form's explode dropped them
+      .filter(col("r.n_sh") > 0)
+      .select(col("id"), guarded.as("sig"))
+  }
+
   /** The 64-char '0'/'1' rendering of a packed fingerprint, bit 0
     * first — matches the portable-SQL string form. */
   def bitString(sig: Column): Column =
@@ -253,13 +290,18 @@ object SimHash {
           "for corpus-scale runs, or pass allowQuadraticBand = true to override")
     }
     val width = 64 / chunks
-    // distinct shingles per doc: the (id, sh) agg rides the exploded
-    // shuffle's id-partitioning — no extra exchange
-    val ex = Shingles.exploded(docs, id, text, n).dropDuplicates("id", "sh")
-    // `wideLanes`: opt-in for corpora with >32 767-distinct-shingle
-    // documents (fingerprints refuses them loudly on the default
-    // narrow lanes — see the lane-bound note there)
-    val sigs = fingerprints(ex, "id", "sh", wideLanes)
+    // fingerprints computed MAP-SIDE in one fused pass per document
+    // (round 18): the former explode → dropDuplicates(id, sh) →
+    // lane-sum aggregate chain paid two exchanges for per-row-local
+    // work — see fingerprintsMapSide (parity + refusal spec-pinned).
+    // Conf-gated ("on" default) so the declarative chain stays one
+    // interleaved-A/B toggle away.
+    val sigs =
+      if (docs.sparkSession.conf.get("spark.graft.simhash.mapSideFingerprints", "on") == "on")
+        fingerprintsMapSide(docs, id, text, n, wideLanes)
+      else fingerprints(
+        Shingles.exploded(docs, id, text, n).dropDuplicates("id", "sh"),
+        "id", "sh", wideLanes)
     def chunkVal(c: Int): Column =
       shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))
     // SHUFFLE_HASH on the band join: forces both sides through an

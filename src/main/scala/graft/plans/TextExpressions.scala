@@ -919,11 +919,104 @@ case class TrigramLmScore(child: Expression, model: CompiledLm)
     copy(child = newChild)
 }
 
+/** `struct<n_sh:bigint, sig:bigint>`: one document's 64-bit SimHash
+  * fingerprint and its distinct-shingle count, computed in a SINGLE
+  * MAP-SIDE pass (optimization round 18) — the fused form of C3/C3b's
+  * explode → dropDuplicates(id, sh) → 16-lane-sum aggregate chain.
+  * A document's shingles all originate from its own input row, so
+  * neither the per-doc distinct set nor the 64 ones-counts ever
+  * needed a shuffle; the declarative chain paid TWO hash aggregates
+  * and TWO exchanges per corpus for what this computes in place
+  * (guide §2.4: remove shuffles outright).
+  *
+  * Semantics replicated exactly: grams come from the same
+  * `WordNgrams.slice` byte-walk the exploded form used; distinctness
+  * is binary string equality (dropDuplicates' rule); each distinct
+  * gram is md5-hashed once; bit i of the signature is set iff
+  * 2·ones(i) > n with ones(i) counting bit (i mod 4) of hex char
+  * (i div 4 + 1) — the identical construction, pinned against the
+  * aggregate form AND NearDupSpec's pure-Scala reference. Counters
+  * are plain JVM ints, so the kernel is exact for ANY feasible
+  * document — the 32 767 / 2³¹−1 capacity bounds of the declarative
+  * lane layouts are artifacts of packing counters into aggregation
+  * longs; the CALLER re-imposes them for behavioral compatibility
+  * (SimHash.fingerprintsMapSide keeps the same loud refusal). */
+case class SimHashSig(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = SimHashSig.schema
+  override def prettyName: String = "graft_simhash_sig"
+  override def nullSafeEval(input: Any): Any =
+    SimHashSig.compute(input.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHashSig.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  val schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_sh",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  // MessageDigest is stateful; one per thread, digest() resets it
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Called from generated code. */
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val grams = WordNgrams.slice(s, n)
+    val m = grams.numElements()
+    val seen = new java.util.HashSet[UTF8String](math.max(16, m * 2))
+    val digest = md5.get()
+    val ones = new Array[Int](64)
+    var nd = 0L
+    var g = 0
+    while (g < m) {
+      val sh = grams.getUTF8String(g)
+      if (seen.add(sh)) {
+        nd += 1L
+        val d = digest.digest(sh.getBytes)
+        // hex char j (0-based) = nibble j: high nibble of byte j/2
+        // when j is even — exactly md5()'s hex rendering order
+        var j = 0
+        while (j < 16) {
+          val by = d(j >> 1) & 0xff
+          val v = if ((j & 1) == 0) by >>> 4 else by & 0xf
+          val o = j << 2
+          ones(o) += v & 1
+          ones(o + 1) += (v >> 1) & 1
+          ones(o + 2) += (v >> 2) & 1
+          ones(o + 3) += (v >> 3) & 1
+          j += 1
+        }
+      }
+      g += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (2L * ones(i) > nd) sig |= 1L << i
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nd, sig))
+  }
+}
+
 object TextExpressions {
 
   /** Codegen'd array of all `n`-codepoint windows of `text`. */
   def charNgrams(text: Column, n: Int): Column =
     Bridge.column(CharNgrams(Bridge.expression(text), n))
+
+  /** Codegen'd fused per-document SimHash fingerprint; see
+    * `SimHashSig`. */
+  def simhashSig(text: Column, n: Int): Column =
+    Bridge.column(SimHashSig(Bridge.expression(text), n))
 
   /** Codegen'd fused trigram-LM document score; see `TrigramLmScore`. */
   def trigramLmScore(text: Column, model: CompiledLm): Column =

@@ -172,6 +172,62 @@ class NearDupSpec extends SparkSpec {
     assert(gotWide == Set((1L, 4L), (2L, 5L)))
   }
 
+  test("SimHash map-side fingerprints equal the aggregate form and keep the refusal") {
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).mkString(" | ")
+    // row-level parity on the fixture corpus (exact dups, near-dups)
+    val ex = Shingles.exploded(corpus, col("doc_id"), col("text"), 3)
+      .dropDuplicates("id", "sh")
+    val agg = SimHash.fingerprints(ex, "id", "sh").as[(Long, Long)].collect().toMap
+    val mapSide = SimHash.fingerprintsMapSide(corpus, col("doc_id"), col("text"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(mapSide == agg && mapSide.size == 5)
+    // duplicate-heavy generated corpora (16-word vocab ⇒ repeated
+    // shingles): the kernel's distinct-set semantics must match
+    // dropDuplicates', for several n
+    val g = new scala.util.Random(42)
+    val gen = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(3 + g.nextInt(40))(s"w${g.nextInt(16)}").mkString(" "))
+    }
+    val genDf = gen.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val a = SimHash.fingerprints(
+        Shingles.exploded(genDf, col("doc_id"), col("text"), n)
+          .dropDuplicates("id", "sh"), "id", "sh")
+        .as[(Long, Long)].collect().toMap
+      val m = SimHash.fingerprintsMapSide(genDf, col("doc_id"), col("text"), n)
+        .as[(Long, Long)].collect().toMap
+      assert(m == a, s"n=$n")
+    }
+    // null text and too-short docs drop, as the exploded form dropped them
+    val withNull = Seq((1L, "a b c d"), (2L, null), (3L, "x")).toDF("doc_id", "text")
+    val ids = SimHash.fingerprintsMapSide(withNull, col("doc_id"), col("text"), 3)
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+    // capacity refusal at the SAME bound as the narrow aggregate form
+    val past = Seq((7L, (0 to SimHash.MaxNarrowLaneShingles.toInt)
+      .map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      SimHash.fingerprintsMapSide(past, col("doc_id"), col("text"), 1).collect()
+    }
+    assert(msgChain(e).contains("distinct shingles") &&
+      msgChain(e).contains("wideLanes"), msgChain(e))
+    // exactly AT the bound: accepted, and equal to the aggregate form
+    val at = Seq((7L, (1 to SimHash.MaxNarrowLaneShingles.toInt)
+      .map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val atMap = SimHash.fingerprintsMapSide(at, col("doc_id"), col("text"), 1)
+      .as[(Long, Long)].head()._2
+    val atAgg = SimHash.fingerprints(
+      Shingles.exploded(at, col("doc_id"), col("text"), 1)
+        .dropDuplicates("id", "sh"), "id", "sh")
+      .as[(Long, Long)].head()._2
+    assert(atMap == atAgg)
+    // the wide configuration accepts the over-bound doc, like the
+    // wide-lane aggregate path
+    assert(SimHash.fingerprintsMapSide(past, col("doc_id"), col("text"), 1,
+      wideLanes = true).count() == 1)
+  }
+
   test("Jaccard inverted-index join computes exact scores") {
     val got = Jaccard.nearDupPairs(corpus, col("doc_id"), col("text"), 3, 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
