@@ -37,9 +37,15 @@ object Funnel {
     def advance(st: Column, e: Column): Column = {
       val init = when(lit(false), st)
       val cases = stepTypes.zipWithIndex.foldLeft(init) { case (acc, (tpe, i)) =>
+        // step 0 has no predecessor timestamp to compare against — a
+        // Scala-level branch, not `lit(i) === 0`, which built a
+        // constant `0 == 0` predicate (Spark warns "trivially true
+        // equals" on every run; same truth table: true || x ≡ true,
+        // false || x ≡ x, nulls included)
+        val tsOk = if (i == 0) lit(true)
+                   else e.getField("ts") > st.getField("ts")
         acc.when(
-          st.getField("stage") === i && e.getField("tpe") === tpe &&
-            (lit(i) === 0 || e.getField("ts") > st.getField("ts")),
+          st.getField("stage") === i && e.getField("tpe") === tpe && tsOk,
           struct(lit(i + 1).as("stage"), e.getField("ts").as("ts")))
       }
       cases.otherwise(st)

@@ -141,13 +141,22 @@ object Stratified {
     val w = round(sqrt(col("tokens")), 6)
     // exact decimal sum of the ALREADY-ROUNDED weights: order-free,
     // engine-free; the double cast happens once on the exact total —
-    // identical to the former driver-side getDecimal.doubleValue
-    val tot = sum(w.cast("decimal(28,6)"))
-      .over(Window.partitionBy()).cast("double")
-    val share = round(w / tot, 6)
+    // identical to the former driver-side getDecimal.doubleValue.
+    // Σw is a ONE-ROW aggregate of the strata table attached by a
+    // broadcast cross-join (optimization round 18): the previous
+    // unpartitioned window sum computed the same total but moved the
+    // rows through a single-partition WindowExec — bounded-small here
+    // (rows = strata, dozens), but the aggregate form expresses
+    // "bounded" structurally instead of relying on it, and drops the
+    // engine's single-partition-window warning from every run. The
+    // strata table's exchange is reused across the two branches
+    // (spec-pinned), so the corpus is still aggregated exactly once.
+    val tot = base.agg(sum(w.cast("decimal(28,6)")).cast("double").as("__wtot"))
+    val share = round(w / col("__wtot"), 6)
     val alloc = floor(lit(budget.toDouble) * share).cast("long")
-    base.select(col("stratum"), col("tokens"), w.as("weight"),
-      alloc.as("alloc_tokens"),
-      round(alloc.cast("double") / col("tokens"), 6).as("epochs"))
+    base.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("tokens"), w.as("weight"),
+        alloc.as("alloc_tokens"),
+        round(alloc.cast("double") / col("tokens"), 6).as("epochs"))
   }
 }

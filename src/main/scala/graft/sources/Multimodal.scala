@@ -91,29 +91,40 @@ object Multimodal {
     * real decoder below exercises end-to-end. Metadata matches the
     * actual payload. */
   def synthesize(spark: SparkSession, n: Int): DataFrame = {
+    // Payloads are synthesized EXECUTOR-SIDE from the row id
+    // (optimization round 18): the former driver-side loop baked the
+    // encoded PNG/WAV/AVI bytes into the parallelized partitions, so
+    // every task closure shipped ~0.5 MB of media ("task of very
+    // large size (1903 KiB)" in every Verify/Bench log — guide §7.3
+    // "very large task closures"). Only the ids ride the task now;
+    // the encoders are deterministic per id, so the rows (and the
+    // MultimodalSinkSpec decode pins) are byte-identical.
+    val rdd = spark.sparkContext.parallelize(0 until n, 4).map(i => synthRow(i))
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** One deterministic media row for id `i` — called executor-side. */
+  private def synthRow(i: Int): Row = {
     val kinds = Seq("image", "audio", "video")
-    val rows = (0 until n).map { i =>
-      val kind = kinds(i % kinds.size)
-      val (content, meta) = kind match {
-        case "image" =>
-          val (w, h) = (64 + (i % 8) * 16, 48 + (i % 6) * 16)
-          (synthPng(i, w, h), Row(w, h, null, null))
-        case "audio" =>
-          val durMs = 1000L + i * 37L
-          (synthWav(i, 16000, durMs), Row(null, null, 16000, durMs.asInstanceOf[AnyRef]))
-        case _ =>
-          // duration derived from the REAL payload (frames / fps) so
-          // `meta` never promises more frames than `videoFrames`
-          // can extract — sampleFrames driven by this meta emits
-          // exactly as many slots as frames exist
-          val frames = 3 + i % 3
-          val fps = 10
-          (synthAvi(i, 64, 48, frames, fps),
-            Row(64, 48, null, (frames * 1000L / fps).asInstanceOf[AnyRef]))
-      }
-      Row(i.toLong, kind, content, meta)
+    val kind = kinds(i % kinds.size)
+    val (content, meta) = kind match {
+      case "image" =>
+        val (w, h) = (64 + (i % 8) * 16, 48 + (i % 6) * 16)
+        (synthPng(i, w, h), Row(w, h, null, null))
+      case "audio" =>
+        val durMs = 1000L + i * 37L
+        (synthWav(i, 16000, durMs), Row(null, null, 16000, durMs.asInstanceOf[AnyRef]))
+      case _ =>
+        // duration derived from the REAL payload (frames / fps) so
+        // `meta` never promises more frames than `videoFrames`
+        // can extract — sampleFrames driven by this meta emits
+        // exactly as many slots as frames exist
+        val frames = 3 + i % 3
+        val fps = 10
+        (synthAvi(i, 64, 48, frames, fps),
+          Row(64, 48, null, (frames * 1000L / fps).asInstanceOf[AnyRef]))
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), mediaSchema)
+    Row(i.toLong, kind, content, meta)
   }
 
   /** Real PNG payload: deterministic per-id gradient, JDK-encoded. */

@@ -201,6 +201,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("c40 mixture plan: no single-partition window; strata exchange reused (r18)") {
+    // the Σw total is a one-row aggregate broadcast back onto the
+    // strata table — the former unpartitioned window sum moved all
+    // rows to one partition (and warned on every run)
+    val p = finalPlan("c40_mixture_plan").split("== Initial Plan ==").head
+    assert(!p.contains("Window"), p)
+    // both branches (rows + total) read ONE corpus aggregation
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("c35/c36/c37 round-6 dedup ops: equi-joins only, no nested loop or cartesian") {
     for (q <- Seq("c35_span_rewrite", "c36_semdedup", "c37_fuzzy_decontaminate",
         "c38_cluster_keep_best")) {
