@@ -85,7 +85,33 @@ object Jaccard {
     * pair, so element width IS the operator's shuffle volume (see
     * Shingles.hashSets). Reusable across thresholds — persist it with
     * `Sink.writeBucketed` on `id` for exchange-free verify joins. */
-  def sortedSets(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+  def sortedSets(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    // round 18: built MAP-SIDE by the fused HashedShingleSet kernel
+    // (one pass per document, no aggregation exchange — a doc's
+    // shingles never leave its own row); conf-gated, "off" = the
+    // explode → collect_set chain. Callers that consume the table
+    // several times need a materialization point above it — exactly
+    // the story the declarative form had (its merge aggregate
+    // re-executed per consumer too); `nearDupPairs` handles both
+    // scales below, and the two-step/bucketed-write callers
+    // materialize the table themselves.
+    val base =
+      if (Shingles.mapSideOn(docs)) Shingles.hashSetsMapSide(docs, id, text, n)
+      else Shingles.hashSets(Shingles.exploded(docs, id, text, n))
+    base.select(col("id"), col("s").as("hs"), size(col("s")).as("sz"))
+  }
+
+  /** The declarative (explode → collect_set) set build — kept as the
+    * sub-barrier-scale form for `nearDupPairs`: with four consumers
+    * and NO barrier, its partial-aggregation EXCHANGE is the shared
+    * reuse point (only the cheap merge re-executes per consumer),
+    * whereas the map-side kernel would re-hash every document per
+    * consumer (interleaved A/B at sf0.1: kernel-no-barrier 1.18×
+    * WORSE). At corpus scale the barrier exists and the kernel wins;
+    * below it this form wins. Also the parity oracle for the
+    * kernel. */
+  private def sortedSetsDeclarative(docs: DataFrame, id: Column, text: Column,
+                                    n: Int): DataFrame =
     Shingles.hashSets(Shingles.exploded(docs, id, text, n))
       .select(col("id"), col("s").as("hs"), size(col("s")).as("sz"))
 
@@ -198,15 +224,24 @@ object Jaccard {
     // more at every width than AQE's runtime freedom bought).
     // PlanSpec pins the shape: one partial + one merge collect_set,
     // REPARTITION_BY_NUM above it, auto-switch in both directions.
-    val sets = sortedSets(docs, id, text, n)
     // `salts` ≥ 2 is the boilerplate-corpus opt-in (hot prefix keys —
     // see nearDupPairsFromSets; detection costs a window pass that a
     // uniform corpus shouldn't pay by default, measured §6 round-12);
     // the build-once barrier stays plan-time-size gated.
     val corpusScale =
       docs.queryExecution.optimizedPlan.stats.sizeInBytes >= BarrierMinInputBytes
-    nearDupPairsFromSets(
-      if (corpusScale) barriered(sets) else sets,
-      threshold, salts, hotMin)
+    // scale-dependent set build (round 18): at corpus scale the
+    // barrier materializes ONE build, so the map-side kernel replaces
+    // the whole explode → collect_set chain behind it; below the
+    // floor there is no barrier and the declarative form's reused
+    // partial-agg exchange beats re-running the kernel per consumer
+    // (see sortedSetsDeclarative).
+    val sets =
+      if (corpusScale && Shingles.mapSideOn(docs)) barriered(sortedSets(docs, id, text, n))
+      else {
+        val d = sortedSetsDeclarative(docs, id, text, n)
+        if (corpusScale) barriered(d) else d
+      }
+    nearDupPairsFromSets(sets, threshold, salts, hotMin)
   }
 }

@@ -39,6 +39,27 @@ object MinHash {
     exploded.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MAP-SIDE `signatureAgg` (optimization round 18, guide §2.4):
+    * (id, m0..m{k-1}) computed in one fused pass per document — the
+    * k min-md5s are row-local (a doc's shingles never leave its own
+    * row), so the explode → k-min aggregation paid a corpus exchange
+    * and k md5s per shingle OCCURRENCE where the kernel dedups first
+    * and hashes each DISTINCT shingle k times. Output-identical
+    * (spec-pinned), same absent-row convention for shingle-less
+    * docs. */
+  def signaturesMapSide(docs: DataFrame, id: Column, text: Column,
+                        n: Int, k: Int): DataFrame = {
+    val t = graft.plans.TextExpressions
+    // kernel-free drop filter below the projection (see
+    // Shingles.hashSetsMapSide); the k element_at extractions share
+    // ONE kernel call via codegen subexpression elimination within
+    // the collapsed Project
+    docs.filter(size(t.wordNgrams(lower(text), n)) > 0)
+      .select(id.as("id"), t.knownNotNull(t.minHashSig(lower(text), n, k)).as("__mh"))
+      .select(col("id") +:
+        (0 until k).map(i => element_at(col("__mh"), i + 1).as(s"m$i")): _*)
+  }
+
   /** Band-key array column over signature columns m0..m{k-1}:
     * bands of `rows` consecutive minhashes, each md5("m|m"). */
   def bandArray(k: Int, rows: Int): Column =
@@ -74,13 +95,29 @@ object MinHash {
                    n: Int = 3, k: Int = 8, bandRows: Int = 2,
                    threshold: Double = 0.5,
                    salts: Int = 1, hotMin: Long = 4096): DataFrame = {
-    val ex = Shingles.exploded(docs, id, text, n)
     // hashed long sets for the verify step (the SIGNATURE stays
     // md5-based for engine portability — see the object scaladoc;
     // the verify arrays are internal, so they take the 8-byte
-    // representation that keeps the candidate-pair shuffle lean)
-    val sh = Shingles.hashSets(ex)
-    val sig = signatureAgg(ex, "id", "sh", k)
+    // representation that keeps the candidate-pair shuffle lean).
+    // Both tables are built MAP-SIDE by the fused kernels (round 18 —
+    // see signaturesMapSide / Shingles.hashSetsMapSide; conf-gated,
+    // "off" = the explode→aggregate chains). The set table feeds TWO
+    // verify joins: at corpus scale it goes behind Jaccard's
+    // build-once repartition barrier so the kernel runs once and both
+    // joins read the barrier exchange (below the size floor the
+    // rebuild is milliseconds and the barrier's fixed stage latency
+    // would be the larger cost — Jaccard.BarrierMinInputBytes).
+    val (sh, sig) =
+      if (Shingles.mapSideOn(docs)) {
+        val sh0 = Shingles.hashSetsMapSide(docs, id, text, n)
+        val corpusScale =
+          docs.queryExecution.optimizedPlan.stats.sizeInBytes >= Jaccard.BarrierMinInputBytes
+        (if (corpusScale) Jaccard.barriered(sh0) else sh0,
+          signaturesMapSide(docs, id, text, n, k))
+      } else {
+        val ex = Shingles.exploded(docs, id, text, n)
+        (Shingles.hashSets(ex), signatureAgg(ex, "id", "sh", k))
+      }
     val banded0 = sig.select(col("id"), posexplode(bandArray(k, bandRows)).as(Seq("bi", "bk")))
     // salting adds a third consumer of the band table (the hot-key
     // count aggregate) — materialize it behind a reuse barrier so

@@ -61,6 +61,36 @@ object Shingles {
     exploded.groupBy(col("id"))
       .agg(sort_array(collect_set(xxhash64(col("sh")))).as("s"))
 
+  /** Conf key (optimization round 18): "on" (default) routes the
+    * near-dup family's per-document set/signature builds through the
+    * fused MAP-SIDE kernels below; "off" restores the
+    * explode → aggregate chains (the interleaved-A/B arm and escape
+    * hatch). */
+  val MapSideKey = "spark.graft.neardup.mapSideSignatures"
+
+  private[operators] def mapSideOn(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(MapSideKey, "on") == "on"
+
+  /** MAP-SIDE `hashSets` (optimization round 18, guide §2.4): the
+    * per-doc sorted distinct xxhash64 set computed in one fused pass
+    * per document — a document's shingles never leave its own row,
+    * so the explode → collect_set aggregation paid a corpus exchange
+    * (plus the merge-side set build and sort) for row-local work.
+    * Output-identical to `hashSets(exploded(docs, …))` (kernel parity
+    * spec-pinned, incl. the collision-on-hash-values dedup rule and
+    * the absent-row convention for docs with no shingles). */
+  def hashSetsMapSide(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    val t = graft.plans.TextExpressions
+    // no-shingle drop via a kernel-free gram-count predicate BELOW
+    // the projection, and KnownNotNull on the kernel output (truthful
+    // after that filter: the text tokenizes), so neither the pushed
+    // drop filter nor a consumer-inferred isnotnull re-runs the
+    // hashing ahead of the one projection that computes it
+    docs.filter(size(t.wordNgrams(lower(text), n)) > 0)
+      .select(id.as("id"),
+        t.knownNotNull(t.hashedShingleSet(lower(text), n)).as("s"))
+  }
+
   /** Repetition statistics per document (SURVEY C14, Gopher-style
     * quality rules): fraction of tokens taken by the most frequent
     * token, and of word 2-grams by the most frequent 2-gram. High

@@ -180,6 +180,7 @@ object SimHash {
     * `MaxNarrowLaneShingles`, wide past `MaxWideLaneShingles`. */
   def fingerprintsMapSide(docs: DataFrame, id: Column, text: Column,
                           n: Int, wideLanes: Boolean = false): DataFrame = {
+    val t = graft.plans.TextExpressions
     val bound = if (wideLanes) MaxWideLaneShingles else MaxNarrowLaneShingles
     val guarded = when(col("r.n_sh") <= lit(bound), col("r.sig"))
       .otherwise(raise_error(concat(
@@ -188,12 +189,18 @@ object SimHash {
         lit(s" distinct shingles > $bound — " + (if (wideLanes)
           "that is not a document, it is a corpus"
         else "past the narrow fingerprint capacity; pass wideLanes = true")))).cast("long"))
-    docs.select(id.as("id"),
-        graft.plans.TextExpressions.simhashSig(lower(text), n).as("r"))
-      // docs with no shingles (null text, < n tokens) produce no row,
-      // exactly as the exploded form's explode dropped them
-      .filter(col("r.n_sh") > 0)
-      .select(col("id"), guarded.as("sig"))
+    // Keep the kernel out of every FILTER so it runs exactly once per
+    // row, in the projection: (a) the no-shingle drop (null text /
+    // < n tokens — the rows the exploded form's explode dropped) is a
+    // kernel-free gram-count predicate that pushes to the scan
+    // without re-running the hashing; (b) the guard is tagged
+    // KnownNotNull — truthful: its else-branch always raises — so the
+    // band join's null-intolerant condition cannot infer an
+    // isnotnull(CASE…kernel…) filter to push below the projection
+    // (observed: the kernel evaluated 4× per row that way).
+    docs.filter(size(t.wordNgrams(lower(text), n)) > 0)
+      .select(id.as("id"), t.simhashSig(lower(text), n).as("r"))
+      .select(col("id"), t.knownNotNull(guarded).as("sig"))
   }
 
   /** The 64-char '0'/'1' rendering of a packed fingerprint, bit 0

@@ -1007,11 +1007,171 @@ object SimHashSig {
   }
 }
 
+/** `array<bigint>`: one document's ASC-sorted distinct
+  * xxhash64-shingle set, computed in a single map-side pass
+  * (optimization round 18) — the fused form of
+  * `Shingles.hashSets(Shingles.exploded(…))`, whose
+  * explode → collect_set aggregation paid a corpus exchange (and a
+  * merge-side set build + sort) for row-local work: a document's
+  * shingles never leave its own row. Semantics replicated exactly:
+  * grams from the same `WordNgrams.slice` byte-walk, xxhash64 with
+  * Spark's seed (42) over the gram's UTF-8 bytes, distinctness on the
+  * HASH VALUES (collect_set's rule — two shingles colliding in 64
+  * bits dedup to one element, identical to the aggregate form),
+  * signed-ascending order (sort_array's). Empty/short/null docs
+  * return an empty/null array; the callers reproduce the aggregate
+  * form's absent-row/empty-set conventions. Parity is spec-pinned. */
+case class HashedShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "graft_hashed_shingle_set"
+  override def nullSafeEval(input: Any): Any =
+    HashedShingleSet.compute(input.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashedShingleSet.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): HashedShingleSet =
+    copy(child = newChild)
+}
+
+object HashedShingleSet {
+  /** Called from generated code. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val grams = WordNgrams.slice(s, n)
+    val m = grams.numElements()
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val g = grams.getUTF8String(i)
+      // Spark's xxhash64(string): XXH64 over the UTF-8 bytes, seed 42
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(g, org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    // sort + in-place dedup: collect_set-on-hash-values semantics in
+    // sort_array's signed-ascending order, no boxing
+    java.util.Arrays.sort(hs, 0, m)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == m) hs else java.util.Arrays.copyOf(hs, w))
+  }
+}
+
+/** `array<string>`: one document's k-minhash signature — k lowercase
+  * md5-hex strings, element i = min over the doc's shingles of
+  * md5("i:" + shingle) — computed in a single map-side pass
+  * (optimization round 18): the fused form of
+  * `MinHash.signatureAgg(Shingles.exploded(…))`, which paid a corpus
+  * exchange and k md5 evaluations per exploded OCCURRENCE for
+  * row-local work. This dedups the shingles first (the min over a
+  * multiset equals the min over its set), hashes each DISTINCT
+  * shingle k times, and keeps the byte-wise-unsigned min digest per
+  * seed — unsigned digest order IS the lexicographic order of the
+  * lowercase hex rendering, so the emitted strings are identical to
+  * the aggregate form's (spec-pinned). Docs with no shingles return
+  * an empty array; callers reproduce the absent-row convention. */
+case class MinHashSig(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[UTF8String], n, k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.MinHashSig.compute($c, $n, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".getBytes("US-ASCII")
+
+  private def toHex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      val b = d(i) & 0xff
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** a < b as unsigned byte strings (equal length). */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Called from generated code. */
+  def compute(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val grams = WordNgrams.slice(s, n)
+    val m = grams.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val prefixes = Array.tabulate(k)(i => s"$i:".getBytes("US-ASCII"))
+    val seen = new java.util.HashSet[UTF8String](math.max(16, m * 2))
+    val digest = md5.get()
+    val mins = new Array[Array[Byte]](k)
+    var g = 0
+    while (g < m) {
+      val sh = grams.getUTF8String(g)
+      if (seen.add(sh)) {
+        val shBytes = sh.getBytes
+        var i = 0
+        while (i < k) {
+          digest.update(prefixes(i))
+          digest.update(shBytes)
+          val d = digest.digest()
+          if (mins(i) == null || unsignedLess(d, mins(i))) mins(i) = d
+          i += 1
+        }
+      }
+      g += 1
+    }
+    new GenericArrayData(mins.map(d => toHex(d): Any))
+  }
+}
+
 object TextExpressions {
 
   /** Codegen'd array of all `n`-codepoint windows of `text`. */
   def charNgrams(text: Column, n: Int): Column =
     Bridge.column(CharNgrams(Bridge.expression(text), n))
+
+  /** Codegen'd fused per-document sorted xxhash64 shingle set; see
+    * `HashedShingleSet`. */
+  def hashedShingleSet(text: Column, n: Int): Column =
+    Bridge.column(HashedShingleSet(Bridge.expression(text), n))
+
+  /** Nullability assertion (Catalyst's own `KnownNotNull` tag): marks
+    * an expression the CALLER can prove never evaluates to null, so
+    * the optimizer stops inferring `isnotnull(<expr>)` filters from
+    * null-intolerant consumers — for an expensive kernel expression
+    * such an inferred filter gets pushed into the scan and RE-RUNS
+    * the kernel per row ahead of the projection that computes it
+    * (observed: graft_simhash_sig evaluated 4× per row across the
+    * pushed filter and the project). Soundness is the caller's
+    * contract: asserting it on a genuinely null row is undefined
+    * behavior downstream. */
+  def knownNotNull(c: Column): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+      Bridge.expression(c)))
+
+  /** Codegen'd fused per-document k-minhash signature; see
+    * `MinHashSig`. */
+  def minHashSig(text: Column, n: Int, k: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(text), n, k))
 
   /** Codegen'd fused per-document SimHash fingerprint; see
     * `SimHashSig`. */

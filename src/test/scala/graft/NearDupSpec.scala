@@ -228,6 +228,53 @@ class NearDupSpec extends SparkSpec {
       wideLanes = true).count() == 1)
   }
 
+  test("map-side shingle sets / minhash signatures equal the aggregate forms") {
+    // duplicate-heavy generated corpus (16-word vocab ⇒ repeated
+    // shingles, some too-short docs) + a null text
+    val g = new scala.util.Random(7)
+    val gen = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(1 + g.nextInt(40))(s"w${g.nextInt(16)}").mkString(" "))
+    } :+ (60L, null.asInstanceOf[String])
+    val genDf = gen.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val ex = Shingles.exploded(genDf, col("doc_id"), col("text"), n)
+      val aggSets = Shingles.hashSets(ex).as[(Long, Seq[Long])].collect().toMap
+      val mapSets = Shingles.hashSetsMapSide(genDf, col("doc_id"), col("text"), n)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(mapSets == aggSets, s"n=$n")
+      val aggSig = MinHash.signatureAgg(ex, "id", "sh", 8)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val mapSig = MinHash.signaturesMapSide(genDf, col("doc_id"), col("text"), n, 8)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(mapSig == aggSig, s"n=$n")
+    }
+    // end-to-end: the conf-gated declarative arms return identical
+    // pair sets and scores
+    def pairsM(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val mOn = pairsM(MinHash.nearDupPairs(genDf, col("doc_id"), col("text")))
+    val jOn = pairsM(Jaccard.nearDupPairs(genDf, col("doc_id"), col("text"), 3, 0.5))
+    spark.conf.set(graft.operators.Shingles.MapSideKey, "off")
+    try {
+      assert(pairsM(MinHash.nearDupPairs(genDf, col("doc_id"), col("text"))) == mOn)
+      assert(pairsM(Jaccard.nearDupPairs(genDf, col("doc_id"), col("text"), 3, 0.5)) == jOn)
+    } finally spark.conf.unset(graft.operators.Shingles.MapSideKey)
+    // Incremental.signatures: bands and sets identical across arms
+    // (including the empty-set rows for short/null docs)
+    val (bOn, sOn) = graft.operators.Incremental.signatures(
+      genDf, col("doc_id"), col("text"))
+    val bandsOn = bOn.as[(Long, Int, String)].collect().toSet
+    val setsOn = sOn.as[(Long, Seq[Long])].collect().toMap
+    spark.conf.set(graft.operators.Shingles.MapSideKey, "off")
+    try {
+      val (bOff, sOff) = graft.operators.Incremental.signatures(
+        genDf, col("doc_id"), col("text"))
+      assert(bOff.as[(Long, Int, String)].collect().toSet == bandsOn)
+      assert(sOff.as[(Long, Seq[Long])].collect().toMap == setsOn)
+      assert(setsOn.contains(60L) && setsOn(60L).isEmpty) // null text kept, empty set
+    } finally spark.conf.unset(graft.operators.Shingles.MapSideKey)
+  }
+
   test("Jaccard inverted-index join computes exact scores") {
     val got = Jaccard.nearDupPairs(corpus, col("doc_id"), col("text"), 3, 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()

@@ -332,15 +332,32 @@ class PlanSpec extends SparkSpec {
     // BarrierMinInputBytes auto-switch.
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val df = operators.Jaccard.nearDupPairsFromSets(
-      operators.Jaccard.barriered(
-        operators.Jaccard.sortedSets(docs, col("doc_id"), col("text"), 3)), 0.5)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert("functions=\\[partial_collect_set".r.findAllIn(p).size == 1, p)
-    assert("functions=\\[collect_set".r.findAllIn(p).size == 1, p)
+    def shape() = {
+      val df = operators.Jaccard.nearDupPairsFromSets(
+        operators.Jaccard.barriered(
+          operators.Jaccard.sortedSets(docs, col("doc_id"), col("text"), 3)), 0.5)
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    // round-18 default: the set table is built by the MAP-SIDE kernel
+    // (no collect_set anywhere); the barrier is still the single
+    // build point — the kernel scan appears once, every other
+    // consumer is a ReusedExchange
+    val p = shape()
+    assert(!p.contains("collect_set"), p)
+    assert("graft_hashed_shingle_set".r.findAllIn(p).size == 1, p)
     assert(p.contains("REPARTITION_BY_NUM"), p)
     assert("ReusedExchange".r.findAllIn(p).size >= 3, p)
+    // declarative arm (conf off): the original round-11 pin — exactly
+    // one partial + one merge collect_set, same barrier reuse
+    spark.conf.set(operators.Shingles.MapSideKey, "off")
+    try {
+      val pOff = shape()
+      assert("functions=\\[partial_collect_set".r.findAllIn(pOff).size == 1, pOff)
+      assert("functions=\\[collect_set".r.findAllIn(pOff).size == 1, pOff)
+      assert(pOff.contains("REPARTITION_BY_NUM"), pOff)
+      assert("ReusedExchange".r.findAllIn(pOff).size >= 3, pOff)
+    } finally spark.conf.unset(operators.Shingles.MapSideKey)
   }
 
   test("c4 jaccard: the barrier auto-switch follows plan-time input size") {
