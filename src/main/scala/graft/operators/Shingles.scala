@@ -43,6 +43,21 @@ object Shingles {
   def sets(exploded: DataFrame): DataFrame =
     exploded.groupBy(col("id")).agg(sort_array(collect_set(col("sh"))).as("s"))
 
+  /** (id, sh) rows with per-document dedup done MAP-SIDE
+    * (optimization round 18, guide §2.4): `array_distinct` over the
+    * native gram array before the explode — the same row set as
+    * `exploded(…).distinct()` (a per-doc distinct is row-local, so
+    * the distinct's exchange + partial/final aggregate pair bought
+    * nothing), in per-doc first-occurrence order instead of the
+    * distinct's arbitrary order (consumers are aggregations/joins —
+    * order-free). */
+  def explodedDistinct(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    if (mapSideOn(df))
+      df.select(id.as("id"),
+        explode(array_distinct(
+          graft.plans.TextExpressions.wordNgrams(lower(text), n))).as("sh"))
+    else exploded(df, id, text, n).distinct()
+
   /** HASHED distinct-shingle set per id: ascending-sorted array of
     * xxhash64(shingle) longs. This is the SCALE representation for
     * the verify step: 8 bytes/element instead of a ~48-byte md5 hex

@@ -35,10 +35,12 @@ object Spans {
     * short-doc contract as `Shingles.exploded`). */
   def dupSpans(df: DataFrame, id: Column, text: Column, n: Int = 5): DataFrame = {
     // distinct (doc, span): occurrence multiplicity within one doc is
-    // irrelevant to cross-doc duplication, and dropping it map-side
-    // (partial-agg distinct) is what keeps the span shuffle linear in
-    // distinct spans, not corpus tokens
-    val perDoc = Shingles.exploded(df, id, text, n).distinct()
+    // irrelevant to cross-doc duplication — and a per-doc distinct is
+    // ROW-LOCAL, so it happens map-side inside the gram array (round
+    // 18: array_distinct before the explode; the former
+    // `.distinct()` paid an (id, sh) exchange + two aggregate passes
+    // for work that never needed to leave the row)
+    val perDoc = Shingles.explodedDistinct(df, id, text, n)
     // after the distinct, count(*) per span IS its distinct-doc count
     val docsPerSpan = perDoc.groupBy(col("sh")).agg(count(lit(1)).as("ndocs"))
     val stats = perDoc
@@ -126,10 +128,12 @@ object Spans {
     val grams = df.select(id.as("id"),
       posexplode(graft.plans.TextExpressions.wordNgrams(lower(text), n))
         .as(Seq("i", "g")))
-    // spans in >= 2 distinct docs (same definition as dupSpans)
-    val shared = grams.select(col("id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("g"))
+    // spans in >= 2 distinct docs (same definition as dupSpans); the
+    // per-doc dedup is map-side (round 18 — see dupSpans above), so
+    // the count's exchange is the only shuffle on the span stream
+    val shared = Shingles.explodedDistinct(df, id, text, n)
+      .groupBy(col("sh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("sh").as("g"))
     // covered token positions: expand each matched start map-side.
     // NOT deduplicated (optimization round 17): the consumer below is
     // a LEFT ANTI equi-join, whose hash build dedups keys inherently —
