@@ -22,6 +22,15 @@ object LangId {
   def detect(df: DataFrame, id: Column, text: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // round 18: the per-(doc, lang) hit counts are per-document work —
+    // one fused kernel pass (same stopword table, same argmax and
+    // tie-break, "und" fallback; parity spec-pinned) instead of a
+    // token explode + broadcast join + two aggregation exchanges.
+    // Conf-gated with the join form as the off-arm.
+    if (Shingles.mapSideOn(df))
+      return df.select(id.as("id"),
+        coalesce(graft.plans.TextExpressions.langIdScore(lower(text)),
+          lit("und")).as("lang_id"))
     val sw = TextFunctions.LangStopwords
       .flatMap { case (lang, words) => words.map(w => (w, lang)) }
       .toDF("tok", "lang")

@@ -76,11 +76,15 @@ object Shingles {
     exploded.groupBy(col("id"))
       .agg(sort_array(collect_set(xxhash64(col("sh")))).as("s"))
 
-  /** Conf key (optimization round 18): "on" (default) routes the
-    * near-dup family's per-document set/signature builds through the
-    * fused MAP-SIDE kernels below; "off" restores the
-    * explode → aggregate chains (the interleaved-A/B arm and escape
-    * hatch). */
+  /** Conf key (optimization round 18): "on" (default) routes every
+    * PER-DOCUMENT aggregate of the text family through its fused
+    * MAP-SIDE kernel — near-dup set/signature builds, the per-doc
+    * span dedup, repetition stats (C14/C44), language-id hits (C8),
+    * tf maps (C18); "off" restores the explode → aggregate chains
+    * everywhere (the interleaved-A/B arm, the parity oracles, and
+    * the escape hatch). One key for the family: these stand or fall
+    * by the same argument (a document's tokens never leave its own
+    * row). */
   val MapSideKey = "spark.graft.neardup.mapSideSignatures"
 
   private[operators] def mapSideOn(df: DataFrame): Boolean =
@@ -111,17 +115,31 @@ object Shingles {
     * token, and of word 2-grams by the most frequent 2-gram. High
     * values flag degenerate/boilerplate text. Two hash aggregates
     * riding one id-shuffle each; docs too short for a 2-gram get 0.0. */
-  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
-    def topFrac(grams: DataFrame): DataFrame =
-      grams.groupBy(col("id"), col("sh")).agg(count(lit(1)).as("c"))
-        .groupBy(col("id"))
-        .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("frac"))
-    val tok = topFrac(exploded(df, id, text, 1)).withColumnRenamed("frac", "top_token_frac")
-    val big = topFrac(exploded(df, id, text, 2)).withColumnRenamed("frac", "top_bigram_frac")
-    tok.join(big, Seq("id"), "left")
-      .select(col("id"), col("top_token_frac"),
-        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
-  }
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    if (mapSideOn(df)) {
+      // round 18: both fractions are per-document functions of the
+      // row — one fused kernel pass instead of two explode → count →
+      // max/sum chains and their tie-back join (see
+      // plans.RepetitionStats; parity spec-pinned, absent-row
+      // convention for token-less docs reproduced by the kernel-free
+      // token filter)
+      val t = graft.plans.TextExpressions
+      df.filter(size(t.wordNgrams(lower(text), 1)) > 0)
+        .select(id.as("id"),
+          t.knownNotNull(t.repetitionStats(lower(text))).as("__r"))
+        .select(col("id"), col("__r.top_token_frac").as("top_token_frac"),
+          col("__r.top_bigram_frac").as("top_bigram_frac"))
+    } else {
+      def topFrac(grams: DataFrame): DataFrame =
+        grams.groupBy(col("id"), col("sh")).agg(count(lit(1)).as("c"))
+          .groupBy(col("id"))
+          .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("frac"))
+      val tok = topFrac(exploded(df, id, text, 1)).withColumnRenamed("frac", "top_token_frac")
+      val big = topFrac(exploded(df, id, text, 2)).withColumnRenamed("frac", "top_bigram_frac")
+      tok.join(big, Seq("id"), "left")
+        .select(col("id"), col("top_token_frac"),
+          coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+    }
 
   /** Bottom-k sketch fingerprint per document (SURVEY C11): the k
     * lexicographically smallest md5 hashes of the distinct shingles,

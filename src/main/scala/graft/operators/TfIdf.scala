@@ -26,8 +26,20 @@ object TfIdf {
   /** Top-k terms per document by tf·idf (rounded to 6), rank by
     * (score desc, term asc). Returns (id, rank, term, score). */
   def topTerms(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    val toks = Shingles.exploded(docs, id, text, 1)
-    val tf = toks.groupBy(col("id"), col("sh")).agg(count(lit(1)).as("tf"))
+    // round 18: the per-(doc, term) tf table is per-document work —
+    // the fused TokenTf kernel emits each doc's term-frequency map in
+    // one pass and `explode(map)` reproduces the tf rows exactly,
+    // where the declarative form shuffled every token occurrence
+    // through an (id, term) aggregation exchange. Conf-gated; the
+    // df-per-term aggregation and the ranking window are unchanged
+    // (df counts one row per (doc, term) either way).
+    val tf =
+      if (Shingles.mapSideOn(docs))
+        docs.select(id.as("id"),
+            explode(graft.plans.TextExpressions.tokenTf(lower(text)))
+              .as(Seq("sh", "tf")))
+      else Shingles.exploded(docs, id, text, 1)
+        .groupBy(col("id"), col("sh")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // corpus size as a broadcast 1-row aggregate — stays in the plan,
     // no driver-side action

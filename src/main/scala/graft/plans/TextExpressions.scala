@@ -941,6 +941,187 @@ case class TrigramLmScore(child: Expression, model: CompiledLm)
   * lane layouts are artifacts of packing counters into aggregation
   * longs; the CALLER re-imposes them for behavioral compatibility
   * (SimHash.fingerprintsMapSide keeps the same loud refusal). */
+/** `struct<top_token_frac:double, top_bigram_frac:double>`: one
+  * document's repetition statistics (C14/C44 — fraction of token
+  * occurrences taken by the most frequent token, same for word
+  * 2-grams) computed in a single map-side pass (optimization round
+  * 18): both fractions are per-document functions of the row, but the
+  * declarative form paid TWO explode → (id, gram) count → per-id
+  * max/sum aggregate chains (four hash aggregates, two exchanges)
+  * plus the join tying them back together. Semantics replicated
+  * exactly: grams from `WordNgrams.slice` (same tokenizer), counts
+  * with multiplicity, frac = round(max/total, 6) with Spark's
+  * BigDecimal HALF_UP double rounding; a doc with tokens but no
+  * 2-gram reports 0.0 for the bigram frac (the left-join coalesce
+  * convention). Parity spec-pinned. Callers reproduce the absent-row
+  * convention for token-less docs. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionStats.schema
+  override def prettyName: String = "graft_repetition_stats"
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.RepetitionStats.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  val schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("top_token_frac",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("top_bigram_frac",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  private def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else scala.math.BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def topFrac(grams: ArrayData): Double = {
+    val m = grams.numElements()
+    if (m == 0) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](math.max(16, m * 2))
+    var maxC = 0
+    var i = 0
+    while (i < m) {
+      val g = grams.getUTF8String(i)
+      var c = counts.get(g)
+      if (c == null) { c = new Array[Int](1); counts.put(g, c) }
+      c(0) += 1
+      if (c(0) > maxC) maxC = c(0)
+      i += 1
+    }
+    // max(count) cast double over the long total — the declarative
+    // plan's exact division, then Spark's HALF_UP double round
+    round6(maxC.toDouble / m.toDouble)
+  }
+
+  /** Called from generated code. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](topFrac(WordNgrams.slice(s, 1)), topFrac(WordNgrams.slice(s, 2))))
+}
+
+/** `map<string,bigint>`: one document's word-unigram term
+  * frequencies (with multiplicity, python-whitespace tokens of the
+  * input — callers pass `lower(text)`), computed map-side
+  * (optimization round 18): C18's tf table is per-document work, but
+  * the declarative form exploded every token occurrence through an
+  * (id, term) aggregation exchange. `explode(map)` over this column
+  * reproduces the tf rows exactly (order-free consumers). Null
+  * input → null; token-less docs → empty map (callers drop or keep
+  * per their old convention). */
+case class TokenTf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.MapType(
+    StringType, org.apache.spark.sql.types.LongType, valueContainsNull = false)
+  override def prettyName: String = "graft_token_tf"
+  override def nullSafeEval(input: Any): Any =
+    TokenTf.compute(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenTf.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenTf =
+    copy(child = newChild)
+}
+
+object TokenTf {
+  /** Called from generated code. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val toks = WordNgrams.slice(s, 1)
+    val m = toks.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]](math.max(16, m * 2))
+    var i = 0
+    while (i < m) {
+      val t = toks.getUTF8String(i)
+      var c = counts.get(t)
+      if (c == null) { c = new Array[Long](1); counts.put(t, c) }
+      c(0) += 1L
+      i += 1
+    }
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue()(0)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+}
+
+/** `string`: one document's detected language — the fused form of
+  * C8's join-based detection (optimization round 18): tokens of the
+  * input (callers pass `lower(text)`) are looked up in the SAME
+  * (word → lang) stopword table `LangId.detect` broadcast-joins,
+  * per-language hits counted, winner = max hits with
+  * lexicographically-smallest language tie-break (the min-struct
+  * argmax), no hits → "und". The per-(doc, lang) hit counts are
+  * per-document work; the declarative form paid a token explode, a
+  * broadcast join and TWO aggregation exchanges per corpus for them.
+  * Parity with `LangId.detect` is spec-pinned. */
+case class LangIdScore(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+  override def nullSafeEval(input: Any): Any =
+    LangIdScore.compute(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.LangIdScore.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangIdScore =
+    copy(child = newChild)
+}
+
+object LangIdScore {
+  private val Und = UTF8String.fromString("und")
+  // (token → ALL its lang indices — stopword lists overlap: es/fr
+  // share "la"/"de"/"que"/"un"/"une", and the join form counts a
+  // shared token for EVERY matching language) and the sorted language
+  // list, built once from the SAME table the join form uses
+  // (TextFunctions.LangStopwords); languages sorted ASC so "first at
+  // max count" IS the lexicographic tie-break
+  private lazy val (langs: Array[UTF8String], lookup: java.util.HashMap[UTF8String, Array[Int]]) = {
+    val table = graft.functions.TextFunctions.LangStopwords
+    val ls = table.map(_._1).sorted.toArray
+    val idx = ls.zipWithIndex.toMap
+    val byWord = scala.collection.mutable.Map.empty[String, List[Int]]
+    table.foreach { case (lang, words) =>
+      words.foreach(w => byWord(w) = idx(lang) :: byWord.getOrElse(w, Nil))
+    }
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    byWord.foreach { case (w, is) => m.put(UTF8String.fromString(w), is.toArray) }
+    (ls.map(UTF8String.fromString), m)
+  }
+
+  /** Called from generated code. */
+  def compute(s: UTF8String): UTF8String = {
+    val toks = WordNgrams.slice(s, 1)
+    val m = toks.numElements()
+    val hits = new Array[Long](langs.length)
+    var i = 0
+    while (i < m) {
+      val ls = lookup.get(toks.getUTF8String(i))
+      if (ls != null) {
+        var k = 0
+        while (k < ls.length) { hits(ls(k)) += 1L; k += 1 }
+      }
+      i += 1
+    }
+    var best = -1
+    var bestHits = 0L
+    var j = 0
+    while (j < hits.length) {
+      // strict >: ties keep the earlier (lexicographically smaller) lang
+      if (hits(j) > bestHits) { best = j; bestHits = hits(j) }
+      j += 1
+    }
+    if (best < 0) Und else langs(best)
+  }
+}
+
 case class SimHashSig(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = SimHashSig.schema
   override def prettyName: String = "graft_simhash_sig"
@@ -1172,6 +1353,19 @@ object TextExpressions {
     * `MinHashSig`. */
   def minHashSig(text: Column, n: Int, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(text), n, k))
+
+  /** Codegen'd fused per-document repetition statistics; see
+    * `RepetitionStats`. */
+  def repetitionStats(text: Column): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(text)))
+
+  /** Codegen'd fused per-document term-frequency map; see `TokenTf`. */
+  def tokenTf(text: Column): Column =
+    Bridge.column(TokenTf(Bridge.expression(text)))
+
+  /** Codegen'd fused per-document language id; see `LangIdScore`. */
+  def langIdScore(text: Column): Column =
+    Bridge.column(LangIdScore(Bridge.expression(text)))
 
   /** Codegen'd fused per-document SimHash fingerprint; see
     * `SimHashSig`. */

@@ -9,6 +9,68 @@ class LinesQualitySpec extends SparkSpec {
 
   // --- C44 gopherFilter ---
 
+  test("map-side repetition stats equal the aggregate form (r18 kernel parity)") {
+    import graft.operators.Shingles
+    // duplicate-heavy generated corpus + degenerate docs (null text,
+    // punct-only, single token, all-same-token)
+    val g = new scala.util.Random(11)
+    val gen = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(1 + g.nextInt(30))(s"w${g.nextInt(6)}").mkString(" "))
+    } ++ Seq((50L, null.asInstanceOf[String]), (51L, "$$$ %%%"), (52L, "solo"),
+      (53L, "rep rep rep rep"))
+    val df = gen.toDF("doc_id", "text")
+    val on = Shingles.repetitionStats(df, col("doc_id"), col("text"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    spark.conf.set(Shingles.MapSideKey, "off")
+    try {
+      val off = Shingles.repetitionStats(df, col("doc_id"), col("text"))
+        .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(on == off)
+    } finally spark.conf.unset(Shingles.MapSideKey)
+    // gopherFilter: full-row equality across the arms (covers the
+    // fused no-join shape vs the left-join shape, incl. null text)
+    val pOn = Quality.gopherFilter(df, col("doc_id"), col("text"),
+      Quality.GopherParams(minWords = 3, minStop = 0.0, maxTopToken = 0.5))
+      .collect().map(_.toSeq).toSet
+    spark.conf.set(Shingles.MapSideKey, "off")
+    try {
+      val pOff = Quality.gopherFilter(df, col("doc_id"), col("text"),
+        Quality.GopherParams(minWords = 3, minStop = 0.0, maxTopToken = 0.5))
+        .collect().map(_.toSeq).toSet
+      assert(pOn == pOff)
+    } finally spark.conf.unset(Shingles.MapSideKey)
+  }
+
+  test("map-side lang-id and tf kernels equal the join/aggregate forms (r18)") {
+    import graft.operators.{LangId, Shingles, TfIdf}
+    // mixed-language corpus incl. the es/fr SHARED stopwords ("la",
+    // "de", "que" — the join form counts them for BOTH languages),
+    // ties, null text, and token-less docs
+    val docs = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el que la casa de la y en un una"),
+      (3L, "la de que un"), // es/fr tie on the SHARED words → "es" (lex min)
+      (4L, "der und das ist ein zu mit von"),
+      (5L, "no stopwords here xyzzy"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "   "),
+      (8L, "le les et est pour")).toDF("doc_id", "text")
+    val langOn = LangId.detect(docs, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    val tfOn = TfIdf.topTerms(docs, col("doc_id"), lower(col("text")), 3)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set(Shingles.MapSideKey, "off")
+    try {
+      val langOff = LangId.detect(docs, col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toMap
+      assert(langOn == langOff)
+      assert(langOn(3L) == "es" && langOn(6L) == "und" && langOn(7L) == "und")
+      val tfOff = TfIdf.topTerms(docs, col("doc_id"), lower(col("text")), 3)
+        .collect().map(_.toSeq).toSet
+      assert(tfOn == tfOff)
+    } finally spark.conf.unset(Shingles.MapSideKey)
+  }
+
   private val good =
     "the quick brown fox jumps over a lazy dog and then runs to " +
       "the river for a drink of water in the morning sun with friends"
