@@ -68,6 +68,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // c40's proven-bounded unpartitioned window: see EngineLog
+    EngineLog.silenceProvenBoundedWindowWarn()
     // Warm the JVM so no measured query is charged JIT/startup cost:
     // one full UNMEASURED pass of the same query set at the same sf
     // dir (same plans + same AQE decisions → same generated classes),

@@ -96,6 +96,8 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // c40's proven-bounded unpartitioned window: see EngineLog
+    EngineLog.silenceProvenBoundedWindowWarn()
 
     // source material: (lang, text) pool, driver-side (bench tool —
     // bounded by the sf documents table, reused cyclically)

@@ -21,6 +21,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // c40's proven-bounded unpartitioned window: see EngineLog
+    EngineLog.silenceProvenBoundedWindowWarn()
     new java.io.File(outDir).mkdirs()
     // optional args(2..): restrict to named queries (dev loop only —
     // the driver always passes exactly two args and gets the full set)

@@ -142,21 +142,29 @@ object Stratified {
     // exact decimal sum of the ALREADY-ROUNDED weights: order-free,
     // engine-free; the double cast happens once on the exact total —
     // identical to the former driver-side getDecimal.doubleValue.
-    // Σw is a ONE-ROW aggregate of the strata table attached by a
-    // broadcast cross-join (optimization round 18): the previous
-    // unpartitioned window sum computed the same total but moved the
-    // rows through a single-partition WindowExec — bounded-small here
-    // (rows = strata, dozens), but the aggregate form expresses
-    // "bounded" structurally instead of relying on it, and drops the
-    // engine's single-partition-window warning from every run. The
-    // strata table's exchange is reused across the two branches
-    // (spec-pinned), so the corpus is still aggregated exactly once.
-    val tot = base.agg(sum(w.cast("decimal(28,6)")).cast("double").as("__wtot"))
-    val share = round(w / col("__wtot"), 6)
+    //
+    // Σw is DELIBERATELY an unpartitioned window over the strata
+    // table (round 18, after measuring the alternatives): its input
+    // is PROVABLY bounded-small — base's rows are the distinct strata
+    // of the groupBy above (languages × sources, dozens; never corpus
+    // rows — PlanSpec pins that the window's child is the strata
+    // Aggregate), so the single partition the engine warns about is
+    // exactly right and costs microseconds at any corpus size. Both
+    // warning-free rewrites were measured and REJECTED: the one-row
+    // aggregate + broadcast cross-join doubled the query (0.22 →
+    // 0.41 s — the broadcast build's extra AQE stage round-trip costs
+    // more than a dozen-row window), and a constant partition key is
+    // stripped by the optimizer's foldable-window-partition
+    // elimination, landing back on the same unpartitioned window.
+    // The engine's per-execution WARN for this PROVEN-bounded window
+    // is silenced in the driver-contract mains (see Bench/Verify),
+    // where it drowned real signals six lines at a time.
+    val tot = sum(w.cast("decimal(28,6)"))
+      .over(Window.partitionBy()).cast("double")
+    val share = round(w / tot, 6)
     val alloc = floor(lit(budget.toDouble) * share).cast("long")
-    base.crossJoin(broadcast(tot))
-      .select(col("stratum"), col("tokens"), w.as("weight"),
-        alloc.as("alloc_tokens"),
-        round(alloc.cast("double") / col("tokens"), 6).as("epochs"))
+    base.select(col("stratum"), col("tokens"), w.as("weight"),
+      alloc.as("alloc_tokens"),
+      round(alloc.cast("double") / col("tokens"), 6).as("epochs"))
   }
 }

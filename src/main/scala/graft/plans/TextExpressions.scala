@@ -1054,6 +1054,68 @@ object TokenTf {
   }
 }
 
+/** `array<string>`: one document's DISTINCT md5'd word n-grams
+  * (lowercase hex, first-occurrence order), computed map-side
+  * (optimization round 18) — the fused form of the contamination
+  * family's explode → md5 → dropDuplicates(id, h): the per-doc
+  * distinct is row-local, and the declarative chain paid an (id, h)
+  * exchange + two aggregate passes per corpus, with one md5 per gram
+  * OCCURRENCE where this hashes each distinct gram once.
+  * Distinctness is on the HASH VALUES (dropDuplicates' rule over h);
+  * order is irrelevant to the consumers (joins/aggregations).
+  * Parity spec-pinned. */
+case class Md5GramSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_md5_gram_set"
+  override def nullSafeEval(input: Any): Any =
+    Md5GramSet.compute(input.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Md5GramSet.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Md5GramSet =
+    copy(child = newChild)
+}
+
+object Md5GramSet {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** Called from generated code. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val grams = WordNgrams.slice(s, n)
+    val m = grams.numElements()
+    val seenGrams = new java.util.HashSet[UTF8String](math.max(16, m * 2))
+    // LinkedHashSet: dedup on the HEX VALUE (dropDuplicates' rule —
+    // md5-colliding grams dedup to one row) in first-occurrence order
+    val out = new java.util.LinkedHashSet[UTF8String](math.max(16, m * 2))
+    val digest = md5.get()
+    var g = 0
+    while (g < m) {
+      val sh = grams.getUTF8String(g)
+      if (seenGrams.add(sh)) {
+        val d = digest.digest(sh.getBytes)
+        val hex = new Array[Byte](32)
+        var i = 0
+        while (i < 16) {
+          val b = d(i) & 0xff
+          hex(i * 2) = HexChars(b >>> 4)
+          hex(i * 2 + 1) = HexChars(b & 0xf)
+          i += 1
+        }
+        out.add(UTF8String.fromBytes(hex))
+      }
+      g += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
 /** `string`: one document's detected language — the fused form of
   * C8's join-based detection (optimization round 18): tokens of the
   * input (callers pass `lower(text)`) are looked up in the SAME
@@ -1366,6 +1428,11 @@ object TextExpressions {
   /** Codegen'd fused per-document language id; see `LangIdScore`. */
   def langIdScore(text: Column): Column =
     Bridge.column(LangIdScore(Bridge.expression(text)))
+
+  /** Codegen'd fused per-document distinct md5'd n-gram set; see
+    * `Md5GramSet`. */
+  def md5GramSet(text: Column, n: Int): Column =
+    Bridge.column(Md5GramSet(Bridge.expression(text), n))
 
   /** Codegen'd fused per-document SimHash fingerprint; see
     * `SimHashSig`. */

