@@ -275,6 +275,33 @@ class NearDupSpec extends SparkSpec {
     } finally spark.conf.unset(graft.operators.Shingles.MapSideKey)
   }
 
+  test("map-side md5 gram sets: contamination operators equal across the arms") {
+    import graft.operators.Contamination
+    val g = new scala.util.Random(3)
+    val gen = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(3 + g.nextInt(30))(s"w${g.nextInt(12)}").mkString(" "))
+    } :+ (60L, null.asInstanceOf[String]) :+ (61L, "a b")
+    val docs = gen.toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val sgOn = rows(Contamination.sharedGrams(train, eval, col("doc_id"), col("text"), 3))
+    val pfOn = rows(Contamination.sharedGramsPrefiltered(train, eval,
+      col("doc_id"), col("text"), 3, expectedEvalGrams = 10000L))
+    val bbOn = rows(Contamination.sharedGramsByBenchmark(train, eval,
+      col("doc_id"), col("text"), (col("doc_id") % 10).cast("string"), 3))
+    spark.conf.set(graft.operators.Shingles.MapSideKey, "off")
+    try {
+      assert(rows(Contamination.sharedGrams(train, eval,
+        col("doc_id"), col("text"), 3)) == sgOn)
+      assert(rows(Contamination.sharedGramsPrefiltered(train, eval,
+        col("doc_id"), col("text"), 3, expectedEvalGrams = 10000L)) == pfOn)
+      assert(rows(Contamination.sharedGramsByBenchmark(train, eval,
+        col("doc_id"), col("text"), (col("doc_id") % 10).cast("string"), 3)) == bbOn)
+    } finally spark.conf.unset(graft.operators.Shingles.MapSideKey)
+    assert(sgOn.nonEmpty) // the generated corpus genuinely collides
+  }
+
   test("Jaccard inverted-index join computes exact scores") {
     val got = Jaccard.nearDupPairs(corpus, col("doc_id"), col("text"), 3, 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
